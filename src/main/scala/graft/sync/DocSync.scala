@@ -1,0 +1,148 @@
+package graft.sync
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.ChangeLog
+
+/** The heart of the reference pipeline, Spark-first: flatten + merge-upsert.
+  *
+  * Semantics replicated from the reference (SURVEY.md §1.2):
+  *   1. family → qualifier flatten: the column-family name is dropped; the
+  *      document is keyed by qualifier only (Observer.java:74-79).
+  *   2. last-write-wins per field across Puts (HashMap.put order ≡ our
+  *      total `seq` order).
+  *   3. upsert is a partial merge: fields absent from a Put survive
+  *      (`setDocAsUpsert(true)`, Observer.java:86-87).
+  *   4. a Delete removes the whole document (Observer.java:97-108); a later
+  *      Put revives it.
+  *
+  * The fold is expressed relationally (join + max_by aggregation) rather
+  * than as a per-key in-memory replay: every step is a shuffle-partitionable
+  * DataFrame op, so the same code runs unchanged on a 1000-executor cluster
+  * over a 100 TB change log — there is no per-key array materialization and
+  * no driver-side state.
+  */
+object DocSync {
+
+  private val emptyDoc: Column = typedLit(Map.empty[String, String])
+
+  /** OP-4 flatten + OP-7 fold of a complete change log to the final
+    * document table `(rowKey: String, doc: Map[String,String])`.
+    *
+    * Plan shape: one small agg for last-delete seqs, a (broadcastable)
+    * left join, one explode, one (rowKey, qualifier) max_by agg, one
+    * map_from_entries collect — all map-side-combinable hash aggregates.
+    */
+  def fold(changeLog: DataFrame): DataFrame = {
+    val lastDel = changeLog.filter(col("op") === "DELETE")
+      .groupBy("rowKey").agg(max("seq").as("del_seq"))
+
+    val liveCells = changeLog.filter(col("op") === "PUT")
+      .join(lastDel, Seq("rowKey"), "left")
+      .filter(col("del_seq").isNull || col("seq") > col("del_seq"))
+      .select(col("rowKey"), col("seq"), posexplode(col("cells")).as(Seq("pos", "cell")))
+
+    // LWW per (rowKey, qualifier): order by (seq, pos-within-put) — the
+    // reference's HashMap.put iteration order made explicit.
+    val lww = liveCells
+      .groupBy(col("rowKey"), col("cell.qualifier").as("qualifier"))
+      .agg(max_by(col("cell.value"), struct(col("seq"), col("pos"))).as("value"))
+
+    lww.groupBy("rowKey")
+      .agg(map_from_entries(collect_list(struct(col("qualifier"), col("value")))).as("doc"))
+  }
+
+  /** Fold one micro-batch into a per-key increment:
+    * `(rowKey, delta: Map, hadDelete: Boolean)` where `delta` holds the
+    * LWW fields written after the batch's last delete (if any). */
+  def foldIncrement(batch: DataFrame): DataFrame = {
+    fold(batch)
+      .join(batch.filter(col("op") === "DELETE").select("rowKey").distinct()
+              .withColumn("hadDelete", lit(true)),
+            Seq("rowKey"), "full")
+      .select(col("rowKey"),
+              coalesce(col("doc"), emptyDoc).as("delta"),
+              coalesce(col("hadDelete"), lit(false)).as("hadDelete"))
+  }
+
+  /** OP-7 merge-upsert of a batch increment into the existing doc table.
+    * Partial merge: `map_concat(existing, delta)` with LAST_WIN dedup;
+    * delete-then-put revival falls out of `hadDelete` discarding the old doc.
+    * Deleted keys (empty merged doc) drop out of the table. */
+  def merge(state: DataFrame, increment: DataFrame): DataFrame = {
+    state.join(increment, Seq("rowKey"), "full")
+      .select(col("rowKey"),
+        when(col("hadDelete"), col("delta"))
+          .otherwise(map_concat(coalesce(col("doc"), emptyDoc),
+                                coalesce(col("delta"), emptyDoc))).as("doc"))
+      .filter(size(col("doc")) > 0)
+  }
+
+  /** Streaming OP-7: run a change-log stream into a parquet-backed doc
+    * table via foreachBatch merge (SURVEY.md OP-7/OP-10: checkpointed
+    * offsets + idempotent whole-table merge ⇒ exactly-once table state).
+    * Returns the final doc table. Production variant would MERGE INTO a
+    * transactional table format; the merge logic is this same `merge`. */
+  def runStream(spark: SparkSession, changeStream: DataFrame, stateDir: String,
+                checkpointDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = changeStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val cur = s"$stateDir/v$batchId"
+        val prev = new java.io.File(stateDir).listFiles()
+        val state = Option(prev).toSeq.flatten.filter(_.getName.startsWith("v"))
+          .sortBy(_.getName.drop(1).toLong).lastOption match {
+            case Some(f) => sp.read.parquet(f.getPath)
+            case None => sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("rowKey", StringType),
+                StructField("doc", MapType(StringType, StringType)))))
+          }
+        merge(state, foldIncrement(batch)).write.mode("overwrite").parquet(cur)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val versions = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
+      .sortBy(_.getName.drop(1).toLong)
+    spark.read.parquet(versions.last.getPath)
+  }
+
+  /** Final doc table flattened to the fixture's qualifier columns —
+    * the hash-checked projection (q03/q51/q57). */
+  def flattenDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("rowKey").as("row_key"),
+      element_at(col("doc"), "event_type").as("event_type"),
+      element_at(col("doc"), "value").as("value"),
+      element_at(col("doc"), "user_id").as("user_id"),
+      element_at(col("doc"), "props").as("props"))
+      .orderBy("row_key")
+
+  /** DuckDB oracle replaying the same fold (FIXTURES.md derived fixture). */
+  val oracleSqlDocTable: String =
+    """WITH puts AS (
+      |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq,
+      |         event_type,
+      |         CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value_s,
+      |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR) END AS user_id_s,
+      |         props
+      |  FROM events),
+      |dels AS (
+      |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+      |  FROM events WHERE event_id % 50 = 0),
+      |last_del AS (SELECT row_key, MAX(seq) AS del_seq FROM dels GROUP BY 1),
+      |live AS (
+      |  SELECT p.* FROM puts p LEFT JOIN last_del d USING (row_key)
+      |  WHERE d.del_seq IS NULL OR p.seq > d.del_seq)
+      |SELECT row_key,
+      |  arg_max(event_type, seq) AS event_type,
+      |  arg_max(value_s, seq) AS value,
+      |  arg_max(user_id_s, seq) FILTER (WHERE user_id_s IS NOT NULL) AS user_id,
+      |  arg_max(props, seq) FILTER (WHERE props IS NOT NULL) AS props
+      |FROM live GROUP BY row_key ORDER BY row_key""".stripMargin
+}

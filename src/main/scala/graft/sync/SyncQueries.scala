@@ -1,0 +1,80 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.model.ChangeLog
+import graft.queries.Entry
+
+/** Declared queries over the reference's core capability: the change-log
+  * fold into the materialized document table (SURVEY.md OP-1..OP-7, Q03/Q49).
+  */
+object SyncQueries {
+
+  /** Batch twin of the pipeline: derive change log from `events`, fold,
+    * flatten to qualifier columns. */
+  def docTable(s: SparkSession, d: String): DataFrame =
+    DocSync.fold(ChangeLog.fromEvents(Tables(s, d, "events")))
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q03_merge_upsert", DocSync.oracleSqlDocTable) { (s, d) =>
+      DocSync.flattenDocs(docTable(s, d))
+    },
+
+    Entry("q49_map_funcs",
+      """WITH puts AS (
+        |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq, event_type
+        |  FROM events),
+        |dels AS (
+        |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+        |  FROM events WHERE event_id % 50 = 0),
+        |last_del AS (SELECT row_key, MAX(seq) AS del_seq FROM dels GROUP BY 1),
+        |live AS (
+        |  SELECT p.* FROM puts p LEFT JOIN last_del d USING (row_key)
+        |  WHERE d.del_seq IS NULL OR p.seq > d.del_seq),
+        |docs AS (SELECT row_key, arg_max(event_type, seq) AS et FROM live GROUP BY 1)
+        |SELECT et AS event_type, COUNT(*) AS n, COUNT(DISTINCT row_key) AS n_keys
+        |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // map-typed document access: element_at / map_keys over the doc map
+      val docs = docTable(s, d)
+      docs.select(col("rowKey"), element_at(col("doc"), "event_type").as("event_type"),
+                  map_keys(col("doc")).as("ks"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("rowKey")).as("n_keys"))
+        .orderBy(col("event_type"))
+    },
+
+    Entry("q49_map_concat",
+      // map_concat LWW + map_values/map_keys integrity: per doc, number of
+      // fields and whether user_id is among the keys.
+      """WITH puts AS (
+        |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq,
+        |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR) END AS user_id_s,
+        |         props
+        |  FROM events),
+        |dels AS (
+        |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+        |  FROM events WHERE event_id % 50 = 0),
+        |last_del AS (SELECT row_key, MAX(seq) AS del_seq FROM dels GROUP BY 1),
+        |live AS (
+        |  SELECT p.* FROM puts p LEFT JOIN last_del d USING (row_key)
+        |  WHERE d.del_seq IS NULL OR p.seq > d.del_seq),
+        |docs AS (SELECT row_key,
+        |           2 + CASE WHEN COUNT(user_id_s) > 0 THEN 1 ELSE 0 END
+        |             + CASE WHEN COUNT(props) > 0 THEN 1 ELSE 0 END AS n_fields,
+        |           CASE WHEN COUNT(user_id_s) > 0 THEN 1 ELSE 0 END AS has_user
+        |         FROM live GROUP BY 1)
+        |SELECT CAST(n_fields AS INT) AS n_fields, CAST(SUM(has_user) AS BIGINT) AS n_has_user,
+        |       COUNT(*) AS n
+        |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      docTable(s, d)
+        .select(size(map_keys(col("doc"))).as("n_fields"),
+                when(array_contains(map_keys(col("doc")), "user_id"), 1).otherwise(0).as("has_user"))
+        .groupBy(col("n_fields"))
+        .agg(sum(col("has_user")).cast("bigint").as("n_has_user"), count(lit(1)).as("n"))
+        .orderBy(col("n_fields"))
+    }
+  )
+}

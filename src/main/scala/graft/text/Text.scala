@@ -1,0 +1,321 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Entry
+
+/** Text-analysis + dedup surface — SURVEY.md Q60-Q64/Q66 plus the
+  * training-data-pipeline operators (lang-ID, quality scoring, token
+  * counting, fingerprinting, SimHash, MinHash-LSH).
+  *
+  * Everything stays inside whole-stage codegen (built-in string/array
+  * expressions + higher-order functions, no UDFs): at 100 TB the tokenizer
+  * IS the hot loop. Pair-generating ops (near-dup) key their shuffles on
+  * shingle/band buckets so candidate generation is distributed and no
+  * driver-side state exists.
+  */
+object Text {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Standard-analyzer twin (ES `standard` analog, SURVEY Q63): lowercase,
+    * strip non-alphanumerics, whitespace-split, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " "),
+           t => t =!= "")
+
+  /** Same tokenization in DuckDB SQL (the oracle must tokenize identically). */
+  val tokensSql: String =
+    """list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      | w -> w <> '')""".stripMargin.replace("\n", "")
+
+  /** Cross-engine deterministic token hash: fold (h*31 + ascii(char)) % p
+    * over the characters — exact integer arithmetic in both engines. */
+  def tokenHash(tok: Column): Column =
+    aggregate(filter(split(tok, ""), c => c =!= ""), lit(0L),
+      (h, ch) => pmod(h * 31 + ascii(ch), lit(1000000007L)))
+
+  val tokenHashSql: String =
+    "list_reduce(list_prepend(0, list_transform(string_split(w, ''), c -> ord(c))), " +
+      "(h, c) -> (h * 31 + c) % 1000000007)"
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- Q60 exact dedup ----
+    Entry("q60_dedup_exact",
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T(s, d, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups")).orderBy(col("doc_id"))
+    },
+
+    // ---- Q61 near-dup via exact 3-shingle Jaccard (oracle twin) ----
+    Entry("q61_neardup_jaccard",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |       FROM words a
+        |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val sh = shingles(T(s, d, "documents"), 3)
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast("double") /
+        (col("sa.sz") + col("sb.sz") - col("inter"))
+      inter
+        .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.2)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // MinHash + banded LSH (the 100 TB path: candidates from band-bucket
+    // joins, exact Jaccard verified on candidates only). Sketch outputs are
+    // engine-specific -> bench-only, recall asserted >= exact twin in tests.
+    Entry.benchOnly("q61_minhash_lsh") { (s, d) => minhashNearDups(s, d) },
+
+    // ---- Q63 tokenize / top terms ----
+    Entry("q63_top_tokens",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT unnest(ws) AS w FROM toks)
+        |SELECT w AS token, COUNT(*) AS n FROM words
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      T(s, d, "documents").select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    },
+
+    // ---- Q64 TF-IDF relevance (ES match-scoring analog) ----
+    Entry("q64_tfidf",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+        |       WHERE w IN ('data', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+        |       WHERE w IN ('data', 'stream') GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
+        |FROM tf JOIN df USING (w) GROUP BY 1
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val n = docs.count()   // corpus stat: tiny driver scalar, standard two-pass
+      val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").isin("data", "stream"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df), "w")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
+    Entry("q64_bm25",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+        |       WHERE w IN ('data', 'stream') GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+        |       WHERE w IN ('data', 'stream') GROUP BY 1)
+        |SELECT tf.doc_id, ROUND(SUM(
+        |    ln(1 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) *
+        |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+        |  ), 6) AS score
+        |FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      // BM25 k1=1.2 b=0.75: corpus stats via one tiny agg, broadcast back.
+      val toks = T(s, d, "documents").select(col("doc_id"), tokens(col("text")).as("ws"))
+      val dl = toks.select(col("doc_id"), size(col("ws")).as("dl"))
+      val Array(nDocs, avgdl) = dl.agg(count(lit(1)).cast("double"), avg(col("dl")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      val words = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin("data", "stream"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+      val score = idf * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+      tf.join(broadcast(df), "w").join(dl, "doc_id")
+        .groupBy(col("doc_id")).agg(round(sum(score), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
+    // ---- Q66 facets ----
+    Entry("q66_facets",
+      """SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      T(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // ---- training-data ops: lang-ID, quality, token counts, fingerprint, simhash ----
+    Entry("q67_simhash",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |hashed AS (SELECT doc_id, $tokenHashSql AS h, COUNT(*) AS tf
+        |           FROM words GROUP BY 1, 2),
+        |bits AS (SELECT doc_id, i,
+        |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
+        |         FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS i) g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = T(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val hashed = words.groupBy(col("doc_id"), tokenHash(col("w")).as("h"))
+        .agg(count(lit(1)).as("tf"))
+      val bit = (col("h").cast("double") / pow(lit(2.0), col("i"))).cast("bigint") % 2
+      val bits = hashed
+        .select(col("doc_id"), col("h"), col("tf"), explode(sequence(lit(0), lit(15))).as("i"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(sum(when(bit === 1, col("tf")).otherwise(-col("tf"))).as("s"))
+      bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, pow(lit(2.0), col("i")).cast("bigint")).otherwise(0L))
+          .cast("bigint").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    Entry("q68_langid",
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS en_hits,
+        |    len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |        w -> w IN ('der', 'die', 'das', 'und', 'ist'))) AS de_hits
+        |  FROM documents)
+        |SELECT CASE WHEN en_hits = 0 AND de_hits = 0 THEN 'und'
+        |            WHEN en_hits >= de_hits THEN 'en' ELSE 'de' END AS lang_pred,
+        |       COUNT(*) AS n
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val en = Seq("the", "a", "of", "and", "to")
+      val de = Seq("der", "die", "das", "und", "ist")
+      val toks = tokens(col("text"))
+      T(s, d, "documents").select(
+          size(filter(toks, w => w.isin(en: _*))).as("en_hits"),
+          size(filter(toks, w => w.isin(de: _*))).as("de_hits"))
+        .select(when(col("en_hits") === 0 && col("de_hits") === 0, "und")
+                .when(col("en_hits") >= col("de_hits"), "en")
+                .otherwise("de").as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    },
+
+    Entry("q69_quality",
+      s"""WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_char,
+        |    CAST(len($tokensSql) AS INT) AS n_tok,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct,
+        |    CAST(len(list_filter($tokensSql,
+        |      w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS INT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_char, n_tok,
+        |  ROUND(CAST(n_punct AS DOUBLE) / n_char, 6) AS punct_ratio,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+        |  ROUND(LEAST(1.0, n_tok / 100.0) * (1 - CAST(n_punct AS DOUBLE) / n_char), 6) AS score
+        |FROM q WHERE n_tok > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stop = Seq("the", "a", "of", "and", "to", "is", "in")
+      val toks = tokens(col("text"))
+      T(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_char"),
+          size(toks).as("n_tok"),
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("n_punct"),
+          size(filter(toks, w => w.isin(stop: _*))).as("n_stop"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_char"), col("n_tok"),
+          round(col("n_punct").cast("double") / col("n_char"), 6).as("punct_ratio"),
+          round(col("n_stop").cast("double") / col("n_tok"), 6).as("stop_ratio"),
+          round(least(lit(1.0), col("n_tok") / 100.0) *
+                (lit(1) - col("n_punct").cast("double") / col("n_char")), 6).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    Entry("q70_token_count",
+      s"""SELECT doc_id,
+        |  CAST(len($tokensSql) AS INT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T(s, d, "documents").select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_ws"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    Entry("q71_fingerprint",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
+        |hashed AS (SELECT doc_id, pos, $tokenHashSql AS h FROM words)
+        |SELECT doc_id, CAST(SUM((pos + 1) * h) % 2305843009213693951 AS BIGINT) AS fp
+        |FROM hashed GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        .select(col("doc_id"), ((col("pos") + 1) * tokenHash(col("w"))).as("contrib"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("contrib")) % 2305843009213693951L).cast("bigint").as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Distinct k-word shingles per document. */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val ws = tokens(col("text"))
+    docs.select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("ws"), i + j + 1)): _*))
+      ).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash(64 perms) + banded LSH (8 bands x 8 rows) near-dup candidates,
+    * verified with exact Jaccard — the sub-quadratic dedup path. */
+  def minhashNearDups(s: SparkSession, d: String): DataFrame = {
+    val numPerm = 64
+    val bands = 8
+    val rows = numPerm / bands
+    val sh = shingles(T(s, d, "documents"), 3)
+    // 64 permutations: xxhash64 with distinct salts; signature = min per perm
+    val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // band key = hash of the band's rows; candidates collide in >=1 band
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    // exact Jaccard on candidates only
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(cands, col("a.doc_id") === col("doc_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter"))
+    inter.join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= 0.2)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.queries.Entry
+
+/** Similarity search over embedding columns — SURVEY.md Q62 + ANN scale path.
+  *
+  * Exact brute-force cosine top-k is the oracle-checked baseline; the scale
+  * path is random-hyperplane LSH (sign-bit signatures -> bucket equi-join),
+  * which turns the O(N*Q) scan into a shuffle-partitionable candidate join.
+  * Dot products run through codegen'd higher-order functions (zip_with +
+  * aggregate) on double-cast arrays — no UDF, no driver loop.
+  */
+object Vectors {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Sequential-fold dot product — same association order as the oracle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact cosine top-k for a set of query vectors (broadcast the queries,
+    * stream the corpus — one pass, no shuffle until the tiny top-k window). */
+  def topK(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    Entry("q62_cosine_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+        |c AS (SELECT q_id, vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS cos_r
+        |      FROM e CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos_r,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn
+        |      FROM c)
+        |SELECT q_id, vec_id, cos_r, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      topK(T(s, d, "embeddings"), Seq(1, 2, 3), 5)
+    },
+
+    // vector norms / arithmetic as first-class columns
+    Entry("q62_vector_stats",
+      """SELECT vec_id,
+        |  ROUND(sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS u(x))), 6) AS l2,
+        |  ROUND((SELECT SUM(CAST(x AS DOUBLE)) FROM UNNEST(embedding) AS u(x)) / len(embedding), 6) AS mean
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val v = asDouble(col("embedding"))
+      T(s, d, "embeddings").select(
+          col("vec_id"),
+          round(norm(v), 6).as("l2"),
+          round(dot(v, transform(v, _ => lit(1.0))) / size(col("embedding")), 6).as("mean"))
+        .orderBy(col("vec_id"))
+    },
+
+    // embedding near-dup: same-label candidate blocking + cosine threshold
+    Entry("q72_embed_neardup",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val e = T(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val cos = cosine(col("a.v"), col("b.v"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cos >= 0.9)
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+                round(cos, 6).as("cos_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ANN: random-hyperplane LSH — engine-specific buckets => bench-only;
+    // tests assert recall vs the exact twin.
+    Entry.benchOnly("q62_ann_lsh") { (s, d) =>
+      annLsh(T(s, d, "embeddings"), Seq(1, 2, 3), 5)
+    }
+  )
+
+  /** Random-hyperplane LSH: 16 sign bits from fixed pseudo-random planes
+    * (seeded — deterministic across runs), Hamming-bucket candidate join,
+    * exact cosine re-rank of candidates. */
+  def annLsh(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
+    val dim = 64; val planes = 16
+    val rnd = new scala.util.Random(42)
+    val hyper = Array.fill(planes, dim)(rnd.nextGaussian())
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // signature = sum of sign bits; computed per plane via literal arrays
+    val sigBits: Column = (0 until planes).map { p =>
+      val plane = array(hyper(p).map(x => lit(x)): _*)
+      when(dot(col("v"), plane) > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    val signed = e.withColumn("sig", sigBits)
+    val q = signed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
+    // candidates: signatures within Hamming distance <= 3 of the query
+    val hamming = bit_count(col("sig").bitwiseXOR(col("qsig")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
+    signed.join(broadcast(q), col("vec_id") =!= col("q_id") && hamming <= 3)
+      .select(col("q_id"), col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate (NOT part of the engine):
+runs each oracle SQL in DuckDB over the same parquet tables and compares with
+the parquet dumps Verify wrote. Usage:
+    python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    passed, failed, skipped = [], [], []
+    for name in sorted(os.listdir(out_dir)):
+        p = f"{out_dir}/{name}"
+        if not os.path.isdir(p):
+            continue
+        if only and name not in only:
+            continue
+        if name not in oracle:
+            n = len(glob.glob(f"{p}/*.parquet"))
+            skipped.append(name)
+            continue
+        try:
+            got = pd.read_parquet(p)
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            failed.append((name, f"load/exec error: {e}"))
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            failed.append((name, f"columns: spark={sorted(got.columns)} oracle={sorted(want.columns)}"))
+            continue
+        if len(got) != len(want):
+            failed.append((name, f"rows: spark={len(got)} oracle={len(want)}"))
+            continue
+        g, w = canon(got), canon(want)
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            passed.append(name)
+        except AssertionError as e:
+            diff = (g != w) & ~(g.isna() & w.isna())
+            cols = [c for c in g.columns if diff[c].any()]
+            idx = diff.any(axis=1)
+            sample = pd.concat([g.loc[idx, cols].head(3).add_suffix("_spark"),
+                                w.loc[idx, cols].head(3).add_suffix("_oracle")], axis=1)
+            failed.append((name, f"values differ in {cols}:\n{sample}"))
+    print(f"PASS {len(passed)}: {' '.join(passed)}")
+    print(f"SKIP (no oracle) {len(skipped)}: {' '.join(skipped)}")
+    print(f"FAIL {len(failed)}:")
+    for n, msg in failed:
+        print(f"--- {n}: {msg}")
+    sys.exit(1 if failed else 0)
+
+if __name__ == "__main__":
+    main()
