@@ -25,6 +25,12 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // Driver fixtures carry parquet TIMESTAMP(NANOS) (events.ts), which the
+    // Spark reader rejects outright; read as epoch-nanos LongType and let
+    // Tables restore TimestampType at microsecond precision (the max Spark
+    // supports — oracle canonicalization is µs too, so this is lossless
+    // w.r.t. the hash contract).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     .config("spark.ui.enabled", "false")

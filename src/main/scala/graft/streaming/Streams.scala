@@ -56,14 +56,13 @@ object Streams {
     tmp
   }
 
-  /** Stage a table split into two ordered files by a deterministic predicate
-    * (file 0 = rows matching, file 1 = rest) to force two micro-batches. */
+  /** Stage a table split into N ordered files by deterministic predicates
+    * (file i = rows matching preds(i)) to force N micro-batches. */
   private def stageSplit(s: SparkSession, dir: String, table: String,
-                         pred: org.apache.spark.sql.Column): String = {
+                         preds: Seq[org.apache.spark.sql.Column]): String = {
     val tmp = Files.createTempDirectory(s"graft_stream2_$table").toString
     val df = Tables(s, dir, table)
-    writeOrderedFile(df.filter(pred), tmp, 0)
-    writeOrderedFile(df.filter(!pred), tmp, 1)
+    preds.zipWithIndex.foreach { case (p, i) => writeOrderedFile(df.filter(p), tmp, i) }
     tmp
   }
 
@@ -140,10 +139,15 @@ object Streams {
         .orderBy(col("user_id"), col("ws"))
     },
 
-    // Q55: watermark semantics — two ordered micro-batches (even event_ids
-    // arrive first, odd second); rows whose 1-day window closed under the
-    // batch-1 watermark are dropped; append mode emits only closed windows.
-    // The DuckDB oracle replays exactly that rule.
+    // Q55: watermark semantics — THREE ordered micro-batches: evens first
+    // (establish the watermark), then the odd rows whose window is still
+    // open, then the late odds. Spark (3.4+, SPARK-40925) filters late
+    // records against the PREVIOUS batch's watermark, so the late rows must
+    // arrive two batches after the rows that establish the watermark; this
+    // staging makes the drop deterministic under both the old (same-batch
+    // watermark) and new (previous-batch watermark) semantics. The DuckDB
+    // oracle replays exactly that rule: old windows keep even-only counts,
+    // and only windows closed under the final watermark are emitted.
     Entry("q55_watermark",
       """WITH wm1 AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events WHERE event_id % 2 = 0),
         |wmf AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events),
@@ -154,7 +158,13 @@ object Streams {
         |SELECT ws, COUNT(*) AS n FROM kept
         |WHERE ws + INTERVAL '1 day' <= (SELECT w FROM wmf)
         |GROUP BY ws ORDER BY ws""".stripMargin) { (s, d) =>
-      val staged = stageSplit(s, d, "events", col("event_id") % 2 === 0)
+      val events = Tables(s, d, "events")
+      val wm1 = events.filter(col("event_id") % 2 === 0)
+        .agg(max(col("ts")) - expr("INTERVAL 1 HOUR")).collect()(0).getTimestamp(0)
+      val even = col("event_id") % 2 === 0
+      val windowOpen = date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") > lit(wm1)
+      val staged = stageSplit(s, d, "events",
+        Seq(even, !even && windowOpen, !even && !windowOpen))
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
       val agg = stream.withWatermark("ts", "1 hour")

@@ -38,7 +38,7 @@ object Text {
       (h, ch) => pmod(h * 31 + ascii(ch), lit(1000000007L)))
 
   val tokenHashSql: String =
-    "list_reduce(list_prepend(0, list_transform(string_split(w, ''), c -> ord(c))), " +
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))), " +
       "(h, c) -> (h * 31 + c) % 1000000007)"
 
   val entries: Seq[Entry] = Seq(
@@ -138,7 +138,7 @@ object Text {
         |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
         |  ), 6) AS score
         |FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id
-        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+        |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) { (s, d) =>
       // BM25 k1=1.2 b=0.75: corpus stats via one tiny agg, broadcast back.
       val toks = T(s, d, "documents").select(col("doc_id"), tokens(col("text")).as("ws"))
       val dl = toks.select(col("doc_id"), size(col("ws")).as("dl"))

@@ -11,12 +11,19 @@ import pandas as pd
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
+import datetime
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
+        first = s.dropna().iloc[0] if s.notna().any() else None
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif s.dtype == object and isinstance(first, (datetime.date, datetime.datetime)):
+            # parquet DATE loads as datetime.date objects; DuckDB DATE loads
+            # as datetime64 — normalize both to the same string form
+            df[c] = pd.to_datetime(s).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:
             df[c] = s.map(lambda v: str(v) if v is not None else None)
         elif pd.api.types.is_float_dtype(s):
