@@ -29,15 +29,24 @@ object Vectors {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Corpus projection with the L2 norm precomputed once per row — the
+    * higher-order-function folds are interpreted (not codegen'd), so norms
+    * must never be recomputed per candidate pair. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
   /** Exact cosine top-k for a set of query vectors (broadcast the queries,
-    * stream the corpus — one pass, no shuffle until the tiny top-k window). */
+    * stream the corpus — one pass, no shuffle until the tiny top-k window).
+    * One dot-product fold per pair; norms come precomputed. */
   def topK(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = withNorm(emb)
     val q = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_r"))
+      .select(col("q_id"), col("vec_id"),
+              round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
@@ -72,7 +81,11 @@ object Vectors {
         .orderBy(col("vec_id"))
     },
 
-    // embedding near-dup: same-label candidate blocking + cosine threshold
+    // embedding near-dup: same-label candidate blocking + cosine threshold.
+    // The cosine is materialized ONCE per candidate pair (dot fold over
+    // precomputed norms), then filtered — recomputing it in both the filter
+    // and the projection would triple the interpreted-HOF work, which
+    // dominates this query's runtime.
     Entry("q72_embed_neardup",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -82,12 +95,13 @@ object Vectors {
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val e = T(s, d, "embeddings")
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      val cos = cosine(col("a.v"), col("b.v"))
+        .withColumn("nrm", norm(col("v")))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .filter(cos >= 0.9)
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-                round(cos, 6).as("cos_r"))
+                (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
