@@ -144,7 +144,7 @@ object Relational {
     },
 
     Entry("q17_asof_join",
-      """SELECT p.event_id, p.user_id, p.ts,
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |  (SELECT c.event_id FROM events c
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
         |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
@@ -167,7 +167,8 @@ object Relational {
       clicks.unionByName(purchases)
         .withColumn("asof", last(col("click_id"), ignoreNulls = true).over(w))
         .filter(col("kind") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"), col("asof").as("click_id"))
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("ts_us"), col("asof").as("click_id"))
         .orderBy(col("event_id"))
     },
 

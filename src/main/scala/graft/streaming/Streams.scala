@@ -97,23 +97,23 @@ object Streams {
     },
 
     Entry("q52_tumbling_window",
-      """SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val agg = readStreamTable(s, d, "events")
         .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
       runToMemory(agg, OutputMode.Complete())
-        .select(col("window.start").as("ws"), col("n")).orderBy(col("ws"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n")).orderBy(col("ws"))
     },
 
     Entry("q53_sliding_window",
-      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws,
+      """SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes') AS ws,
         |       COUNT(*) AS n
         |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(k)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val agg = readStreamTable(s, d, "events")
         .groupBy(window(col("ts"), "1 hour", "15 minutes")).agg(count(lit(1)).as("n"))
       runToMemory(agg, OutputMode.Complete())
-        .select(col("window.start").as("ws"), col("n")).orderBy(col("ws"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n")).orderBy(col("ws"))
     },
 
     Entry("q54_session_window",
@@ -126,7 +126,8 @@ object Streams {
         |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM o)
-        |SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL '30 minutes' AS we, COUNT(*) AS n
+        |SELECT user_id, epoch_us(MIN(ts)) AS ws, epoch_us(MAX(ts) + INTERVAL '30 minutes') AS we,
+        |       COUNT(*) AS n
         |FROM g GROUP BY user_id, sid ORDER BY user_id, ws""".stripMargin) { (s, d) =>
       // session_window on the same micro-batch engine path; batch mode keeps
       // the full result set deterministic (streaming append emission is
@@ -134,8 +135,8 @@ object Streams {
       Tables(s, d, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n"))
-        .select(col("user_id"), col("session_window.start").as("ws"),
-                col("session_window.end").as("we"), col("n"))
+        .select(col("user_id"), unix_micros(col("session_window.start")).as("ws"),
+                unix_micros(col("session_window.end")).as("we"), col("n"))
         .orderBy(col("user_id"), col("ws"))
     },
 
@@ -155,7 +156,7 @@ object Streams {
         |  SELECT date_trunc('day', ts) AS ws FROM events
         |  WHERE event_id % 2 = 0
         |     OR date_trunc('day', ts) + INTERVAL '1 day' > (SELECT w FROM wm1))
-        |SELECT ws, COUNT(*) AS n FROM kept
+        |SELECT epoch_us(ws) AS ws, COUNT(*) AS n FROM kept
         |WHERE ws + INTERVAL '1 day' <= (SELECT w FROM wmf)
         |GROUP BY ws ORDER BY ws""".stripMargin) { (s, d) =>
       val events = Tables(s, d, "events")
@@ -170,7 +171,7 @@ object Streams {
       val agg = stream.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)).as("n"))
       runToMemory(agg, OutputMode.Append())
-        .select(col("window.start").as("ws"), col("n")).orderBy(col("ws"))
+        .select(unix_micros(col("window.start")).as("ws"), col("n")).orderBy(col("ws"))
     },
 
     // Q56: stateful dedup — every event arrives twice; dropDuplicates
