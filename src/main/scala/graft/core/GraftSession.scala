@@ -22,6 +22,7 @@ object GraftSession {
 
   /** Apply the engine's standard configs to any builder. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's `SparkSessionExtensions` injection point (SURVEY.md §4.2):
+  * registers the codegen'd kernels as SQL functions so the SQL entry path
+  * (SURVEY.md §3.4 entry C) reaches them too, and reserves the seam where
+  * later planner rules (e.g. rewriting an exact cosine top-k into an LSH
+  * candidate join) would be injected.
+  *
+  * Activated by `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (set in GraftSession.configure).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, clazz: Class[_], arity: Int,
+                 build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+     new ExpressionInfo(clazz.getCanonicalName, name),
+     (args: Seq[Expression]) => {
+       require(args.length == arity, s"$name expects $arity arguments, got ${args.length}")
+       build(args)
+     })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("vec_dot", classOf[VecDot], 2,
+      args => VecDot(args(0), args(1))))
+    ext.injectFunction(fn("vec_cosine", classOf[VecCosine], 2,
+      args => VecCosine(args(0), args(1))))
+    ext.injectFunction(fn("token_hash", classOf[TokenHash], 1,
+      args => TokenHash(args(0))))
+  }
+}

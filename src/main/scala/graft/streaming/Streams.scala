@@ -48,13 +48,18 @@ object Streams {
   }
 
   /** Stage a table into a fresh dir for a file-stream source (optionally
-    * as N identical ordered files = N deterministic batches). */
-  private def stage(s: SparkSession, dir: String, table: String, copies: Int = 1): String = {
-    val tmp = Files.createTempDirectory(s"graft_stream_$table").toString
-    val df = Tables(s, dir, table)
-    (0 until copies).foreach(i => writeOrderedFile(df, tmp, i))
-    tmp
-  }
+    * as N identical ordered files = N deterministic batches). Memoized per
+    * (dir, table, copies): seven of the streaming queries stream the same
+    * events table, and staging is a full table rewrite. */
+  private val stageCache = scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+
+  private def stage(s: SparkSession, dir: String, table: String, copies: Int = 1): String =
+    stageCache.getOrElseUpdate((dir, table, copies), {
+      val tmp = Files.createTempDirectory(s"graft_stream_$table").toString
+      val df = Tables(s, dir, table)
+      (0 until copies).foreach(i => writeOrderedFile(df, tmp, i))
+      tmp
+    })
 
   /** Stage a table split into N ordered files by deterministic predicates
     * (file i = rows matching preds(i)) to force N micro-batches. */

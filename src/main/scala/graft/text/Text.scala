@@ -31,11 +31,11 @@ object Text {
     """list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
       | w -> w <> '')""".stripMargin.replace("\n", "")
 
-  /** Cross-engine deterministic token hash: fold (h*31 + ascii(char)) % p
-    * over the characters — exact integer arithmetic in both engines. */
-  def tokenHash(tok: Column): Column =
-    aggregate(filter(split(tok, ""), c => c =!= ""), lit(0L),
-      (h, ch) => pmod(h * 31 + ascii(ch), lit(1000000007L)))
+  /** Cross-engine deterministic token hash: fold (h*31 + codepoint) % p
+    * over the characters — exact integer arithmetic in both engines.
+    * Codegen'd Catalyst expression (graft.functions.TokenHash); the DuckDB
+    * oracle replays the identical fold in SQL below. */
+  def tokenHash(tok: Column): Column = graft.functions.vec.tokenHash(tok)
 
   val tokenHashSql: String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))), " +
@@ -68,7 +68,9 @@ object Text {
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      val sh = shingles(T(s, d, "documents"), 3)
+      // sh feeds three consumers (sizes + both join sides): persist once,
+      // don't re-run tokenize+shingle+distinct per reference.
+      val sh = shingles(T(s, d, "documents"), 3).persist()
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = sh.as("x").join(sh.as("y"),
           col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -288,20 +290,30 @@ object Text {
   }
 
   /** MinHash(64 perms) + banded LSH (8 bands x 8 rows) near-dup candidates,
-    * verified with exact Jaccard — the sub-quadratic dedup path. */
+    * verified with exact Jaccard — the sub-quadratic dedup path.
+    *
+    * The shingle set feeds four consumers (signatures, sizes, both sides of
+    * the intersection join), so it is persisted once rather than recomputed
+    * per reference — on a cluster this would be a checkpoint/cached table,
+    * and without it the tokenize+shingle+distinct pipeline runs 4x. Band
+    * buckets come from ONE pass over the signature row (explode of 8
+    * (band, bucket) structs), not 8 union branches that each re-aggregate. */
   def minhashNearDups(s: SparkSession, d: String): DataFrame = {
     val numPerm = 64
     val bands = 8
     val rows = numPerm / bands
-    val sh = shingles(T(s, d, "documents"), 3)
+    val sh = shingles(T(s, d, "documents"), 3).persist()
     // 64 permutations: xxhash64 with distinct salts; signature = min per perm
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // band key = hash of the band's rows; candidates collide in >=1 band
-    val bandRows = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val bandRows = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
     val cands = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))

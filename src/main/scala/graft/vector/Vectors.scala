@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
+import graft.functions.vec
 import graft.queries.Entry
 
 /** Similarity search over embedding columns — SURVEY.md Q62 + ANN scale path.
@@ -12,26 +13,28 @@ import graft.queries.Entry
   * Exact brute-force cosine top-k is the oracle-checked baseline; the scale
   * path is random-hyperplane LSH (sign-bit signatures -> bucket equi-join),
   * which turns the O(N*Q) scan into a shuffle-partitionable candidate join.
-  * Dot products run through codegen'd higher-order functions (zip_with +
-  * aggregate) on double-cast arrays — no UDF, no driver loop.
+  * Dot products run through the engine's codegen'd `vec_dot`/`vec_cosine`
+  * Catalyst expressions (graft.functions) — a tight primitive-array loop
+  * inside whole-stage codegen, no UDF, no driver loop, no boxed
+  * intermediate arrays.
   */
 object Vectors {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** Sequential-fold dot product — same association order as the oracle. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd kernels (graft.functions.{VecDot, VecCosine}). */
+  def dot(a: Column, b: Column): Column = vec.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(vec.dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = vec.cosine(a, b)
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** Native Cast (codegen'd), not a per-element transform lambda. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Corpus projection with the L2 norm precomputed once per row — the
-    * higher-order-function folds are interpreted (not codegen'd), so norms
-    * must never be recomputed per candidate pair. */
+  /** Corpus projection with the L2 norm precomputed once per row: even
+    * with the codegen'd kernel there is no reason to redo O(dim) work per
+    * candidate pair when one pass per row suffices. */
   private def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -82,10 +85,7 @@ object Vectors {
     },
 
     // embedding near-dup: same-label candidate blocking + cosine threshold.
-    // The cosine is materialized ONCE per candidate pair (dot fold over
-    // precomputed norms), then filtered — recomputing it in both the filter
-    // and the projection would triple the interpreted-HOF work, which
-    // dominates this query's runtime.
+    // Norms precomputed once per row; one codegen'd dot per candidate pair.
     Entry("q72_embed_neardup",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
