@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.GraftSuite
+
+/** The codegen'd kernels vs straightforward Scala references, on both
+  * execution paths (whole-stage codegen on/off => doGenCode and
+  * nullSafeEval are BOTH exercised), plus the SQL registration. */
+class VectorKernelSpec extends GraftSuite {
+
+  private def refDot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  private def refCos(a: Seq[Double], b: Seq[Double]): Double =
+    refDot(a, b) / (math.sqrt(refDot(a, a)) * math.sqrt(refDot(b, b)))
+
+  private def refTokenHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+
+  private val rnd = new scala.util.Random(7)
+  private val vecs: Seq[(Seq[Double], Seq[Double])] =
+    Seq.fill(20)((Seq.fill(16)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian())))
+
+  private def withCodegen[A](on: Boolean)(body: => A): A = {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, on.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
+  private def runKernels(): Seq[Row] = {
+    import spark.implicits._
+    vecs.toDF("a", "b")
+      .select(vec.dot(col("a"), col("b")).as("dot"),
+              vec.cosine(col("a"), col("b")).as("cos"))
+      .collect().toSeq
+  }
+
+  for (codegen <- Seq(true, false)) {
+    test(s"vec_dot / vec_cosine match the Scala reference (codegen=$codegen)") {
+      val rows = withCodegen(codegen)(runKernels())
+      rows.zip(vecs).foreach { case (r, (a, b)) =>
+        assert(math.abs(r.getDouble(0) - refDot(a, b)) < 1e-9)
+        assert(math.abs(r.getDouble(1) - refCos(a, b)) < 1e-9)
+      }
+    }
+  }
+
+  test("cosine self-similarity is 1, symmetry holds") {
+    import spark.implicits._
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(vec.cosine(col("a"), col("a")).as("self"),
+                         (vec.cosine(col("a"), col("b")) -
+                          vec.cosine(col("b"), col("a"))).as("asym")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("null array -> null result (nullIntolerant)") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val r = df.select(vec.dot(col("a"), col("b")), vec.cosine(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("token_hash matches reference fold and the interpreted HOF formulation") {
+    import spark.implicits._
+    val toks = Seq("data", "stream", "x", "", "a1b2c3", "zzzzzzzzzz")
+    val df = toks.toDF("t")
+    val got = df.select(vec.tokenHash(col("t"))).as[Long].collect().toSeq
+    assert(got === toks.map(refTokenHash))
+  }
+
+  test("kernels are registered as SQL functions via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d,
+        |       ROUND(vec_cosine(array(1d, 0d), array(1d, 0d)), 9) AS c,
+        |       token_hash('ab') AS h""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getLong(2) === ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+  }
+
+  test("float embeddings cast natively to array<double> for the kernels") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(vec.dot(col("a").cast("array<double>"),
+                              col("b").cast("array<double>"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 11.0) < 1e-9)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.GraftSuite
+import graft.SparkEntry
+
+/** Plan-shape assertions (SURVEY.md §4.2 "free — verify, don't build"):
+  * the declared queries must actually get the physical plans the 100 TB
+  * design assumes — pushed filters, pruned scans, broadcast joins, top-k
+  * without a global sort, partial aggregation. A correctness-green query
+  * with the wrong plan shape is a scale bug, not a pass. */
+class PlanShapeSpec extends GraftSuite {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q06_term: predicate is pushed to the parquet scan") {
+    val p = planOf("q06_term")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("q05_project: scan reads only the projected + sort-tiebreak columns") {
+    val p = planOf("q05_project")
+    // 3 of lineitem's 16 columns: the 2 projected + l_linenumber (total-order
+    // tiebreak). Anything wider means pruning regressed.
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"),
+      s"column pruning missing:\n$p")
+  }
+
+  test("q13_broadcast_join: part side is broadcast, not shuffled") {
+    val p = planOf("q13_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+  }
+
+  test("q40_topk: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q40_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q21_terms_agg: partial (map-side) aggregation precedes the shuffle") {
+    val p = planOf("q21_terms_agg")
+    val partialThenFinal = p.contains("partial_count") ||
+      "HashAggregate".r.findAllIn(p).size >= 2
+    assert(partialThenFinal, s"no partial aggregate:\n$p")
+  }
+
+  test("q62_cosine_topk: query vectors are broadcast (corpus streams, no corpus shuffle)") {
+    val p = planOf("q62_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast of query vectors:\n$p")
+  }
+
+  test("q62_cosine_topk: cosine runs through the codegen'd kernel") {
+    val p = planOf("q62_cosine_topk")
+    assert(p.contains("vec_dot"), s"expected vec_dot in plan:\n$p")
+  }
+
+  test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
+    // AQE keeps the plan speculative until execution; materialize first,
+    // then inspect the finalized physical plan.
+    val df = SparkEntry.queries("q01_scan")(spark, sf)
+    df.collect()   // df.write would clone the QueryExecution; collect finalizes this one
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n)" prefixes in the finalized plan
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), s"no codegen span:\n$p")
+  }
+}

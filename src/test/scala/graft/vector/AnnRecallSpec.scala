@@ -1,0 +1,67 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+import graft.core.Tables
+
+/** The approximate paths never get hash-checked (engine-specific buckets);
+  * what IS contracted (SURVEY.md §7.3) is recall, asserted in each
+  * algorithm's design regime:
+  *  - IVF: general top-k at moderate similarity (this fixture's top-5 sit
+  *    at cosine ~0.37 over a ~0.07 background) — recall rises with nprobe.
+  *  - sign-LSH: near-duplicate retrieval (cosine >~ 0.85), tested on
+  *    planted duplicates because the raw fixture has no pair above 0.61.
+  *  - MinHash-LSH: near-dup pairs vs the exact-Jaccard twin. */
+class AnnRecallSpec extends GraftSuite {
+
+  test("IVF top-k recall >= 0.75 at nprobe=6/16, and higher nprobe never hurts") {
+    val emb = Tables(spark, sf01, "embeddings")
+    val qids = Seq(1, 2, 3)
+    val exact = Vectors.topK(emb, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallAt(nprobe: Int): Double = {
+      val approx = Vectors.annIvf(emb, qids, 5, nlist = 16, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r6 = recallAt(6)
+    assert(r6 >= 0.75, s"IVF recall@nprobe=6 was $r6")
+    val r16 = recallAt(16)   // probing every cell == exact search
+    assert(r16 === 1.0, s"IVF with nprobe=nlist must equal exact, got $r16")
+    spark.catalog.clearCache()
+  }
+
+  test("sign-LSH recovers planted near-duplicates (its design regime)") {
+    import spark.implicits._
+    val emb = Tables(spark, sf01, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // plant: for vec_ids 1..20, a copy with ~1% noise at vec_id+10000
+    val rnd = new scala.util.Random(1)
+    val planted = emb.filter(col("vec_id") <= 20).collect().map { r =>
+      val v = r.getSeq[Double](1).map(x => x + rnd.nextGaussian() * 0.01 * math.abs(x).max(0.01))
+      (r.getLong(0) + 10000, v)
+    }.toSeq
+    val corpus = emb.unionByName(planted.toDF("vec_id", "v"))
+      .select(col("vec_id"), col("v").cast("array<float>").as("embedding"))
+
+    val queryIds = (1 to 20).map(_ + 10000)
+    val got = Vectors.annLsh(corpus, queryIds.map(_.toInt), 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = queryIds.count(q => got.get(q.toLong).contains(q.toLong - 10000))
+    assert(hits >= 18, s"LSH found only $hits/20 planted near-duplicates")
+  }
+
+  test("MinHash-LSH near-dup pairs recover >= 0.9 of exact Jaccard >= 0.2 pairs") {
+    import graft.text.Text
+    val exactPairs = graft.SparkEntry.queries("q61_neardup_jaccard")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Text.minhashNearDups(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture produced no exact near-dup pairs")
+    val recall = (exactPairs & lshPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"MinHash recall $recall < 0.9")
+    spark.catalog.clearCache()   // minhashNearDups persists its shingle set
+  }
+}
