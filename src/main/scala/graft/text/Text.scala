@@ -69,11 +69,14 @@ object Text {
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       // sh feeds three consumers (sizes + both join sides): persist once,
-      // don't re-run tokenize+shingle+distinct per reference.
-      val sh = shingles(T(s, d, "documents"), 3).persist()
+      // don't re-run tokenize+shingle+distinct per reference. The
+      // intersection joins on the shingle's 64-bit hash — 8-byte shuffle
+      // keys instead of strings; collision odds ~n^2/2^64 are immaterial.
+      val sh = shingles(T(s, d, "documents"), 3)
+        .select(col("doc_id"), xxhash64(col("sh")).as("h")).persist()
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = sh.as("x").join(sh.as("y"),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       val jac = col("inter").cast("double") /
@@ -302,9 +305,12 @@ object Text {
     val numPerm = 64
     val bands = 8
     val rows = numPerm / bands
-    val sh = shingles(T(s, d, "documents"), 3).persist()
-    // 64 permutations: xxhash64 with distinct salts; signature = min per perm
-    val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    // Shingle strings are hashed to longs ONCE (xxhash64); the 64
+    // permutations then derive from long-mixing, not 64 re-hashes of the
+    // full string — at 100 TB the string bytes are touched exactly once.
+    val sh = shingles(T(s, d, "documents"), 3)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h")).persist()
+    val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // band key = hash of the band's rows; candidates collide in >=1 band
     val bandStructs = (0 until bands).map { b =>
@@ -318,10 +324,12 @@ object Text {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    // exact Jaccard on candidates only
+    // exact Jaccard on candidates only — intersected on the 64-bit shingle
+    // hashes (collision odds ~n^2/2^64: immaterial, and the candidate set
+    // is verified, not the contract surface)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(cands, col("a.doc_id") === col("doc_a"))
-      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.sh") === col("b.sh"))
+      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.h") === col("b.h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter"))
     inter.join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))

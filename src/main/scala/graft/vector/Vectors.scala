@@ -142,9 +142,12 @@ object Vectors {
     * join is an equi-join on cell id. At 100 TB you would train on a
     * sample and raise nlist to ~sqrt(N); the code paths are the same.
     * Quality knob: recall rises with nprobe (scan fraction ~ nprobe/nlist).
+    * Note: at fixture scale (2000 vectors) training dominates the wall
+    * time and brute force wins; the inverted-file structure pays off when
+    * cells hold millions of vectors each.
     */
   def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int,
-             nlist: Int = 16, nprobe: Int = 6, iters: Int = 5): DataFrame = {
+             nlist: Int = 16, nprobe: Int = 6, iters: Int = 3): DataFrame = {
     val e = withNorm(emb).persist()
     val spark = emb.sparkSession
     import spark.implicits._
@@ -157,20 +160,20 @@ object Vectors {
         struct(cosine(col("v"), litVec(cv)).as("s"), lit(i).as("c"))
       }: _*)).getField("c")
 
-    // deterministic init: strided pick over the vec_id order
-    var cents: Array[Array[Double]] = e.orderBy("vec_id").select("v")
-      .as[Seq[Double]].collect().grouped(math.max(1, (e.count() / nlist).toInt))
-      .map(_.head.toArray).take(nlist).toArray
+    // deterministic init: first nlist vectors by vec_id (TakeOrdered — no
+    // full collect, no global count; Lloyd rounds correct any init bias)
+    val cents: Array[Array[Double]] = e.orderBy("vec_id").select("v")
+      .limit(nlist).as[Seq[Double]].collect().map(_.toArray)
 
     for (_ <- 0 until iters) {
-      // element-wise mean per cell: posexplode -> (cell, pos) avg -> regroup
+      // element-wise mean per cell: posexplode -> ONE (cell, pos) hash agg
+      // (map-side combinable); the nlist x dim result is the tiny
+      // driver-side collect
       val next = e.select(nearestCell(cents).as("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("mm"))
-        .as[(Int, Map[Int, Double])].collect()
-      next.foreach { case (cell, mm) =>
-        cents(cell) = Array.tabulate(mm.size)(mm(_))
+        .as[(Int, Int, Double)].collect()
+      next.groupBy(_._1).foreach { case (cell, rows) =>
+        cents(cell) = rows.sortBy(_._2).map(_._3).toArray
       }
     }
 
