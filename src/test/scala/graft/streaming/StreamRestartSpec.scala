@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+import graft.core.Tables
+import graft.model.ChangeLog
+import graft.sync.DocSync
+
+/** OP-10 semantics (SURVEY.md §5.2.3): checkpointed offsets + idempotent
+  * merge => exactly-once TABLE STATE across stop/restart. The reference
+  * loses its in-flight bulk on crash (BulkOp.java:117-135 retries only
+  * while the process lives; stop() drops queued events) — our engine must
+  * not. Simulated restart: run the stream to completion on a prefix of the
+  * change log, then "restart" with the same checkpoint against the grown
+  * source dir; only the new files may be processed, and the final doc
+  * table must equal the one-shot batch fold of the whole log. */
+class StreamRestartSpec extends GraftSuite {
+
+  private def writeFile(df: DataFrame, dir: String, i: Int): Unit = {
+    val sub = s"$dir/stage$i"
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    val f = new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = java.nio.file.Paths.get(s"$dir/part-$i.parquet")
+    java.nio.file.Files.move(f.toPath, dst)
+    dst.toFile.setLastModified(1700000000000L + i * 60000L)
+  }
+
+  test("stream resumes from checkpoint; final state == one-shot batch fold") {
+    val events = Tables(spark, sf, "events")
+    val full = ChangeLog.fromEvents(events)
+    val expected = DocSync.flattenDocs(DocSync.fold(full)).collect().toSeq
+
+    val src = Files.createTempDirectory("graft_restart_src").toString
+    val state = Files.createTempDirectory("graft_restart_state").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    val schema = full.schema
+
+    def runOnce(): DataFrame = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      DocSync.runStream(spark, stream, state, ckpt)
+    }
+
+    // phase 1: only a temporal prefix of the log exists (seq = event_id;
+    // a change-log stream arrives in order — prefix, not arbitrary split)
+    val mid = 500
+    writeFile(ChangeLog.fromEvents(events.filter(col("event_id") < mid)), src, 0)
+    runOnce()
+    val versionsAfter1 = new java.io.File(state).listFiles().count(_.getName.startsWith("v"))
+
+    // phase 2 ("restart"): the rest of the log arrives; same checkpoint
+    writeFile(ChangeLog.fromEvents(events.filter(col("event_id") >= mid)), src, 1)
+    val docs2 = runOnce()
+    val got = DocSync.flattenDocs(docs2).collect().toSeq
+    assert(got === expected)
+
+    // phase 3: restart with NO new data — must be a no-op (idempotent)
+    val docs3 = runOnce()
+    assert(DocSync.flattenDocs(docs3).collect().toSeq === expected)
+
+    // the phase-1 batches were not reprocessed: state versions only grew by
+    // the new batches, and phase 3 added none
+    val versionsAfter3 = new java.io.File(state).listFiles().count(_.getName.startsWith("v"))
+    assert(versionsAfter1 >= 1 && versionsAfter3 == versionsAfter1 + 1,
+      s"unexpected state versions: after1=$versionsAfter1 after3=$versionsAfter3")
+  }
+}
