@@ -155,6 +155,27 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // ES pipeline aggs (cumulative_sum + derivative over a date_histogram):
+    // a window over the bucketed aggregate — partial agg first, then one
+    // tiny window pass over the (days) buckets, never over raw events.
+    Entry("q78_pipeline_agg",
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS cum,
+        |  CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta
+        |FROM h ORDER BY day""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("day"))
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day"), col("n"),
+                sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+                (col("n") - lag(col("n"), 1).over(w)).cast("bigint").as("delta"))
+        .orderBy(col("day"))
+    },
+
     Entry("q32_top_hits",
       """SELECT c_mktsegment, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS top5
         |FROM (SELECT c_mktsegment, c_custkey,

@@ -265,6 +265,49 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // ---- further ES query-DSL analogs (beyond the survey minimum) ----
+
+    // ES match_phrase: position-aware phrase over the analyzer's token
+    // stream == membership in the 2-shingle set (not raw substring match,
+    // which would cross token boundaries differently).
+    Entry("q74_phrase_match",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)
+        |SELECT DISTINCT a.doc_id AS doc_id FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.w = 'data' AND b.w = 'stream'
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      shingles(T(s, d, "documents"), 2)
+        .filter(col("sh") === "data stream")
+        .select(col("doc_id")).distinct().orderBy(col("doc_id"))
+    },
+
+    // ES fuzzy query: terms within edit distance 1 of the query term
+    Entry("q75_fuzzy_match",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks)
+        |SELECT w AS token, COUNT(*) AS n FROM words
+        |WHERE levenshtein(w, 'stream') <= 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "documents").select(explode(tokens(col("text"))).as("token"))
+        .filter(levenshtein(col("token"), lit("stream")) <= 1)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))
+    },
+
+    // ES highlight: snippet window around the first hit of the query term
+    Entry("q77_highlight",
+      """SELECT doc_id,
+        |  substring(text, CAST(greatest(1, strpos(lower(text), 'stream') - 10) AS INT), 30) AS snippet
+        |FROM documents WHERE strpos(lower(text), 'stream') > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pos = locate("stream", lower(col("text")))
+      T(s, d, "documents").filter(pos > 0)
+        .select(col("doc_id"),
+                col("text").substr(greatest(lit(1), pos - 10).cast("int"), lit(30))
+                  .as("snippet"))
+        .orderBy(col("doc_id"))
+    },
+
     Entry("q71_fingerprint",
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
         |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
