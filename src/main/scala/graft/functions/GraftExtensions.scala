@@ -31,5 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => VecCosine(args(0), args(1))))
     ext.injectFunction(fn("token_hash", classOf[TokenHash], 1,
       args => TokenHash(args(0))))
+    ext.injectFunction(fn("word_shingles", classOf[WordShingles], 2,
+      args => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+          WordShingles(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles k must be an integer literal, got $other")
+      }))
   }
 }

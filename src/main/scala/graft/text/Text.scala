@@ -294,6 +294,33 @@ object Text {
         .orderBy(col("token"))
     },
 
+    // ES more_like_this: rank other docs by summed IDF of the distinct
+    // terms they share with the query document (MLT's core scoring,
+    // minus its term-selection heuristics). Corpus DF broadcast back.
+    Entry("q76_more_like_this",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM toks),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |df AS (SELECT w, COUNT(*) AS df FROM words GROUP BY 1),
+        |qw AS (SELECT w FROM words WHERE doc_id = 1)
+        |SELECT doc_id, ROUND(SUM(ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
+        |FROM words JOIN qw USING (w) JOIN df USING (w)
+        |WHERE doc_id <> 1 GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val n = docs.count()   // corpus stat: tiny driver scalar (as in q64)
+      val words = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+      val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qw = words.filter(col("doc_id") === 1).select(col("w"))
+      words.filter(col("doc_id") =!= 1)
+        .join(broadcast(qw), "w")
+        .join(broadcast(dfreq), "w")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(log(lit(n.toDouble) / col("df"))), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
     // ES highlight: snippet window around the first hit of the query term
     Entry("q77_highlight",
       """SELECT doc_id,
@@ -323,17 +350,13 @@ object Text {
     }
   )
 
-  /** Distinct k-word shingles per document. */
-  def shingles(docs: DataFrame, k: Int): DataFrame = {
-    val ws = tokens(col("text"))
-    docs.select(col("doc_id"), ws.as("ws"))
-      .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("ws")) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(col("ws"), i + j + 1)): _*))
-      ).as("sh"))
+  /** Distinct k-word shingles per document — built by the codegen'd
+    * WordShingles kernel (one static call per doc, not a Catalyst tree
+    * eval per shingle element). */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.vec.wordShingles(tokens(col("text")), k)).as("sh"))
       .distinct()
-  }
 
   /** MinHash(64 perms) + banded LSH (8 bands x 8 rows) near-dup candidates,
     * verified with exact Jaccard — the sub-quadratic dedup path.
