@@ -1,5 +1,7 @@
 package graft.sync
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -82,34 +84,83 @@ object DocSync {
 
   /** Streaming OP-7: run a change-log stream into a parquet-backed doc
     * table via foreachBatch merge (SURVEY.md OP-7/OP-10: checkpointed
-    * offsets + idempotent whole-table merge ⇒ exactly-once table state).
-    * Returns the final doc table. Production variant would MERGE INTO a
-    * transactional table format; the merge logic is this same `merge`. */
+    * offsets + idempotent merge ⇒ exactly-once table state).
+    *
+    * Scale design (the 100 TB posture): the doc table is hash-bucketed by
+    * rowKey. Each micro-batch touches only the buckets its keys fall in —
+    * it reads the CURRENT state of those buckets (newest version per
+    * bucket, pruned read), merges, and writes an immutable version dir
+    * `v<batchId>/bucket=<b>/` holding just the dirty buckets, plus a tiny
+    * `_coverage` manifest (a bucket the version covers but has no files
+    * for is EMPTY — all its docs deleted — not missing). Per-batch I/O is
+    * O(changed buckets), not O(table); versions are immutable so a crashed
+    * batch simply re-runs (same inputs → same v-dir → idempotent).
+    * Production would MERGE INTO a transactional format; the bucket-pruned
+    * merge is the same logic. */
   def runStream(spark: SparkSession, changeStream: DataFrame, stateDir: String,
-                checkpointDir: String): DataFrame = {
+                checkpointDir: String, numBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val q = changeStream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val cur = s"$stateDir/v$batchId"
-        val prev = new java.io.File(stateDir).listFiles()
-        val state = Option(prev).toSeq.flatten.filter(_.getName.startsWith("v"))
-          .sortBy(_.getName.drop(1).toLong).lastOption match {
-            case Some(f) => sp.read.parquet(f.getPath)
-            case None => sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("rowKey", StringType),
-                StructField("doc", MapType(StringType, StringType)))))
-          }
-        merge(state, foldIncrement(batch)).write.mode("overwrite").parquet(cur)
+        val inc = foldIncrement(batch)
+          .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
+        val dirty = inc.select("bucket").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (dirty.nonEmpty) {
+          val state = currentState(sp, stateDir, numBuckets,
+              onlyBuckets = Some(dirty.toSet))
+          val merged = merge(state.drop("bucket"), inc.drop("bucket"))
+            .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
+          val cur = s"$stateDir/v$batchId"
+          merged.write.mode("overwrite").partitionBy("bucket").parquet(cur)
+          Files.writeString(Paths.get(s"$cur/_coverage"), dirty.mkString(","))
+        }
         ()
       }
       .start()
     q.awaitTermination()
-    val versions = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
-      .sortBy(_.getName.drop(1).toLong)
-    spark.read.parquet(versions.last.getPath)
+    currentState(spark, stateDir, numBuckets).drop("bucket")
+  }
+
+  private def bucketOf(rowKey: Column, numBuckets: Int): Column =
+    pmod(xxhash64(rowKey), lit(numBuckets.toLong)).cast("int")
+
+  /** Assemble the current doc table: newest covering version per bucket.
+    * Reads only the selected `bucket=<b>` dirs (partition-pruned paths);
+    * the bucket column is recomputed from rowKey (it is a pure function of
+    * the key, so no per-dir bookkeeping is needed). */
+  private def currentState(sp: SparkSession, stateDir: String, numBuckets: Int,
+                           onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .sortBy(-_.getName.drop(1).toLong)
+    val chosen = scala.collection.mutable.Map.empty[Int, Option[String]]
+    versions.foreach { v =>
+      val covFile = new java.io.File(v, "_coverage")
+      val covered: Seq[Int] =
+        if (covFile.exists()) Files.readString(covFile.toPath).split(",").toSeq
+          .filter(_.nonEmpty).map(_.toInt)
+        else Option(v.listFiles()).toSeq.flatten  // legacy layout fallback
+          .filter(_.getName.startsWith("bucket=")).map(_.getName.drop(7).toInt)
+      covered.filter(b => onlyBuckets.forall(_.contains(b))).foreach { b =>
+        if (!chosen.contains(b)) {
+          val dir = new java.io.File(v, s"bucket=$b")
+          chosen(b) = if (dir.exists()) Some(dir.getPath) else None  // None = emptied
+        }
+      }
+    }
+    val paths = chosen.values.flatten.toSeq.sorted
+    if (paths.isEmpty)
+      sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("rowKey", StringType),
+          StructField("doc", MapType(StringType, StringType)),
+          StructField("bucket", IntegerType))))
+    else
+      sp.read.parquet(paths: _*)
+        .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
   }
 
   /** Final doc table flattened to the fixture's qualifier columns —

@@ -68,4 +68,47 @@ class StreamRestartSpec extends GraftSuite {
     assert(versionsAfter1 >= 1 && versionsAfter3 == versionsAfter1 + 1,
       s"unexpected state versions: after1=$versionsAfter1 after3=$versionsAfter3")
   }
+
+  test("a batch touching one key rewrites only that key's bucket (O(changed) writes)") {
+    import graft.model.ChangeLog.{Cell, ChangeEvent}
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_bucket_src").toString
+    val state = Files.createTempDirectory("graft_bucket_state").toString
+    val ckpt = Files.createTempDirectory("graft_bucket_ckpt").toString
+
+    def ev(key: String, seq: Long, v: String) =
+      ChangeEvent("PUT", key, seq, new java.sql.Timestamp(0), Seq(Cell("f", "q", v)))
+    def run(): DataFrame = {
+      val schema = spark.createDataset(Seq(ev("x", 0, "x"))).toDF().schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      DocSync.runStream(spark, stream, state, ckpt)
+    }
+
+    // batch 0: 64 keys spread across buckets
+    val batch0 = (0 until 64).map(i => ev(s"key$i", i.toLong, s"v$i"))
+    spark.createDataset(batch0).toDF().coalesce(1).write.parquet(s"$src/b0")
+    new java.io.File(s"$src/b0").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath, java.nio.file.Paths.get(s"$src/part-0.parquet")))
+    run()
+    val v0Buckets = new java.io.File(state).listFiles().filter(_.getName.startsWith("v"))
+      .head.listFiles().count(_.getName.startsWith("bucket="))
+    assert(v0Buckets > 1, s"expected many buckets in v0, got $v0Buckets")
+
+    // batch 1: one key updated -> exactly one bucket dir in the new version
+    spark.createDataset(Seq(ev("key7", 100, "updated"))).toDF()
+      .coalesce(1).write.parquet(s"$src/b1")
+    new java.io.File(s"$src/b1").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath, java.nio.file.Paths.get(s"$src/part-1.parquet")))
+    val docs = run()
+    val vDirs = new java.io.File(state).listFiles().filter(_.getName.startsWith("v"))
+      .sortBy(_.getName.drop(1).toLong)
+    assert(vDirs.length == 2)
+    val v1Buckets = vDirs.last.listFiles().count(_.getName.startsWith("bucket="))
+    assert(v1Buckets == 1, s"single-key batch rewrote $v1Buckets buckets")
+
+    // assembled state: all 64 keys live, key7 updated
+    val m = docs.collect().map(r => r.getString(0) -> r.getMap[String, String](1)("q")).toMap
+    assert(m.size == 64 && m("key7") == "updated" && m("key3") == "v3")
+  }
 }
