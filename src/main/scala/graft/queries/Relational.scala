@@ -176,16 +176,23 @@ object Relational {
       """SELECT e1.event_id, COUNT(*) AS n FROM events e1 JOIN events e2
         |ON e2.user_id = e1.user_id AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
         |WHERE e1.event_type = 'purchase' GROUP BY e1.event_id ORDER BY e1.event_id""".stripMargin) { (s, d) =>
-      // equi on user_id carries the join (shuffle-partitionable); the time
-      // band is a post-join filter. At 100 TB add a coarse time-bucket equi
-      // key to bound the per-user cross product.
+      // Banded join with a coarse time-bucket equi key: the band width is
+      // 1 h, so bucketing ts by the hour means each probe row matches
+      // exactly two buckets (its own and the next). The shuffle key becomes
+      // (user_id, hour) — a single user's multi-year history spreads over
+      // time instead of landing on one reducer, and the per-key cross
+      // product is bounded by events-per-user-per-2h. The band predicate
+      // stays as the post-join filter for exactness.
       val e = T(s, d, "events")
+      val bucket1h = (c: Column) => floor(unix_timestamp(c) / 3600L)
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id").as("u1"), col("ts").as("t1"))
-      val others = e.select(col("user_id").as("u2"), col("ts").as("t2"))
-      purchases.join(others,
-          col("u2") === col("u1") && col("t2") > col("t1") &&
-          col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id").as("u1"), col("ts").as("t1"),
+                explode(array(bucket1h(col("ts")), bucket1h(col("ts")) + 1)).as("bk"))
+      val others = e.select(col("user_id").as("u2"), col("ts").as("t2"),
+                            bucket1h(col("ts")).as("bk"))
+      purchases.as("p").join(others.as("o"),
+          col("u2") === col("u1") && col("p.bk") === col("o.bk") &&
+          col("t2") > col("t1") && col("t2") <= col("t1") + expr("INTERVAL 1 HOUR"))
         .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_id"))
     },

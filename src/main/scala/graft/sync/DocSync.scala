@@ -125,6 +125,28 @@ object DocSync {
     currentState(spark, stateDir, numBuckets).drop("bucket")
   }
 
+  /** Fold all live versions into one full-coverage base version and drop
+    * the history — the LSM-style maintenance job that bounds the version
+    * chain `currentState` walks. Safe to run between batches: the new
+    * version covers every bucket, so older versions become unreachable
+    * before they are deleted. */
+  def compact(spark: SparkSession, stateDir: String, numBuckets: Int = 16): Unit = {
+    val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    if (versions.isEmpty) return
+    val nextId = versions.map(_.getName.drop(1).toLong).max + 1
+    val cur = s"$stateDir/v$nextId"
+    currentState(spark, stateDir, numBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(cur)
+    Files.writeString(Paths.get(s"$cur/_coverage"), (0 until numBuckets).mkString(","))
+    versions.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(v)
+    }
+  }
+
   private def bucketOf(rowKey: Column, numBuckets: Int): Column =
     pmod(xxhash64(rowKey), lit(numBuckets.toLong)).cast("int")
 

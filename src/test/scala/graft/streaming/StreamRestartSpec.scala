@@ -110,5 +110,16 @@ class StreamRestartSpec extends GraftSuite {
     // assembled state: all 64 keys live, key7 updated
     val m = docs.collect().map(r => r.getString(0) -> r.getMap[String, String](1)("q")).toMap
     assert(m.size == 64 && m("key7") == "updated" && m("key3") == "v3")
+
+    // compaction folds the version chain into one full-coverage base with
+    // identical contents
+    DocSync.compact(spark, state)
+    val afterDirs = new java.io.File(state).listFiles().filter(_.getName.startsWith("v"))
+    assert(afterDirs.length == 1, s"expected 1 version after compact, got ${afterDirs.length}")
+    val m2 = DocSync.flattenDocs(
+      spark.read.parquet(afterDirs.head.listFiles()
+        .filter(_.getName.startsWith("bucket=")).map(_.getPath): _*))
+      .collect().map(r => r.getString(0)).toSeq
+    assert(m2.size == 64)
   }
 }
