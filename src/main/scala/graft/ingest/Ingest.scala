@@ -1,0 +1,80 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.model.ChangeLog
+import graft.sync.DocSync
+
+/** Typed config + lifecycle facade for the CDC sync pipeline — the
+  * Spark-native replacement for the reference's coprocessor config surface
+  * and lifecycle (SURVEY.md OP-14/OP-15).
+  *
+  * Mapping from the reference's 4-string config (Observer.java:46-59,
+  * README.md:23-37):
+  *   - `cluster.name` + `esClientInfo` (where the sink lives) -> `stateDir`
+  *     (the doc table's storage root; on a cluster, a DFS path)
+  *   - `indexName`/`indexType` (sink identity) -> the doc table itself;
+  *     types were dropped by ES 7 anyway
+  *   - install-time `MAX_BULK_COUNT` / `PUT_PREIOD` micro-batcher knobs
+  *     (BulkOp.java:30-41, OP-8/OP-9) -> `maxFilesPerTrigger` (size
+  *     trigger) + `trigger` (time trigger; prod default 10 s for envelope
+  *     parity with the reference's timer)
+  *
+  * Lifecycle parity (OP-15): `start` wires source -> flatten/merge ->
+  * checkpointed sink and returns the handle; `stopGracefully` stops the
+  * trigger loop WITHOUT losing data — unlike the reference, whose stop()
+  * drops up to 10 s of queued events (Observer.java:61-66, no final
+  * flush): our unprocessed events simply remain at the source and the
+  * checkpoint resumes them, which StreamRestartSpec pins. */
+object Ingest {
+
+  /** @param sourceDir        change-log parquet dir (file-stream source; a
+    *                         Kafka/HBase-replication source drops in here)
+    * @param stateDir         doc-table root (bucketed version dirs)
+    * @param checkpointDir    Structured Streaming offset/commit checkpoint
+    * @param trigger          OP-9 time trigger; AvailableNow in tests
+    * @param maxFilesPerTrigger OP-8 size trigger analog
+    * @param numBuckets       doc-table hash buckets (scale knob) */
+  case class SyncConfig(sourceDir: String,
+                        stateDir: String,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                        maxFilesPerTrigger: Int = 1,
+                        numBuckets: Int = 16)
+
+  /** Start the sync: change-log stream -> OP-4 flatten + OP-7 merge into
+    * the bucketed doc table. Runs until stopped; each trigger is one
+    * merge-upsert batch. */
+  def start(spark: SparkSession, cfg: SyncConfig): StreamingQuery = {
+    val schema = ChangeLog.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.sourceDir)
+    DocSync.startStream(spark, stream, cfg.stateDir, cfg.checkpointDir,
+      cfg.numBuckets, cfg.trigger)
+  }
+
+  /** Stop after the in-flight trigger completes; nothing is lost — the
+    * checkpoint resumes exactly where this left off. */
+  def stopGracefully(q: StreamingQuery): Unit = {
+    q.stop()
+    q.awaitTermination()
+  }
+
+  /** Current doc table under a config (readable while the stream runs —
+    * versions are immutable). */
+  def docTable(spark: SparkSession, cfg: SyncConfig): DataFrame =
+    DocSync.docTable(spark, cfg.stateDir, cfg.numBuckets)
+
+  /** OP-15's scheduler-observability analog: a listener surfacing per-batch
+    * progress (rows/s replaces the reference's silent 10 s timer loop). */
+  def progressListener(onProgress: String => Unit): StreamingQueryListener =
+    new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        onProgress(s"batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+          f"rows/s=${e.progress.processedRowsPerSecond}%.0f")
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+}

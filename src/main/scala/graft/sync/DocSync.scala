@@ -100,8 +100,20 @@ object DocSync {
   def runStream(spark: SparkSession, changeStream: DataFrame, stateDir: String,
                 checkpointDir: String, numBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val q = changeStream.writeStream
-      .trigger(Trigger.AvailableNow())
+    val q = startStream(spark, changeStream, stateDir, checkpointDir, numBuckets,
+      Trigger.AvailableNow())
+    q.awaitTermination()
+    docTable(spark, stateDir, numBuckets)
+  }
+
+  /** Non-blocking variant: start the merge-upsert sink under any trigger
+    * (production: ProcessingTime — see graft.ingest.Ingest). */
+  def startStream(spark: SparkSession, changeStream: DataFrame, stateDir: String,
+                  checkpointDir: String, numBuckets: Int,
+                  trigger: org.apache.spark.sql.streaming.Trigger)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changeStream.writeStream
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
@@ -121,9 +133,10 @@ object DocSync {
         ()
       }
       .start()
-    q.awaitTermination()
+
+  /** The assembled current doc table `(rowKey, doc)`. */
+  def docTable(spark: SparkSession, stateDir: String, numBuckets: Int = 16): DataFrame =
     currentState(spark, stateDir, numBuckets).drop("bucket")
-  }
 
   /** Fold all live versions into one full-coverage base version and drop
     * the history — the LSM-style maintenance job that bounds the version

@@ -1,0 +1,93 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.GraftSuite
+import graft.core.Tables
+import graft.model.ChangeLog
+import graft.sync.DocSync
+
+/** The OP-14/OP-15 facade end-to-end: typed config, start, graceful stop,
+  * and the no-loss contract the reference lacks (its stop() drops up to
+  * 10 s of queued events, Observer.java:61-66 — ours resumes from the
+  * checkpoint). */
+class IngestSpec extends GraftSuite {
+
+  test("facade syncs a change log and matches the batch fold; rate >= envelope") {
+    // sf0.01 (10k events): enough volume that the ~4 s fixed streaming
+    // startup doesn't mask the actual replay rate
+    val events = Tables(spark, sf01, "events")
+    val log = ChangeLog.fromEvents(events)
+    val src = Files.createTempDirectory("graft_ingest_src").toString
+    log.coalesce(1).write.mode("overwrite").parquet(s"$src/files")
+    new java.io.File(s"$src/files").listFiles()
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (f, i) =>
+        Files.move(f.toPath, java.nio.file.Paths.get(s"$src/part-$i.parquet")) }
+
+    val cfg = Ingest.SyncConfig(
+      sourceDir = src,
+      stateDir = Files.createTempDirectory("graft_ingest_state").toString,
+      checkpointDir = Files.createTempDirectory("graft_ingest_ckpt").toString,
+      trigger = Trigger.AvailableNow())   // test trigger; prod default is 10 s
+
+    var lastProgress = ""
+    val listener = Ingest.progressListener(lastProgress = _)
+    spark.streams.addListener(listener)
+    val n = events.count()
+    val t0 = System.nanoTime()
+    try {
+      val q = Ingest.start(spark, cfg)
+      q.awaitTermination()
+    } finally spark.streams.removeListener(listener)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val got = DocSync.flattenDocs(Ingest.docTable(spark, cfg)).collect().toSeq
+    val want = DocSync.flattenDocs(DocSync.fold(log)).collect().toSeq
+    assert(got === want)
+    assert(lastProgress.contains("rows="), s"listener saw no progress: '$lastProgress'")
+    // reference envelope: ~1000 docs/s per RegionServer (BulkOp.java:30,41)
+    val rate = n / sec
+    assert(rate >= 1000, f"replay rate $rate%.0f ev/s below the 1000 ev/s envelope")
+  }
+
+  test("graceful stop loses nothing: restart drains the remainder") {
+    import spark.implicits._
+    import graft.model.ChangeLog.{Cell, ChangeEvent}
+    def ev(key: String, seq: Long, v: String) =
+      ChangeEvent("PUT", key, seq, new java.sql.Timestamp(0), Seq(Cell("f", "q", v)))
+
+    val src = Files.createTempDirectory("graft_stop_src").toString
+    def addFile(i: Int, evs: Seq[ChangeEvent]): Unit = {
+      spark.createDataset(evs).toDF().coalesce(1).write.parquet(s"$src/b$i")
+      new java.io.File(s"$src/b$i").listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$src/part-$i.parquet")))
+    }
+    addFile(0, Seq(ev("a", 0, "1")))
+    addFile(1, Seq(ev("b", 1, "2")))
+
+    val cfg = Ingest.SyncConfig(
+      sourceDir = src,
+      stateDir = Files.createTempDirectory("graft_stop_state").toString,
+      checkpointDir = Files.createTempDirectory("graft_stop_ckpt").toString,
+      trigger = Trigger.AvailableNow())
+
+    // first run drains both files; stopGracefully after termination is a no-op
+    val q1 = Ingest.start(spark, cfg)
+    q1.awaitTermination()
+    Ingest.stopGracefully(q1)
+
+    // new data after the stop: a restart picks up ONLY the new file
+    addFile(2, Seq(ev("a", 2, "updated")))
+    val q2 = Ingest.start(spark, cfg)
+    q2.awaitTermination()
+
+    val m = Ingest.docTable(spark, cfg).collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1)("q")).toMap
+    assert(m === Map("a" -> "updated", "b" -> "2"))
+  }
+}
