@@ -119,10 +119,13 @@ object Text {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       val docs = T(s, d, "documents")
       val n = docs.count()   // corpus stat: tiny driver scalar, standard two-pass
-      val words = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      // tf is tiny (docs x 2 query terms) and feeds both aggregates:
+      // persist it so the tokenize+explode scan runs once.
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         .filter(col("w").isin("data", "stream"))
-      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .persist()
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "w")
         .groupBy(col("doc_id"))
         .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"))
@@ -145,14 +148,20 @@ object Text {
         |FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id
         |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) { (s, d) =>
       // BM25 k1=1.2 b=0.75: corpus stats via one tiny agg, broadcast back.
-      val toks = T(s, d, "documents").select(col("doc_id"), tokens(col("text")).as("ws"))
-      val dl = toks.select(col("doc_id"), size(col("ws")).as("dl"))
+      // The tokenized projection feeds doc-lengths AND term frequencies:
+      // persist (doc_id, dl, tf-relevant tokens) once instead of running
+      // the tokenizer scan three times (dl stats, tf, df).
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("dl"),
+                filter(col("ws"), w => w.isin("data", "stream")).as("qws"))
+        .persist()
+      val dl = toks.select(col("doc_id"), col("dl"))
       val Array(nDocs, avgdl) = dl.agg(count(lit(1)).cast("double"), avg(col("dl")))
         .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
-      val words = toks.select(col("doc_id"), explode(col("ws")).as("w"))
-        .filter(col("w").isin("data", "stream"))
-      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val df = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val tf = toks.select(col("doc_id"), explode(col("qws")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
       val score = idf * (col("tf") * 2.2) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
@@ -309,8 +318,10 @@ object Text {
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
       val docs = T(s, d, "documents")
       val n = docs.count()   // corpus stat: tiny driver scalar (as in q64)
+      // words feeds three consumers (df, query terms, probe side)
       val words = docs
         .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+        .persist()
       val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val qw = words.filter(col("doc_id") === 1).select(col("w"))
       words.filter(col("doc_id") =!= 1)
