@@ -145,6 +145,37 @@ object Streams {
         .orderBy(col("user_id"), col("ws"))
     },
 
+    // Q54 streaming twin: the same session windows through a REAL
+    // watermarked stream in Append mode — only sessions closed under the
+    // final watermark (max ts - 1 h) are emitted; the oracle replays that
+    // emission rule on top of the batch island-detection.
+    Entry("q54_session_stream",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL '30 minutes' AS we, COUNT(*) AS n
+        |  FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events)
+        |SELECT user_id, epoch_us(ws) AS ws, epoch_us(we) AS we, n FROM sess
+        |WHERE we <= (SELECT w FROM wm)
+        |ORDER BY user_id, ws""".stripMargin) { (s, d) =>
+      val agg = readStreamTable(s, d, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Append())
+        .select(col("user_id"), unix_micros(col("session_window.start")).as("ws"),
+                unix_micros(col("session_window.end")).as("we"), col("n"))
+        .orderBy(col("user_id"), col("ws"))
+    },
+
     // Q55: watermark semantics — THREE ordered micro-batches: evens first
     // (establish the watermark), then the odd rows whose window is still
     // open, then the late odds. Spark (3.4+, SPARK-40925) filters late
