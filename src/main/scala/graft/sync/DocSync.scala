@@ -174,12 +174,16 @@ object DocSync {
       .sortBy(-_.getName.drop(1).toLong)
     val chosen = scala.collection.mutable.Map.empty[Int, Option[String]]
     versions.foreach { v =>
+      // _coverage is the COMMIT MARKER, written only after the parquet
+      // write completes: a version without it is a partially-written batch
+      // that crashed mid-write and must be invisible (the restarted batch
+      // overwrites the dir and re-commits). Never fall back to listing
+      // bucket dirs — that would read the torn write.
       val covFile = new java.io.File(v, "_coverage")
       val covered: Seq[Int] =
         if (covFile.exists()) Files.readString(covFile.toPath).split(",").toSeq
           .filter(_.nonEmpty).map(_.toInt)
-        else Option(v.listFiles()).toSeq.flatten  // legacy layout fallback
-          .filter(_.getName.startsWith("bucket=")).map(_.getName.drop(7).toInt)
+        else Seq.empty
       covered.filter(b => onlyBuckets.forall(_.contains(b))).foreach { b =>
         if (!chosen.contains(b)) {
           val dir = new java.io.File(v, s"bucket=$b")
