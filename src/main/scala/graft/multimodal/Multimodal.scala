@@ -42,6 +42,23 @@ object Multimodal {
   case class MmFeature(doc_id: Long, kind: String, n_bytes: Int,
                        width: Int, height: Int, n_frames: Int)
 
+  /** Stand-in for a real decoder binding (libjpeg/ffmpeg/JNI): stateful
+    * per-partition handle + batch-in/batch-out API. The arithmetic is a
+    * DETERMINISTIC FAKE of feature extraction — swap `decodeBatch`'s body
+    * for the real codec call; the Spark plumbing stays identical. */
+  object FakeCodec {
+    final class Handle private[FakeCodec] () {
+      def decodeBatch(batch: Seq[MmRow]): Seq[MmFeature] =
+        batch.map { r =>
+          val width = 1 + r.n_bytes % 64
+          val height = 1 + r.n_bytes % 48
+          val frames = if (r.kind == "audio") 1 + r.n_bytes % 30 else 1
+          MmFeature(r.doc_id, r.kind, r.n_bytes, width, height, frames)
+        }
+    }
+    def open(): Handle = new Handle()
+  }
+
   val entries: Seq[Entry] = Seq(
 
     Entry("q65_multimodal",
@@ -80,14 +97,15 @@ object Multimodal {
         .select(col("doc_id"), col("mm.kind").as("kind"),
                 length(col("mm.bytes")).as("n_bytes"))
         .as[MmRow]
-      // partition-batched decode stub: a real codec would decompress
-      // mm.bytes here (per-partition library init, vectorized batches)
+      // partition-batched decode stub, batch-shaped like a real codec
+      // binding: one library/context init per partition, payloads pulled in
+      // fixed-size batches (what a GPU/JNI decoder wants), rows emitted per
+      // batch. The codec itself is the deterministic fake (no media libs in
+      // this container); everything around it is the real plumbing.
       payloads.mapPartitions { rows =>
-        rows.map { r =>
-          val width = 1 + r.n_bytes % 64
-          val height = 1 + r.n_bytes % 48
-          val frames = if (r.kind == "audio") 1 + r.n_bytes % 30 else 1
-          MmFeature(r.doc_id, r.kind, r.n_bytes, width, height, frames)
+        val codec = FakeCodec.open()   // per-partition init (JNI/ctx analog)
+        rows.grouped(64).flatMap { batch =>
+          codec.decodeBatch(batch)
         }
       }.toDF()
         .select(col("doc_id"), col("kind"), col("n_bytes"),
