@@ -127,7 +127,10 @@ object DocSync {
           val merged = merge(state.drop("bucket"), inc.drop("bucket"))
             .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
           val cur = s"$stateDir/v$batchId"
-          merged.write.mode("overwrite").partitionBy("bucket").parquet(cur)
+          // cluster by bucket before the partitioned write: one file per
+          // bucket instead of (shuffle partitions x buckets) shards
+          merged.repartition(math.min(numBuckets, dirty.length), col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(cur)
           Files.writeString(Paths.get(s"$cur/_coverage"), dirty.mkString(","))
         }
         ()
@@ -150,6 +153,7 @@ object DocSync {
     val nextId = versions.map(_.getName.drop(1).toLong).max + 1
     val cur = s"$stateDir/v$nextId"
     currentState(spark, stateDir, numBuckets)
+      .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(cur)
     Files.writeString(Paths.get(s"$cur/_coverage"), (0 until numBuckets).mkString(","))
     versions.foreach { v =>
