@@ -155,6 +155,20 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // Salted-aggregation invariance (SURVEY §4.3 skew posture): the
+    // two-phase hot-key rewrite must hash-match the direct aggregation's
+    // oracle — salting is a plan property, never a results property.
+    Entry("q79_salted_agg",
+      """SELECT o_orderpriority AS key, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 4) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Skew.saltedAgg(T(s, d, "orders"), col("o_orderpriority"),
+          saltBy = col("o_orderkey"), numSalts = 8)(
+        partial = Seq(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("pt")),
+        combine = Seq(sum(col("pn")).as("n"), round(sum(col("pt")), 4).as("total")))
+        .orderBy(col("key"))
+    },
+
     // ES pipeline aggs (cumulative_sum + derivative over a date_histogram):
     // a window over the bucketed aggregate — partial agg first, then one
     // tiny window pass over the (days) buckets, never over raw events.
