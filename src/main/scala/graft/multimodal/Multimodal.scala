@@ -42,10 +42,13 @@ object Multimodal {
   case class MmFeature(doc_id: Long, kind: String, n_bytes: Int,
                        width: Int, height: Int, n_frames: Int)
 
+  case class MmTransformed(doc_id: Long, kind: String,
+                           out_w: Int, out_h: Int, n_sampled: Int)
+
   /** Stand-in for a real decoder binding (libjpeg/ffmpeg/JNI): stateful
     * per-partition handle + batch-in/batch-out API. The arithmetic is a
-    * DETERMINISTIC FAKE of feature extraction — swap `decodeBatch`'s body
-    * for the real codec call; the Spark plumbing stays identical. */
+    * DETERMINISTIC FAKE of decode/resize/frame-sample — swap the bodies
+    * for the real codec calls; the Spark plumbing stays identical. */
   object FakeCodec {
     final class Handle private[FakeCodec] () {
       def decodeBatch(batch: Seq[MmRow]): Seq[MmFeature] =
@@ -54,6 +57,20 @@ object Multimodal {
           val height = 1 + r.n_bytes % 48
           val frames = if (r.kind == "audio") 1 + r.n_bytes % 30 else 1
           MmFeature(r.doc_id, r.kind, r.n_bytes, width, height, frames)
+        }
+
+      /** Aspect-preserving fit into maxW x maxH (integer floor scaling),
+        * plus uniform frame sampling down to at most maxFrames. */
+      def transformBatch(batch: Seq[MmFeature], maxW: Int, maxH: Int,
+                         maxFrames: Int): Seq[MmTransformed] =
+        batch.map { f =>
+          val (outW, outH) =
+            if (f.width <= maxW && f.height <= maxH) (f.width, f.height)
+            else if (maxW.toLong * f.height <= maxH.toLong * f.width)
+              (maxW, math.max(1, (f.height.toLong * maxW / f.width).toInt))
+            else
+              (math.max(1, (f.width.toLong * maxH / f.height).toInt), maxH)
+          MmTransformed(f.doc_id, f.kind, outW, outH, math.min(maxFrames, f.n_frames))
         }
     }
     def open(): Handle = new Handle()
@@ -110,6 +127,43 @@ object Multimodal {
       }.toDF()
         .select(col("doc_id"), col("kind"), col("n_bytes"),
                 col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // resize + frame-sample over the decoded features — the other half of
+    // the training-pipeline media transform chain; same batch-shaped
+    // codec-binding pattern, deterministic-fake arithmetic (aspect-fit
+    // into 32x24, uniform sample to <= 8 frames) so the oracle replays it.
+    Entry("q80_mm_transform",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN 'image' ELSE 'audio' END AS kind,
+        |    CAST(1 + octet_length(CAST(text AS BLOB)) % 64 AS INT) AS w,
+        |    CAST(1 + octet_length(CAST(text AS BLOB)) % 48 AS INT) AS h,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(CAST(text AS BLOB)) % 30 ELSE 1 END AS INT) AS fr
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, kind,
+        |  CAST(CASE WHEN w <= 32 AND h <= 24 THEN w
+        |       WHEN 32 * h <= 24 * w THEN 32
+        |       ELSE GREATEST(1, (w * 24) // h) END AS INT) AS out_w,
+        |  CAST(CASE WHEN w <= 32 AND h <= 24 THEN h
+        |       WHEN 32 * h <= 24 * w THEN GREATEST(1, (h * 32) // w)
+        |       ELSE 24 END AS INT) AS out_h,
+        |  CAST(LEAST(8, fr) AS INT) AS n_sampled
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payloads = mmView(s, d)
+        .filter(col("mm.kind") =!= "text")
+        .select(col("doc_id"), col("mm.kind").as("kind"),
+                length(col("mm.bytes")).as("n_bytes"))
+        .as[MmRow]
+      payloads.mapPartitions { rows =>
+        val codec = FakeCodec.open()
+        rows.grouped(64).flatMap { batch =>
+          codec.transformBatch(codec.decodeBatch(batch), 32, 24, 8)
+        }
+      }.toDF()
+        .select(col("doc_id"), col("kind"), col("out_w"), col("out_h"), col("n_sampled"))
         .orderBy(col("doc_id"))
     }
   )
