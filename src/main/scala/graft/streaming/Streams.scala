@@ -260,6 +260,33 @@ object Streams {
         .orderBy(col("row_key"))
     },
 
+    // Stream-stream inner join with watermarks on both sides and a time
+    // band: state is evicted by the watermark, but an INNER join drained
+    // with AvailableNow emits exactly the batch join's pairs — the oracle
+    // IS the batch interval join.
+    Entry("q81_stream_stream_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      val purchases = readStreamTable(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+                col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val clicks = readStreamTable(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+                col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("cu") === col("pu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"))
+      runToMemory(joined.select(col("purchase_id"), col("click_id")), OutputMode.Append())
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+
     Entry("q58_stream_static_join",
       """SELECT c_mktsegment, COUNT(*) AS n FROM events
         |JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
