@@ -219,6 +219,19 @@ object Streams {
       runToMemory(agg, OutputMode.Complete()).orderBy(col("event_type"))
     },
 
+    // Q56b: bounded-state dedup — dropDuplicatesWithinWatermark evicts
+    // dedup state once the watermark passes event time + delay. The delay
+    // (10 days) exceeds the fixture's whole time span, so no replayed
+    // duplicate is ever late and the result provably equals distinct —
+    // while exercising the bounded-state operator wiring end-to-end.
+    Entry("q56_dedup_within_watermark", eventCountOracle) { (s, d) =>
+      val stream = readStreamTable(s, d, "events", copies = 2)
+      val agg = stream.withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      runToMemory(agg, OutputMode.Complete()).orderBy(col("event_type"))
+    },
+
     // Q57: the OP-7 merge as arbitrary stateful processing
     // (flatMapGroupsWithState keeping Map[qualifier -> value] per rowKey).
     Entry("q57_stateful_merge", DocSync.oracleSqlDocTable) { (s, d) =>
