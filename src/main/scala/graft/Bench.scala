@@ -32,11 +32,13 @@ object Bench {
       } catch { case t: Throwable =>
         System.err.println(s"[bench] ${e.name} failed: ${t.getMessage}"); false
       }
-      // Per-query isolation: queries may persist() intermediates that feed
-      // multiple consumers (e.g. the near-dup shingle set); drop them so a
-      // later query's timing never pays eviction/GC for an earlier one.
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Per-query isolation (untimed): queries may persist() intermediates
+      // that feed multiple consumers (e.g. the near-dup shingle set); drop
+      // them so a later query's timing never pays eviction/GC for an
+      // earlier one — and so teardown isn't attributed to this query.
       spark.catalog.clearCache()
-      e.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      e.name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

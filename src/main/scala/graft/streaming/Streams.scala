@@ -221,12 +221,16 @@ object Streams {
 
     // Q56b: bounded-state dedup — dropDuplicatesWithinWatermark evicts
     // dedup state once the watermark passes event time + delay. The delay
-    // (10 days) exceeds the fixture's whole time span, so no replayed
-    // duplicate is ever late and the result provably equals distinct —
-    // while exercising the bounded-state operator wiring end-to-end.
+    // (90 days) exceeds the fixture's whole time span (~30 days of events),
+    // so no replayed duplicate is ever late-dropped and the result equals
+    // distinct BY THE OPERATOR'S DEDUP, not by late-row filtering —
+    // exercising the bounded-state wiring end-to-end. (With a delay
+    // shorter than the span, batch-2 duplicates older than the watermark
+    // would be dropped as late instead of deduped — same counts here, but
+    // the wrong mechanism to pin.)
     Entry("q56_dedup_within_watermark", eventCountOracle) { (s, d) =>
       val stream = readStreamTable(s, d, "events", copies = 2)
-      val agg = stream.withWatermark("ts", "10 days")
+      val agg = stream.withWatermark("ts", "90 days")
         .dropDuplicatesWithinWatermark("event_id")
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       runToMemory(agg, OutputMode.Complete()).orderBy(col("event_type"))

@@ -117,22 +117,35 @@ object DocSync {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        // the two-shuffle fold feeds both the dirty-bucket collect and the
+        // merge: persist so it runs once per trigger, not twice
         val inc = foldIncrement(batch)
           .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
-        val dirty = inc.select("bucket").distinct()
-          .collect().map(_.getInt(0)).sorted
-        if (dirty.nonEmpty) {
-          val state = currentState(sp, stateDir, numBuckets,
-              onlyBuckets = Some(dirty.toSet))
-          val merged = merge(state.drop("bucket"), inc.drop("bucket"))
-            .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
-          val cur = s"$stateDir/v$batchId"
-          // cluster by bucket before the partitioned write: one file per
-          // bucket instead of (shuffle partitions x buckets) shards
-          merged.repartition(math.min(numBuckets, dirty.length), col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket").parquet(cur)
-          Files.writeString(Paths.get(s"$cur/_coverage"), dirty.mkString(","))
-        }
+          .persist()
+        try {
+          val dirty = inc.select("bucket").distinct()
+            .collect().map(_.getInt(0)).sorted
+          if (dirty.nonEmpty) {
+            val state = currentState(sp, stateDir, numBuckets,
+                onlyBuckets = Some(dirty.toSet))
+            val merged = merge(state.drop("bucket"), inc.drop("bucket"))
+              .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
+            // version ids are allocated from the DIRECTORY (max live + 1),
+            // never from batchId: compaction also allocates from the same
+            // sequence, and a batchId-named dir would collide with (and
+            // overwrite) a compacted base written after earlier batches.
+            // Batch replay after a torn write simply allocates a fresh id;
+            // the torn dir has no _coverage so it stays invisible, and the
+            // re-applied merge is content-idempotent (LWW of identical
+            // values).
+            val cur = s"$stateDir/v${nextVersionId(stateDir)}"
+            // cluster by bucket before the partitioned write: one file per
+            // bucket instead of (shuffle partitions x buckets) shards
+            merged.repartition(math.min(numBuckets, dirty.length), col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(cur)
+            Files.writeString(Paths.get(s"$cur/_coverage"), dirty.mkString(","))
+          }
+        } finally inc.unpersist()
         ()
       }
       .start()
@@ -150,8 +163,7 @@ object DocSync {
     val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
     if (versions.isEmpty) return
-    val nextId = versions.map(_.getName.drop(1).toLong).max + 1
-    val cur = s"$stateDir/v$nextId"
+    val cur = s"$stateDir/v${nextVersionId(stateDir)}"
     currentState(spark, stateDir, numBuckets)
       .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(cur)
@@ -166,6 +178,14 @@ object DocSync {
 
   private def bucketOf(rowKey: Column, numBuckets: Int): Column =
     pmod(xxhash64(rowKey), lit(numBuckets.toLong)).cast("int")
+
+  /** Next version id: one past the highest existing dir (committed or
+    * torn) — the single allocation path for batches AND compaction. */
+  private def nextVersionId(stateDir: String): Long =
+    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+      .maxOption.map(_ + 1).getOrElse(0L)
 
   /** Assemble the current doc table: newest covering version per bucket.
     * Reads only the selected `bucket=<b>` dirs (partition-pruned paths);

@@ -67,6 +67,17 @@ class VectorKernelSpec extends GraftSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  for (codegen <- Seq(true, false)) {
+    test(s"mismatched dimensions -> null, not a silent partial product (codegen=$codegen)") {
+      import spark.implicits._
+      val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      val r = withCodegen(codegen) {
+        df.select(vec.dot(col("a"), col("b")), vec.cosine(col("a"), col("b"))).collect()(0)
+      }
+      assert(r.isNullAt(0) && r.isNullAt(1))
+    }
+  }
+
   test("token_hash matches reference fold and the interpreted HOF formulation") {
     import spark.implicits._
     val toks = Seq("data", "stream", "x", "", "a1b2c3", "zzzzzzzzzz")

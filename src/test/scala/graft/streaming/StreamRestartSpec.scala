@@ -121,5 +121,17 @@ class StreamRestartSpec extends GraftSuite {
         .filter(_.getName.startsWith("bucket=")).map(_.getPath): _*))
       .collect().map(r => r.getString(0)).toSeq
     assert(m2.size == 64)
+
+    // MID-STREAM compaction: a batch arriving AFTER compaction must not
+    // collide with the compacted base's version id (version ids come from
+    // the directory, never from batchId) — all 64 keys must survive
+    spark.createDataset(Seq(ev("key9", 200, "post-compact"))).toDF()
+      .coalesce(1).write.parquet(s"$src/b2")
+    new java.io.File(s"$src/b2").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath, java.nio.file.Paths.get(s"$src/part-2.parquet")))
+    val docs3 = run()
+    val m3 = docs3.collect().map(r => r.getString(0) -> r.getMap[String, String](1)("q")).toMap
+    assert(m3.size == 64, s"post-compaction batch lost keys: ${m3.size}")
+    assert(m3("key9") == "post-compact" && m3("key7") == "updated" && m3("key3") == "v3")
   }
 }
