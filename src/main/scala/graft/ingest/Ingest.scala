@@ -25,8 +25,10 @@ import graft.sync.DocSync
   * checkpointed sink and returns the handle; `stopGracefully` stops the
   * trigger loop WITHOUT losing data — unlike the reference, whose stop()
   * drops up to 10 s of queued events (Observer.java:61-66, no final
-  * flush): our unprocessed events simply remain at the source and the
-  * checkpoint resumes them, which StreamRestartSpec pins. */
+  * flush). Note the no-loss guarantee is via REPLAY, not drain: an
+  * in-flight micro-batch is interrupted by stop() (Spark has no drain
+  * API), its uncommitted version dir stays invisible, and the checkpoint
+  * re-runs the batch at restart — which StreamRestartSpec pins. */
 object Ingest {
 
   /** @param sourceDir        change-log parquet dir (file-stream source; a
@@ -55,8 +57,11 @@ object Ingest {
       cfg.numBuckets, cfg.trigger)
   }
 
-  /** Stop after the in-flight trigger completes; nothing is lost — the
-    * checkpoint resumes exactly where this left off. */
+  /** Stop the trigger loop and wait for termination. An in-flight batch is
+    * interrupted, NOT drained — it left no committed state (versions
+    * commit via the `_coverage` marker) and re-runs from the checkpoint on
+    * the next `start`, so stop-anytime is loss-free but the doc table may
+    * reflect pre-batch state until restart. */
   def stopGracefully(q: StreamingQuery): Unit = {
     q.stop()
     q.awaitTermination()

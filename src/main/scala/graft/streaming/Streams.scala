@@ -27,9 +27,14 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete(); ()
+  private def deleteRecursively(f: java.io.File): Unit = graft.core.Fs.deleteRecursively(f)
+
+  /** All staged dirs go through here: registered for JVM-exit cleanup so
+    * repeated harness runs don't leak staged table copies into /tmp. */
+  private def newStageDir(prefix: String): String = {
+    val tmp = Files.createTempDirectory(prefix).toString
+    sys.addShutdownHook(graft.core.Fs.deleteRecursively(new java.io.File(tmp)))
+    tmp
   }
 
   /** Write one DataFrame as the i-th ordered file of a staged stream dir.
@@ -55,21 +60,26 @@ object Streams {
 
   private def stage(s: SparkSession, dir: String, table: String, copies: Int = 1): String =
     stageCache.getOrElseUpdate((dir, table, copies), {
-      val tmp = Files.createTempDirectory(s"graft_stream_$table").toString
+      val tmp = newStageDir(s"graft_stream_$table")
       val df = Tables(s, dir, table)
       (0 until copies).foreach(i => writeOrderedFile(df, tmp, i))
       tmp
     })
 
   /** Stage a table split into N ordered files by deterministic predicates
-    * (file i = rows matching preds(i)) to force N micro-batches. */
-  private def stageSplit(s: SparkSession, dir: String, table: String,
-                         preds: Seq[org.apache.spark.sql.Column]): String = {
-    val tmp = Files.createTempDirectory(s"graft_stream2_$table").toString
-    val df = Tables(s, dir, table)
-    preds.zipWithIndex.foreach { case (p, i) => writeOrderedFile(df.filter(p), tmp, i) }
-    tmp
-  }
+    * (file i = rows matching preds(i)) to force N micro-batches. Memoized
+    * under the caller-supplied key (predicates are Columns, not hashable)
+    * — the split is a deterministic function of (dir, table, key). */
+  private val splitCache = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  private def stageSplit(s: SparkSession, dir: String, table: String, key: String,
+                         preds: Seq[org.apache.spark.sql.Column]): String =
+    splitCache.getOrElseUpdate((dir, table, key), {
+      val tmp = newStageDir(s"graft_stream2_$table")
+      val df = Tables(s, dir, table)
+      preds.zipWithIndex.foreach { case (p, i) => writeOrderedFile(df.filter(p), tmp, i) }
+      tmp
+    })
 
   private def readStreamTable(s: SparkSession, dir: String, table: String,
                               copies: Int = 1): DataFrame = {
@@ -123,12 +133,12 @@ object Streams {
 
     Entry("q54_session_window",
       """WITH o AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (
-        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM o)
         |SELECT user_id, epoch_us(MIN(ts)) AS ws, epoch_us(MAX(ts) + INTERVAL '30 minutes') AS we,
@@ -151,18 +161,18 @@ object Streams {
     // emission rule on top of the batch island-detection.
     Entry("q54_session_stream",
       """WITH o AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (
-        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM o),
         |sess AS (
         |  SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL '30 minutes' AS we, COUNT(*) AS n
         |  FROM g GROUP BY user_id, sid),
-        |wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events)
+        |wm AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000) - INTERVAL '1 hour' AS w FROM events)
         |SELECT user_id, epoch_us(ws) AS ws, epoch_us(we) AS we, n FROM sess
         |WHERE we <= (SELECT w FROM wm)
         |ORDER BY user_id, ws""".stripMargin) { (s, d) =>
@@ -186,8 +196,8 @@ object Streams {
     // oracle replays exactly that rule: old windows keep even-only counts,
     // and only windows closed under the final watermark are emitted.
     Entry("q55_watermark",
-      """WITH wm1 AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events WHERE event_id % 2 = 0),
-        |wmf AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events),
+      """WITH wm1 AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000) - INTERVAL '1 hour' AS w FROM events WHERE event_id % 2 = 0),
+        |wmf AS (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000) - INTERVAL '1 hour' AS w FROM events),
         |kept AS (
         |  SELECT date_trunc('day', ts) AS ws FROM events
         |  WHERE event_id % 2 = 0
@@ -200,7 +210,7 @@ object Streams {
         .agg(max(col("ts")) - expr("INTERVAL 1 HOUR")).collect()(0).getTimestamp(0)
       val even = col("event_id") % 2 === 0
       val windowOpen = date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") > lit(wm1)
-      val staged = stageSplit(s, d, "events",
+      val staged = stageSplit(s, d, "events", "q55_watermark_3way",
         Seq(even, !even && windowOpen, !even && !windowOpen))
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
@@ -254,18 +264,14 @@ object Streams {
             state.update(doc)
             Iterator.single((key, doc))
         }
-      val name = s"graft_mem_${nameCounter.incrementAndGet()}"
-      val q = merged.toDF("row_key", "doc").writeStream
-        .format("memory").queryName(name).outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val mem = runToMemory(merged.toDF("row_key", "doc"), OutputMode.Update())
       // update-mode memory sink appends one row per key per batch: keep the
       // last emission per key (single staged file -> single batch, but stay
       // robust to re-batching).
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("row_key"))
         .orderBy(monotonically_increasing_id().desc)
-      s.table(name)
+      mem
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .filter(size(col("doc")) > 0)
         .select(

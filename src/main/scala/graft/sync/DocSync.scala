@@ -90,11 +90,12 @@ object DocSync {
     * rowKey. Each micro-batch touches only the buckets its keys fall in —
     * it reads the CURRENT state of those buckets (newest version per
     * bucket, pruned read), merges, and writes an immutable version dir
-    * `v<batchId>/bucket=<b>/` holding just the dirty buckets, plus a tiny
-    * `_coverage` manifest (a bucket the version covers but has no files
-    * for is EMPTY — all its docs deleted — not missing). Per-batch I/O is
-    * O(changed buckets), not O(table); versions are immutable so a crashed
-    * batch simply re-runs (same inputs → same v-dir → idempotent).
+    * `v<n>/bucket=<b>/` (n allocated from the directory) holding just the
+    * dirty buckets, plus a tiny `_coverage` commit marker (a bucket the
+    * version covers but has no files for is EMPTY — all its docs deleted —
+    * not missing). Per-batch I/O is O(changed buckets), not O(table);
+    * versions are immutable and uncommitted dirs are invisible, so a
+    * crashed batch simply re-runs (content-idempotent merge).
     * Production would MERGE INTO a transactional format; the bucket-pruned
     * merge is the same logic. */
   def runStream(spark: SparkSession, changeStream: DataFrame, stateDir: String,
@@ -168,12 +169,7 @@ object DocSync {
       .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(cur)
     Files.writeString(Paths.get(s"$cur/_coverage"), (0 until numBuckets).mkString(","))
-    versions.foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-      }
-      rm(v)
-    }
+    versions.foreach(graft.core.Fs.deleteRecursively)
   }
 
   private def bucketOf(rowKey: Column, numBuckets: Int): Column =

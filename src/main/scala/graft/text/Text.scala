@@ -72,21 +72,12 @@ object Text {
       // don't re-run tokenize+shingle+distinct per reference. The
       // intersection joins on the shingle's 64-bit hash — 8-byte shuffle
       // keys instead of strings; collision odds ~n^2/2^64 are immaterial.
-      val sh = shingles(T(s, d, "documents"), 3)
-        .select(col("doc_id"), xxhash64(col("sh")).as("h")).persist()
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sh = hashedShingles(T(s, d, "documents"), 3).persist()
       val inter = sh.as("x").join(sh.as("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast("double") /
-        (col("sa.sz") + col("sb.sz") - col("inter"))
-      inter
-        .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .filter(jac >= 0.2)
-        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      jaccardScored(sh, inter, 0.2)
     },
 
     // MinHash + banded LSH (the 100 TB path: candidates from band-bucket
@@ -352,14 +343,36 @@ object Text {
         |hashed AS (SELECT doc_id, pos, $tokenHashSql AS h FROM words)
         |SELECT doc_id, CAST(SUM((pos + 1) * h) % 2305843009213693951 AS BIGINT) AS fp
         |FROM hashed GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // sum in DecimalType(38,0): contrib is up to ~2^60, so a Long sum
+      // would wrap on documents past a few thousand tokens while DuckDB's
+      // SUM(BIGINT) promotes to HUGEINT -> fp mismatch exactly on long
+      // documents. Decimal sum matches the oracle's 128-bit arithmetic.
       T(s, d, "documents")
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
-        .select(col("doc_id"), ((col("pos") + 1) * tokenHash(col("w"))).as("contrib"))
+        .select(col("doc_id"), ((col("pos") + 1) * tokenHash(col("w")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("contrib"))
         .groupBy(col("doc_id"))
         .agg((sum(col("contrib")) % 2305843009213693951L).cast("bigint").as("fp"))
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Hashed distinct shingles per doc: `(doc_id, h)`. */
+  def hashedShingles(docs: DataFrame, k: Int): DataFrame =
+    shingles(docs, k).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+
+  /** Score candidate pairs by exact Jaccard over the hashed shingle sets
+    * and keep those >= threshold — the verification tail shared by the
+    * exact twin (all pairs) and the MinHash path (LSH candidates only). */
+  def jaccardScored(sh: DataFrame, inter: DataFrame, threshold: Double): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val jac = col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter"))
+    inter.join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Distinct k-word shingles per document — built by the codegen'd
     * WordShingles kernel (one static call per doc, not a Catalyst tree
@@ -385,8 +398,7 @@ object Text {
     // Shingle strings are hashed to longs ONCE (xxhash64); the 64
     // permutations then derive from long-mixing, not 64 re-hashes of the
     // full string — at 100 TB the string bytes are touched exactly once.
-    val sh = shingles(T(s, d, "documents"), 3)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h")).persist()
+    val sh = hashedShingles(T(s, d, "documents"), 3).persist()
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // band key = hash of the band's rows; candidates collide in >=1 band
@@ -404,15 +416,9 @@ object Text {
     // exact Jaccard on candidates only — intersected on the 64-bit shingle
     // hashes (collision odds ~n^2/2^64: immaterial, and the candidate set
     // is verified, not the contract surface)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(cands, col("a.doc_id") === col("doc_a"))
       .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.h") === col("b.h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") / (col("sa.sz") + col("sb.sz") - col("inter"))
-    inter.join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .filter(jac >= 0.2)
-      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    jaccardScored(sh, inter, 0.2)
   }
 }
