@@ -294,6 +294,40 @@ object Text {
         .orderBy(col("token"))
     },
 
+    // ES significant_terms: terms overrepresented in a foreground slice
+    // (lang='en') vs the whole corpus, scored by the lift ratio
+    // (fg share / bg share); min doc-count 3 mirrors ES's shard_min_doc_count
+    // noise floor. Both frequency tables are one agg each; the background
+    // table broadcasts back.
+    Entry("q82_significant_terms",
+      s"""WITH words AS (
+        |  SELECT DISTINCT doc_id, lang, unnest($tokensSql) AS w FROM documents),
+        |fg AS (SELECT w, COUNT(*) AS fgc FROM words WHERE lang = 'en' GROUP BY 1),
+        |bg AS (SELECT w, COUNT(*) AS bgc FROM words GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS nfg,
+        |             COUNT(DISTINCT doc_id) AS nbg FROM words)
+        |SELECT w AS term, CAST(fgc AS BIGINT) AS fg_docs,
+        |  ROUND((CAST(fgc AS DOUBLE) / (SELECT nfg FROM n)) /
+        |        (CAST(bgc AS DOUBLE) / (SELECT nbg FROM n)), 6) AS lift
+        |FROM fg JOIN bg USING (w) WHERE fgc >= 3
+        |ORDER BY lift DESC, term LIMIT 15""".stripMargin) { (s, d) =>
+      val words = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(array_distinct(tokens(col("text")))).as("w"))
+        .persist()   // feeds fg, bg, and the two corpus counts
+      val counts = words
+        .agg(countDistinct(when(col("lang") === "en", col("doc_id"))),
+             countDistinct(col("doc_id"))).collect()(0)
+      val (nfg, nbg) = (counts.getLong(0), counts.getLong(1))
+      val fg = words.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("fgc"))
+      val bg = words.groupBy(col("w")).agg(count(lit(1)).as("bgc"))
+      fg.join(broadcast(bg), "w").filter(col("fgc") >= 3)
+        .select(col("w").as("term"), col("fgc").cast("bigint").as("fg_docs"),
+                round((col("fgc").cast("double") / nfg) /
+                      (col("bgc").cast("double") / nbg), 6).as("lift"))
+        .orderBy(col("lift").desc, col("term")).limit(15)
+    },
+
     // ES more_like_this: rank other docs by summed IDF of the distinct
     // terms they share with the query document (MLT's core scoring,
     // minus its term-selection heuristics). Corpus DF broadcast back.
