@@ -152,13 +152,23 @@ object Vectors {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    def litVec(v: Array[Double]): Column = array(v.map(lit): _*)
-    // nearest-centroid id by cosine, as one codegen'd expression: array_max
-    // over (similarity, id) structs — struct ordering is field-by-field.
-    def nearestCell(cents: Array[Array[Double]]): Column =
-      array_max(array(cents.zipWithIndex.map { case (cv, i) =>
-        struct(cosine(col("v"), litVec(cv)).as("s"), lit(i).as("c"))
-      }: _*)).getField("c")
+    // nearest-centroid assignment as a broadcast join against the (tiny)
+    // centroid table + max_by re-rank — NOT a per-row expression over
+    // nlist inlined literal vectors: that giant expression tree pays
+    // planning/codegen per Lloyd round (measured ~1.5-3 s/round at
+    // nlist=16), while this join's expression is small and stable, and at
+    // real nlist (~sqrt N) an inlined-literal expression is impossible
+    // anyway.
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val centDf = broadcast(
+        cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
+      e.crossJoin(centDf)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+                cosine(col("v"), col("cv")).as("s"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
+             any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
+    }
 
     // deterministic init: first nlist vectors by vec_id (TakeOrdered — no
     // full collect, no global count; Lloyd rounds correct any init bias)
@@ -169,7 +179,7 @@ object Vectors {
       // element-wise mean per cell: posexplode -> ONE (cell, pos) hash agg
       // (map-side combinable); the nlist x dim result is the tiny
       // driver-side collect
-      val next = e.select(nearestCell(cents).as("cell"), posexplode(col("v")))
+      val next = assign(cents).select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .as[(Int, Int, Double)].collect()
       next.groupBy(_._1).foreach { case (cell, rows) =>
@@ -177,7 +187,7 @@ object Vectors {
       }
     }
 
-    val assigned = e.withColumn("cell", nearestCell(cents))
+    val assigned = assign(cents)
     val qrows = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .collect()
