@@ -155,6 +155,32 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // ES percentile_ranks (inverse percentile): fraction of values at or
+    // below given thresholds — one conditional-count pass, no sort.
+    Entry("q83_percentile_ranks",
+      """SELECT o_orderpriority,
+        |  ROUND(SUM(CASE WHEN o_totalprice <= 50000 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS pr_50k,
+        |  ROUND(SUM(CASE WHEN o_totalprice <= 150000 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS pr_150k
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(round(sum(when(col("o_totalprice") <= 50000, 1).otherwise(0)) /
+                   count(lit(1)).cast("double"), 6).as("pr_50k"),
+             round(sum(when(col("o_totalprice") <= 150000, 1).otherwise(0)) /
+                   count(lit(1)).cast("double"), 6).as("pr_150k"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ES terms agg with order: {sub_agg: desc} — buckets ranked by a
+    // sub-aggregation value, not by key or doc count.
+    Entry("q84_terms_by_subagg",
+      """SELECT c_mktsegment, COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+        |FROM customer GROUP BY 1
+        |ORDER BY avg_bal DESC, c_mktsegment""".stripMargin) { (s, d) =>
+      T(s, d, "customer").groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+        .orderBy(col("avg_bal").desc, col("c_mktsegment"))
+    },
+
     // Salted-aggregation invariance (SURVEY §4.3 skew posture): the
     // two-phase hot-key rewrite must hash-match the direct aggregation's
     // oracle — salting is a plan property, never a results property.
