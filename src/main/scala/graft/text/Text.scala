@@ -297,8 +297,10 @@ object Text {
     // ES significant_terms: terms overrepresented in a foreground slice
     // (lang='en') vs the whole corpus, scored by the lift ratio
     // (fg share / bg share); min doc-count 3 mirrors ES's shard_min_doc_count
-    // noise floor. Both frequency tables are one agg each; the background
-    // table broadcasts back.
+    // noise floor. Both frequency tables are one agg each; the FOREGROUND
+    // table is the broadcast side — it is the strict subset (one slice's
+    // vocabulary), while the background is the full-corpus vocabulary that
+    // cannot be broadcast at scale.
     Entry("q82_significant_terms",
       s"""WITH words AS (
         |  SELECT DISTINCT doc_id, lang, unnest($tokensSql) AS w FROM documents),
@@ -321,7 +323,7 @@ object Text {
       val fg = words.filter(col("lang") === "en")
         .groupBy(col("w")).agg(count(lit(1)).as("fgc"))
       val bg = words.groupBy(col("w")).agg(count(lit(1)).as("bgc"))
-      fg.join(broadcast(bg), "w").filter(col("fgc") >= 3)
+      bg.join(broadcast(fg.filter(col("fgc") >= 3)), "w")
         .select(col("w").as("term"), col("fgc").cast("bigint").as("fg_docs"),
                 round((col("fgc").cast("double") / nfg) /
                       (col("bgc").cast("double") / nbg), 6).as("lift"))

@@ -49,18 +49,39 @@ object Vectors {
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** Exact cosine top-k for a set of query vectors (broadcast the queries,
-    * stream the corpus — one pass, no shuffle until the tiny top-k window).
-    * One dot-product fold per pair; norms come precomputed. */
+  /** Exact cosine top-k for a set of query vectors: broadcast the queries,
+    * stream the corpus, reduce to a per-partition top-k heap, and only
+    * then shuffle — the exchange carries <= partitions x queries x k rows
+    * (the candidates), never the scored corpus. The heap pre-reduce is the
+    * one genuinely per-partition-imperative step (SURVEY §1.3: the
+    * legitimate mapPartitions case); its keep-k order is the SAME total
+    * order the final window ranks by, so the result is exactly the global
+    * top-k. */
   def topK(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = withNorm(emb)
     val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
               round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos_r"))
-      .withColumn("rn", row_number().over(w).cast("int"))
+    // worst-first heap order: lower cos_r, then higher vec_id (the exact
+    // inverse of the ranking order below)
+    val worstFirst = Ordering.by[(Long, Long, Double), (Double, Long)](t => (-t._3, t._2))
+    val pre = scored.as[(Long, Long, Double)].mapPartitions { rows =>
+      val heaps = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r._1,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        h.enqueue(r)
+        if (h.size > k) { h.dequeue(); () }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }.toDF("q_id", "vec_id", "cos_r")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
+    pre.withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
@@ -136,11 +157,12 @@ object Vectors {
     * nearest each query, with exact cosine re-rank inside probed cells.
     *
     * Scale posture: centroids are a tiny driver-side array (nlist x dim
-    * doubles — the one legitimate collect), every per-row step is a
-    * broadcast expression over the corpus (no corpus shuffle except the
-    * element-wise mean, which is a (cell, pos) hash agg), and the probe
-    * join is an equi-join on cell id. At 100 TB you would train on a
-    * sample and raise nlist to ~sqrt(N); the code paths are the same.
+    * doubles — the one legitimate collect). Assignment is a broadcast join
+    * against the centroid table followed by a corpus-wide max_by shuffle —
+    * each Lloyd round moves the corpus once, which is why at 100 TB you
+    * train on a SAMPLE (the standard IVF recipe) and only the final
+    * assignment pass touches the full corpus; the probe join is an
+    * equi-join on cell id.
     * Quality knob: recall rises with nprobe (scan fraction ~ nprobe/nlist).
     * Note: at fixture scale (2000 vectors) training dominates the wall
     * time and brute force wins; the inverted-file structure pays off when

@@ -96,31 +96,37 @@ class VectorKernelSpec extends GraftSuite {
     assert(r.getLong(2) === ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
   }
 
-  test("word_shingles matches a naive sliding reference on random token arrays") {
-    import spark.implicits._
-    val r = new scala.util.Random(11)
-    val cases: Seq[Seq[String]] = Seq.fill(200)(
-      Seq.fill(r.nextInt(8))(Seq.fill(1 + r.nextInt(5))("abcxyz".charAt(r.nextInt(6))).mkString))
-    for (k <- 1 to 3) {
-      val got = cases.toDF("toks")
-        .select(vec.wordShingles(col("toks"), k)).as[Seq[String]].collect().toSeq
-      val want = cases.map(ts => if (ts.length < k) Seq.empty[String]
-                                 else ts.sliding(k).map(_.mkString(" ")).toSeq)
-      assert(got === want, s"k=$k")
+  for (codegen <- Seq(true, false)) {
+    test(s"word_shingles matches a naive sliding reference on random arrays (codegen=$codegen)") {
+      import spark.implicits._
+      val r = new scala.util.Random(11)
+      val cases: Seq[Seq[String]] = Seq.fill(200)(
+        Seq.fill(r.nextInt(8))(Seq.fill(1 + r.nextInt(5))("abcxyz".charAt(r.nextInt(6))).mkString))
+      for (k <- 1 to 3) {
+        val got = withCodegen(codegen) {
+          cases.toDF("toks")
+            .select(vec.wordShingles(col("toks"), k)).as[Seq[String]].collect().toSeq
+        }
+        val want = cases.map(ts => if (ts.length < k) Seq.empty[String]
+                                   else ts.sliding(k).map(_.mkString(" ")).toSeq)
+        assert(got === want, s"k=$k")
+      }
     }
-  }
 
-  test("vec_dot matches the reference across random dimensions") {
-    import spark.implicits._
-    val r = new scala.util.Random(13)
-    val cases = Seq.fill(100) {
-      val d = 1 + r.nextInt(64)
-      (Seq.fill(d)(r.nextGaussian()), Seq.fill(d)(r.nextGaussian()))
-    }
-    val got = cases.toDF("a", "b").select(vec.dot(col("a"), col("b")))
-      .as[Double].collect().toSeq
-    got.zip(cases).foreach { case (g, (a, b)) =>
-      assert(math.abs(g - refDot(a, b)) < 1e-9)
+    test(s"vec_dot matches the reference across random dimensions (codegen=$codegen)") {
+      import spark.implicits._
+      val r = new scala.util.Random(13)
+      val cases = Seq.fill(100) {
+        val d = 1 + r.nextInt(64)
+        (Seq.fill(d)(r.nextGaussian()), Seq.fill(d)(r.nextGaussian()))
+      }
+      val got = withCodegen(codegen) {
+        cases.toDF("a", "b").select(vec.dot(col("a"), col("b")))
+          .as[Double].collect().toSeq
+      }
+      got.zip(cases).foreach { case (g, (a, b)) =>
+        assert(math.abs(g - refDot(a, b)) < 1e-9)
+      }
     }
   }
 
