@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract registry itself: duplicate names would silently
+  * drop queries in the `toMap`, and an entry without a `queries` function
+  * can't exist by construction — but name collisions across the eight
+  * contributing modules can, so pin uniqueness. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("declared query names are unique across all modules") {
+    val names = SparkEntry.allEntries.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
+  test("every oracle belongs to a declared query") {
+    val names = SparkEntry.allEntries.map(_.name).toSet
+    val orphans = SparkEntry.oracleSql.keySet -- names
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("oracle SQL never references Spark-only function names") {
+    // the oracle strings run in DuckDB: a Spark-ism here fails at driver
+    // compare time, not compile time — catch the common ones early
+    val sparkisms = Seq("unix_micros(", "date_format(", "element_at(", "xxhash64(")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      sparkisms.foreach(fn =>
+        assert(!sql.contains(fn), s"$name oracle uses Spark-only $fn"))
+    }
+  }
+}
