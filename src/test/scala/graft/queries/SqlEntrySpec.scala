@@ -64,6 +64,34 @@ class SqlEntrySpec extends GraftSuite {
         |ORDER BY o_orderpriority, rn""".stripMargin)
   }
 
+  test("q25_histogram via SQL == DataFrame") {
+    assertSame("q25_histogram",
+      """SELECT CAST(FLOOR(l_quantity / 10) * 10 AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  test("q43_except via SQL == DataFrame") {
+    assertSame("q43_except",
+      """SELECT c_custkey AS id FROM customer EXCEPT SELECT user_id FROM events
+        |ORDER BY id""".stripMargin)
+  }
+
+  test("q47_conditional via SQL == DataFrame") {
+    assertSame("q47_conditional",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 1000 THEN 'S' WHEN o_totalprice < 100000 THEN 'M' ELSE 'L' END AS sz,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st,
+        |  nvl2(o_orderpriority, 'Y', 'N') AS has_prio,
+        |  nvl(NULL, o_orderstatus) AS nv
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  test("q60_dedup_exact via SQL == DataFrame") {
+    assertSame("q60_dedup_exact",
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin)
+  }
+
   test("q62_cosine_topk via SQL (vec_dot/vec_cosine from GraftExtensions) == DataFrame") {
     assertSame("q62_cosine_topk",
       """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v,
