@@ -50,13 +50,12 @@ object Vectors {
       .withColumn("nrm", norm(col("v")))
 
   /** Exact cosine top-k for a set of query vectors: broadcast the queries,
-    * stream the corpus, reduce to a per-partition top-k heap, and only
-    * then shuffle — the exchange carries <= partitions x queries x k rows
-    * (the candidates), never the scored corpus. The heap pre-reduce is the
-    * one genuinely per-partition-imperative step (SURVEY §1.3: the
-    * legitimate mapPartitions case); its keep-k order is the SAME total
-    * order the final window ranks by, so the result is exactly the global
-    * top-k. */
+    * stream the corpus, aggregate with the typed bounded-top-k Aggregator
+    * (graft.functions.TopK) — map-side partial aggregation reduces each
+    * partition to a k-bounded buffer BEFORE the exchange, so the shuffle
+    * carries <= partitions x queries x k (id, score) pairs, never the
+    * scored corpus. The buffer's keep-k order is the global ranking order,
+    * so the merged result is exactly the global top-k. */
   def topK(emb: DataFrame, queryIds: Seq[Int], k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -66,23 +65,14 @@ object Vectors {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
               round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos_r"))
-    // worst-first heap order: lower cos_r, then higher vec_id (the exact
-    // inverse of the ranking order below)
-    val worstFirst = Ordering.by[(Long, Long, Double), (Double, Long)](t => (-t._3, t._2))
-    val pre = scored.as[(Long, Long, Double)].mapPartitions { rows =>
-      val heaps = scala.collection.mutable.Map.empty[Long,
-        scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
-      rows.foreach { r =>
-        val h = heaps.getOrElseUpdate(r._1,
-          scala.collection.mutable.PriorityQueue.empty(worstFirst))
-        h.enqueue(r)
-        if (h.size > k) { h.dequeue(); () }
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.functions.TopK[(Long, Long, Double)](k, r => (r._2, r._3)).toColumn)
+      .flatMap { case (qId, top) =>
+        top.iterator.zipWithIndex.map { case ((vecId, cosR), i) => (qId, vecId, cosR, i + 1) }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }.toDF("q_id", "vec_id", "cos_r")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
-    pre.withColumn("rn", row_number().over(w).cast("int"))
-      .filter(col("rn") <= k)
+      .toDF("q_id", "vec_id", "cos_r", "rn")
+      .withColumn("rn", col("rn").cast("int"))
       .orderBy(col("q_id"), col("rn"))
   }
 
