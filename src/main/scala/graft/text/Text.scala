@@ -12,9 +12,12 @@ import graft.queries.Entry
   *
   * Everything stays inside whole-stage codegen (built-in string/array
   * expressions + higher-order functions, no UDFs): at 100 TB the tokenizer
-  * IS the hot loop. Pair-generating ops (near-dup) key their shuffles on
-  * shingle/band buckets so candidate generation is distributed and no
-  * driver-side state exists.
+  * IS the hot loop — which is why it runs ONCE per corpus, at ingest, into
+  * the [[TokenIndex]] projection (the ES-inverted-index analog) that every
+  * token-consuming query reads instead of re-scanning raw text.
+  * Pair-generating ops (near-dup) key their shuffles on shingle/band
+  * buckets so candidate generation is distributed and no driver-side state
+  * exists.
   */
 object Text {
 
@@ -69,10 +72,10 @@ object Text {
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       // sh feeds three consumers (sizes + both join sides): persist once,
-      // don't re-run tokenize+shingle+distinct per reference. The
-      // intersection joins on the shingle's 64-bit hash — 8-byte shuffle
-      // keys instead of strings; collision odds ~n^2/2^64 are immaterial.
-      val sh = hashedShingles(T(s, d, "documents"), 3).persist()
+      // don't re-run shingle+distinct per reference. The intersection joins
+      // on the shingle's 64-bit hash — 8-byte shuffle keys instead of
+      // strings; collision odds ~n^2/2^64 are immaterial.
+      val sh = hashedShingles(TokenIndex.toks(s, d), 3).persist()
       val inter = sh.as("x").join(sh.as("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -91,7 +94,7 @@ object Text {
         |words AS (SELECT unnest(ws) AS w FROM toks)
         |SELECT w AS token, COUNT(*) AS n FROM words
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin) { (s, d) =>
-      T(s, d, "documents").select(explode(tokens(col("text"))).as("token"))
+      TokenIndex.words(s, d).select(col("w").as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)
     },
@@ -108,11 +111,11 @@ object Text {
         |SELECT tf.doc_id, ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
         |FROM tf JOIN df USING (w) GROUP BY 1
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val docs = T(s, d, "documents")
-      val n = docs.count()   // corpus stat: tiny driver scalar, standard two-pass
+      val toks = TokenIndex.toks(s, d)
+      val n = toks.count()   // corpus stat: tiny driver scalar, standard two-pass
       // tf is tiny (docs x 2 query terms) and feeds both aggregates:
-      // persist it so the tokenize+explode scan runs once.
-      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      // persist it so the index explode scan runs once.
+      val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
         .filter(col("w").isin("data", "stream"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
         .persist()
@@ -139,11 +142,10 @@ object Text {
         |FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id
         |GROUP BY 1 ORDER BY score DESC, tf.doc_id LIMIT 20""".stripMargin) { (s, d) =>
       // BM25 k1=1.2 b=0.75: corpus stats via one tiny agg, broadcast back.
-      // The tokenized projection feeds doc-lengths AND term frequencies:
-      // persist (doc_id, dl, tf-relevant tokens) once instead of running
-      // the tokenizer scan three times (dl stats, tf, df).
-      val toks = T(s, d, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      // The token index feeds doc-lengths AND term frequencies: persist
+      // (doc_id, dl, tf-relevant tokens) once instead of reading the index
+      // three times (dl stats, tf, df).
+      val toks = TokenIndex.toks(s, d)
         .select(col("doc_id"), size(col("ws")).as("dl"),
                 filter(col("ws"), w => w.isin("data", "stream")).as("qws"))
         .persist()
@@ -182,8 +184,7 @@ object Text {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val words = T(s, d, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val words = TokenIndex.words(s, d).select(col("doc_id"), col("w"))
       val hashed = words.groupBy(col("doc_id"), tokenHash(col("w")).as("h"))
         .agg(count(lit(1)).as("tf"))
       val bit = (col("h").cast("double") / pow(lit(2.0), col("i"))).cast("bigint") % 2
@@ -211,10 +212,9 @@ object Text {
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val en = Seq("the", "a", "of", "and", "to")
       val de = Seq("der", "die", "das", "und", "ist")
-      val toks = tokens(col("text"))
-      T(s, d, "documents").select(
-          size(filter(toks, w => w.isin(en: _*))).as("en_hits"),
-          size(filter(toks, w => w.isin(de: _*))).as("de_hits"))
+      TokenIndex.toks(s, d).select(
+          size(filter(col("ws"), w => w.isin(en: _*))).as("en_hits"),
+          size(filter(col("ws"), w => w.isin(de: _*))).as("de_hits"))
         .select(when(col("en_hits") === 0 && col("de_hits") === 0, "und")
                 .when(col("en_hits") >= col("de_hits"), "en")
                 .otherwise("de").as("lang_pred"))
@@ -277,7 +277,7 @@ object Text {
         |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |WHERE a.w = 'data' AND b.w = 'stream'
         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
-      shingles(T(s, d, "documents"), 2)
+      shinglesOf(TokenIndex.toks(s, d), 2)
         .filter(col("sh") === "data stream")
         .select(col("doc_id")).distinct().orderBy(col("doc_id"))
     },
@@ -288,7 +288,7 @@ object Text {
         |words AS (SELECT doc_id, unnest(ws) AS w FROM toks)
         |SELECT w AS token, COUNT(*) AS n FROM words
         |WHERE levenshtein(w, 'stream') <= 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      T(s, d, "documents").select(explode(tokens(col("text"))).as("token"))
+      TokenIndex.words(s, d).select(col("w").as("token"))
         .filter(levenshtein(col("token"), lit("stream")) <= 1)
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("token"))
@@ -313,8 +313,8 @@ object Text {
         |        (CAST(bgc AS DOUBLE) / (SELECT nbg FROM n)), 6) AS lift
         |FROM fg JOIN bg USING (w) WHERE fgc >= 3
         |ORDER BY lift DESC, term LIMIT 15""".stripMargin) { (s, d) =>
-      val words = T(s, d, "documents")
-        .select(col("doc_id"), col("lang"), explode(array_distinct(tokens(col("text")))).as("w"))
+      val words = TokenIndex.toks(s, d)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(col("ws"))).as("w"))
         .persist()   // feeds fg, bg, and the two corpus counts
       val counts = words
         .agg(countDistinct(when(col("lang") === "en", col("doc_id"))),
@@ -343,11 +343,11 @@ object Text {
         |FROM words JOIN qw USING (w) JOIN df USING (w)
         |WHERE doc_id <> 1 GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
-      val docs = T(s, d, "documents")
-      val n = docs.count()   // corpus stat: tiny driver scalar (as in q64)
+      val toks = TokenIndex.toks(s, d)
+      val n = toks.count()   // corpus stat: tiny driver scalar (as in q64)
       // words feeds three consumers (df, query terms, probe side)
-      val words = docs
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("w"))
+      val words = toks
+        .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
         .persist()
       val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val qw = words.filter(col("doc_id") === 1).select(col("w"))
@@ -383,8 +383,8 @@ object Text {
       // would wrap on documents past a few thousand tokens while DuckDB's
       // SUM(BIGINT) promotes to HUGEINT -> fp mismatch exactly on long
       // documents. Decimal sum matches the oracle's 128-bit arithmetic.
-      T(s, d, "documents")
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
         .select(col("doc_id"), ((col("pos") + 1) * tokenHash(col("w")))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("contrib"))
         .groupBy(col("doc_id"))
@@ -393,9 +393,10 @@ object Text {
     }
   )
 
-  /** Hashed distinct shingles per doc: `(doc_id, h)`. */
-  def hashedShingles(docs: DataFrame, k: Int): DataFrame =
-    shingles(docs, k).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+  /** Hashed distinct shingles per doc: `(doc_id, h)` from a `(doc_id, ws)`
+    * token projection (normally the [[TokenIndex]]). */
+  def hashedShingles(toks: DataFrame, k: Int): DataFrame =
+    shinglesOf(toks, k).select(col("doc_id"), xxhash64(col("sh")).as("h"))
 
   /** Score candidate pairs by exact Jaccard over the hashed shingle sets
     * and keep those >= threshold — the verification tail shared by the
@@ -410,13 +411,18 @@ object Text {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Distinct k-word shingles per document — built by the codegen'd
-    * WordShingles kernel (one static call per doc, not a Catalyst tree
-    * eval per shingle element). */
-  def shingles(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(graft.functions.vec.wordShingles(tokens(col("text")), k)).as("sh"))
+  /** Distinct k-word shingles per document from a `(doc_id, ws)` token
+    * projection — built by the codegen'd WordShingles kernel (one static
+    * call per doc, not a Catalyst tree eval per shingle element). */
+  def shinglesOf(toks: DataFrame, k: Int): DataFrame =
+    toks.select(col("doc_id"),
+        explode(graft.functions.vec.wordShingles(col("ws"), k)).as("sh"))
       .distinct()
+
+  /** Same from raw `(doc_id, text)` documents (tokenizes inline — tests and
+    * ad-hoc use; declared queries go through the [[TokenIndex]]). */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    shinglesOf(docs.select(col("doc_id"), tokens(col("text")).as("ws")), k)
 
   /** MinHash(64 perms) + banded LSH (8 bands x 8 rows) near-dup candidates,
     * verified with exact Jaccard — the sub-quadratic dedup path.
@@ -434,7 +440,7 @@ object Text {
     // Shingle strings are hashed to longs ONCE (xxhash64); the 64
     // permutations then derive from long-mixing, not 64 re-hashes of the
     // full string — at 100 TB the string bytes are touched exactly once.
-    val sh = hashedShingles(T(s, d, "documents"), 3).persist()
+    val sh = hashedShingles(TokenIndex.toks(s, d), 3).persist()
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // band key = hash of the band's rows; candidates collide in >=1 band
