@@ -23,14 +23,18 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").orderBy("n_nationkey")
       .write.format("noop").mode("overwrite").save()
 
-    // Ingest-time artifacts + harness staging (untimed): the token index is
-    // maintained by the ingest pipeline in production (the reference's ES
-    // analyzes text at WRITE time too — queries never re-analyze), and
-    // stream staging fabricates the file-stream dirs a deployment would
-    // already have. Neither is query-serving work, so both are built before
-    // timing starts and the per-query numbers measure serving only.
+    // Ingest-time artifacts + harness staging (excluded from per-query
+    // timing): the token index is maintained by the ingest pipeline in
+    // production (the reference's ES analyzes text at WRITE time too —
+    // queries never re-analyze), and stream staging fabricates the
+    // file-stream dirs a deployment would already have. Neither is
+    // query-serving work, so both run before timing starts — but their cost
+    // is measured and reported as the separate "ingest" field so the
+    // amortized write-path work stays visible in the bench line.
+    val ingest0 = System.nanoTime()
     graft.text.TokenIndex.ensure(spark, sfDir)
     graft.streaming.Streams.prestage(spark, sfDir)
+    val ingestSec = (System.nanoTime() - ingest0) / 1e9
 
     // q04 writes a json copy of lineitem — IO-bound, excluded from bench
     val skip = Set("q04_roundtrip")
@@ -51,7 +55,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ingest":$ingestSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, Entry, Relational, Scalars}
+import graft.queries.{Aggregates, Dialect, Entry, Geo, Relational, Scalars}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,15 +13,26 @@ import graft.queries.{Aggregates, Entry, Relational, Scalars}
   */
 object SparkEntry {
 
-  val allEntries: Seq[Entry] =
-    Relational.entries ++
-    Aggregates.entries ++
-    Scalars.entries ++
-    sync.SyncQueries.entries ++
-    streaming.Streams.entries ++
-    text.Text.entries ++
-    vector.Vectors.entries ++
-    multimodal.Multimodal.entries
+  val allEntries: Seq[Entry] = {
+    val declared =
+      Relational.entries ++
+      Aggregates.entries ++
+      Scalars.entries ++
+      Geo.entries ++
+      sync.SyncQueries.entries ++
+      streaming.Streams.entries ++
+      text.Text.entries ++
+      vector.Vectors.entries ++
+      multimodal.Multimodal.entries
+    // SQL entry path (SURVEY.md §3.4 C): entries without an explicit
+    // Spark-dialect twin get one derived from the oracle SQL by the
+    // mechanical rename bridge; SqlParitySpec executes every twin against
+    // the DataFrame plan, so a bad derivation cannot pass silently.
+    declared.map { e =>
+      if (e.sparkSqlOverride.nonEmpty) e
+      else e.oracle.map(o => e.sqlTwin(Dialect.duckToSpark(o))).getOrElse(e)
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mini-TPC-H-Q5: the 6-table join + revenue rollup. */

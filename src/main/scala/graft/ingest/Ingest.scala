@@ -53,9 +53,20 @@ object Ingest {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.sourceDir)
+    startFrom(spark, stream, cfg)
+  }
+
+  /** The source seam: start the identical flatten+merge pipeline from ANY
+    * streaming change-log source carrying the [[ChangeLog.schema]] columns
+    * — a Kafka topic (`spark.readStream.format("kafka")` + a from_json
+    * projection), an HBase-replication bridge, or a MemoryStream in tests.
+    * [[start]]'s file source is one instance of this seam; nothing
+    * downstream (flatten, merge, checkpointing, doc-table layout) knows
+    * which source kind feeds it. IngestSpec runs the same doc-table oracle
+    * through two source kinds to pin the seam's contract. */
+  def startFrom(spark: SparkSession, stream: DataFrame, cfg: SyncConfig): StreamingQuery =
     DocSync.startStream(spark, stream, cfg.stateDir, cfg.checkpointDir,
       cfg.numBuckets, cfg.trigger)
-  }
 
   /** Stop the trigger loop and wait for termination. An in-flight batch is
     * interrupted, NOT drained — it left no committed state (versions

@@ -229,7 +229,15 @@ object Aggregates {
         .agg(array_join(transform(sort_array(collect_list(col("c_custkey"))),
                                   _.cast("string")), ",").as("top5"))
         .orderBy(col("c_mktsegment"))
-    },
+    }.sqlTwin(
+      // structural gap: DuckDB string_agg(... ORDER BY ...) — Spark
+      // aggregates take no ORDER BY, so sort the collected list instead
+      """SELECT c_mktsegment,
+        |  array_join(transform(sort_array(collect_list(c_custkey)), x -> CAST(x AS STRING)), ',') AS top5
+        |FROM (SELECT c_mktsegment, c_custkey,
+        |        row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+        |      FROM customer) WHERE rn <= 5
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
     // ---- window functions (Q33-Q37) ----
     Entry("q33_rank",
@@ -317,11 +325,14 @@ object Aggregates {
         |  SELECT o_orderkey, o_totalprice,
         |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
         |WHERE rn BETWEEN 11 AND 20 ORDER BY rn""".stripMargin) { (s, d) =>
-      // page-2: global row_number — single-partition window, only viable
-      // because the pre-limit is tiny; real paging at scale keys on the sort
-      // column of the previous page (seek method).
+      // ES from+size paging: the wanted prefix is bounded (from+size = 20
+      // rows), so fetch it with TakeOrderedAndProject (per-partition top-20,
+      // tiny merge — no full-table single-partition window) and number rows
+      // only inside that bounded set. Deep-paging cost grows with from+size
+      // exactly as in ES; unbounded iteration is q86's keyset pager.
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
       T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
         .withColumn("rn", row_number().over(w).cast("int"))
         .filter(col("rn").between(11, 20)).orderBy(col("rn"))
     },
@@ -332,6 +343,24 @@ object Aggregates {
       // Spark plans TakeOrderedAndProject: per-partition top-5, tiny merge.
       T(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")).limit(5)
+    },
+
+    // ES composite-aggregation analog: keyset-paged bucket iteration. The
+    // `after` cursor is a tuple-compare filter on the BUCKET KEY evaluated
+    // below the aggregation — rows before the cursor are dropped at the
+    // scan (pushable predicate), the agg shuffles only surviving groups,
+    // and the page itself is TakeOrderedAndProject over group rows. No
+    // global window, no single-partition funnel (contrast q39_paging's
+    // bounded from+size page); iterating all buckets re-runs with the last
+    // emitted (lang, source) as the next cursor, exactly ES's `after`.
+    Entry("q86_composite_agg",
+      """SELECT lang, source, COUNT(*) AS n FROM documents
+        |WHERE lang > 'de' OR (lang = 'de' AND source > 'src2')
+        |GROUP BY 1, 2 ORDER BY lang, source LIMIT 5""".stripMargin) { (s, d) =>
+      T(s, d, "documents")
+        .filter(col("lang") > "de" || (col("lang") === "de" && col("source") > "src2"))
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("source")).limit(5)
     }
   )
 }

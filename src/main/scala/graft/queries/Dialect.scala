@@ -1,0 +1,61 @@
+package graft.queries
+
+/** DuckDB→Spark SQL bridge for the SQL entry path (SURVEY.md §3.4 C).
+  *
+  * Each declared query carries ONE oracle SQL (DuckDB executes it for the
+  * driver's hash compare). Most of that SQL is dialect-shared; where it is
+  * not, the differences are almost all pure FUNCTION RENAMES with identical
+  * semantics and argument order. This bridge applies those renames as
+  * ordered LITERAL substitutions so the `spark.sql` twin is derived from
+  * the same source of truth instead of hand-maintaining ~40 near-identical
+  * statements. Entries whose twin differs STRUCTURALLY (1-based indexing,
+  * aggregate ORDER BY, correlated LIMIT 1, grouped generators, ...) set an
+  * explicit `Entry.sqlTwin` override instead — the bridge never runs on
+  * those.
+  *
+  * Every derived twin is executed and compared row-for-row against the
+  * DataFrame entry by SqlParitySpec, so a bad rewrite cannot pass silently.
+  */
+object Dialect {
+
+  /** Spark twin of [[graft.text.Text.tokensSql]] (same analyzer: lowercase,
+    * strip non-alphanumerics, split, drop empties — Spark's regexp_replace
+    * is global by default, no 'g' flag). */
+  val tokensSparkSql: String =
+    "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), w -> w <> '')"
+
+  private lazy val rules: Seq[(String, String)] = Seq(
+    // composite fragments first (they contain tokens the generic rules
+    // would otherwise corrupt)
+    graft.text.Text.tokenHashSql -> "token_hash(w)",   // the registered kernel
+    graft.text.Text.tokensSql -> tokensSparkSql,
+    "unnest(ws) AS w, unnest(range(len(ws))) AS pos" -> "posexplode(ws) AS (pos, w)",
+    "(SELECT unnest(range(16)) AS i) g" -> "(SELECT explode(sequence(0, 15)) AS i) g",
+    "(h >> i) & 1 = 1" -> "(h div CAST(pow(2, i) AS BIGINT)) % 2 = 1",
+    "1 << i" -> "CAST(pow(2, i) AS BIGINT)",
+    ", 'g')" -> ")",                       // DuckDB regexp_replace global flag
+    // generic function renames (identical semantics + argument order)
+    "list_filter" -> "filter",
+    "string_split" -> "split",
+    "unnest(" -> "explode(",
+    "len(" -> "size(",
+    "strpos" -> "instr",
+    "regexp_matches" -> "regexp_like",
+    "quantile_cont" -> "percentile",
+    "list_min" -> "array_min",
+    "list_max" -> "array_max",
+    "list_sort" -> "sort_array",
+    "list_transform" -> "transform",
+    "json_extract_string" -> "get_json_object",
+    "epoch_us(" -> "unix_micros(",
+    "make_timestamp(" -> "timestamp_micros(",
+    " // " -> " div ",                     // integer division
+    "VARCHAR" -> "STRING",
+    "arg_max(" -> "max_by(",
+    "BLOB" -> "BINARY")
+
+  /** Derive the Spark twin of an oracle statement. Identity for SQL that is
+    * already dialect-shared. */
+  def duckToSpark(sql: String): String =
+    rules.foldLeft(sql) { case (acc, (from, to)) => acc.replace(from, to) }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Geo query surface — the ES 6.3 geo DSL analogs (`geo_distance`,
+  * `geo_bounding_box`, `geohash_grid`), the reference's delivered search
+  * engine supports these out of the box (provenance: pom.xml:36-46 pins
+  * ES 6.3, whose core DSL includes the geo family).
+  *
+  * The fixtures carry no geo columns, so coordinates are SYNTHESIZED
+  * deterministically from `c_custkey` with integer arithmetic — the same
+  * SQL fragment is fed verbatim to the Spark side (`expr`) and the DuckDB
+  * oracle, so both engines run identical math and the hash compare is
+  * exact. On a real deployment the derivation seam is replaced by real
+  * lat/lon columns and everything downstream is unchanged.
+  *
+  * Scale posture: all three are scan + pushable-filter + hash-agg shapes —
+  * no joins, no windows. The geohash encoder is pure div/mod integer
+  * arithmetic (a standard MSB-first lon/lat bit interleave, base32
+  * alphabet), fully inside whole-stage codegen; at 100 TB a geohash_grid
+  * is one map-side-combinable aggregation keyed by the cell string.
+  */
+object Geo {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Synthetic coordinates: lat in [-90, 90), lon in [-180, 180), two
+    * decimal digits, from the customer key (BIGINT math — no overflow).
+    * The explicit DOUBLE cast pins BOTH engines to IEEE double division:
+    * without it DuckDB reads `100.0` as DECIMAL and computes exactly,
+    * diverging from Spark's double result in the low bits. */
+  val latSql = "CAST(CAST(c_custkey AS BIGINT) * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0"
+  val lonSql = "CAST(CAST(c_custkey AS BIGINT) * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0"
+
+  /** Haversine distance (km) from (10, 20) — mean-earth-radius 6371.0088.
+    * One fragment, both engines. */
+  val distSql: String =
+    """2 * 6371.0088 * asin(sqrt(
+      |  pow(sin(radians(lat - 10.0) / 2), 2) +
+      |  cos(radians(lat)) * cos(radians(10.0)) * pow(sin(radians(lon - 20.0) / 2), 2)
+      |))""".stripMargin.replace("\n", " ")
+
+  /** Geohash cell id at precision `p` (5 bits/char, even bit positions from
+    * the MSB are longitude — the standard encoding) as a single integer
+    * expression over the scaled-integer coordinates; `idiv` is the
+    * engine's integer-division operator (Spark `div`, DuckDB `//`).
+    * Bit extraction is div/mod arithmetic, not engine bit operators, so
+    * the fragment parses identically in both dialects. */
+  def geohashBitsSql(idiv: String, p: Int): String = {
+    val lonBits = (5 * p + 1) / 2
+    val latBits = 5 * p / 2
+    val latK = "(CAST(c_custkey AS BIGINT) * 7919 % 18000)"
+    val lonM = "(CAST(c_custkey AS BIGINT) * 104729 % 36000)"
+    val ilat = s"($latK * ${1L << latBits} $idiv 18000)"
+    val ilon = s"($lonM * ${1L << lonBits} $idiv 36000)"
+    (0 until 5 * p).map { j =>
+      val (src, bit) =
+        if (j % 2 == 0) (ilon, lonBits - 1 - j / 2) else (ilat, latBits - 1 - (j - 1) / 2)
+      s"(($src $idiv ${1L << bit}) % 2) * ${1L << (5 * p - 1 - j)}"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Base32 rendering of a precomputed `bits` column at precision `p`. */
+  def geohashCharsSql(idiv: String, p: Int): String =
+    (0 until p).map { c =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST((bits $idiv ${1L << (5 * (p - 1 - c))}) % 32 AS INT) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+
+  private val ghPrecision = 3
+
+  val entries: Seq[Entry] = Seq(
+
+    // ES geo_distance: customers within 2000 km of the query point. The
+    // rounded distance is projected; the FILTER uses the unrounded value
+    // (ES filters on true distance too).
+    Entry("q87_geo_distance",
+      s"""WITH g AS (SELECT c_custkey, $latSql AS lat, $lonSql AS lon FROM customer)
+        |SELECT c_custkey, ROUND($distSql, 3) AS dist_km
+        |FROM g WHERE $distSql <= 2000 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T(s, d, "customer")
+        .select(col("c_custkey"), expr(latSql).as("lat"), expr(lonSql).as("lon"))
+        .filter(expr(distSql) <= 2000)
+        .select(col("c_custkey"), round(expr(distSql), 3).as("dist_km"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ES geo_bounding_box: pure range predicate on both axes — pushes to
+    // the scan once lat/lon are real columns.
+    Entry("q88_geo_bbox",
+      s"""WITH g AS (SELECT c_custkey, $latSql AS lat, $lonSql AS lon FROM customer)
+        |SELECT c_custkey, lat, lon FROM g
+        |WHERE lat BETWEEN -30 AND 30 AND lon BETWEEN 50 AND 120
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T(s, d, "customer")
+        .select(col("c_custkey"), expr(latSql).as("lat"), expr(lonSql).as("lon"))
+        .filter(col("lat").between(-30, 30) && col("lon").between(50, 120))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ES geohash_grid: bucket count per geohash cell (precision 3).
+    Entry("q89_geohash_grid",
+      s"""WITH b AS (SELECT ${geohashBitsSql("//", ghPrecision)} AS bits FROM customer),
+        |g AS (SELECT ${geohashCharsSql("//", ghPrecision)} AS gh FROM b)
+        |SELECT gh, COUNT(*) AS n FROM g GROUP BY 1 ORDER BY gh""".stripMargin) { (s, d) =>
+      T(s, d, "customer")
+        .select(expr(geohashBitsSql("div", ghPrecision)).as("bits"))
+        .select(expr(geohashCharsSql("div", ghPrecision)).as("gh"))
+        .groupBy(col("gh")).agg(count(lit(1)).as("n"))
+        .orderBy(col("gh"))
+    }
+  )
+}

@@ -170,7 +170,14 @@ object Relational {
         .select(col("event_id"), col("user_id"),
                 unix_micros(col("ts")).as("ts_us"), col("asof").as("click_id"))
         .orderBy(col("event_id"))
-    },
+    }.sqlTwin(
+      // structural gap: the oracle's correlated ORDER BY + LIMIT 1 scalar
+      // subquery — Spark wants an aggregated scalar subquery (max_by over
+      // the same (ts, event_id) order)
+      """SELECT p.event_id, p.user_id, unix_micros(p.ts) AS ts_us,
+        |  (SELECT max_by(c.event_id, struct(c.ts, c.event_id)) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin),
 
     Entry("q18_interval_join",
       """SELECT e1.event_id, COUNT(*) AS n FROM events e1 JOIN events e2

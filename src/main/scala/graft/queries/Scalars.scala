@@ -112,7 +112,21 @@ object Scalars {
         unix_timestamp(col("o_orderdate")).as("unix_s"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"))
         .orderBy(col("o_orderkey"))
-    },
+    }.sqlTwin(
+      // structural dialect gaps: DuckDB datediff takes a unit, dayofweek is
+      // 0-based, epoch()/strftime() rename to unix_timestamp/date_format
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) - 1 AS INT) AS dow,
+        |  date_add(CAST(o_orderdate AS DATE), 7) AS plus7,
+        |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT) AS dd,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(unix_timestamp(o_orderdate) AS BIGINT) AS unix_s,
+        |  date_format(o_orderdate, 'yyyy-MM-dd') AS fmt
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
 
     Entry("q46_math_funcs",
       """SELECT l_orderkey, l_linenumber,
@@ -184,7 +198,18 @@ object Scalars {
               (acc, x) => acc + x.cast("double")), 4).as("tot"),
         round(element_at(sort_array(col("embedding")), 2).cast("double"), 6).as("second_min"))
         .orderBy(col("vec_id"))
-    },
+    }.sqlTwin(
+      // structural gaps: DuckDB's 1-based [] vs element_at, UNNEST-subquery
+      // sum vs the aggregate() lambda
+      """SELECT vec_id,
+        |  CAST(size(embedding) AS INT) AS dim,
+        |  ROUND(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS e1,
+        |  ROUND(CAST(array_min(embedding) AS DOUBLE), 6) AS mn,
+        |  ROUND(CAST(array_max(embedding) AS DOUBLE), 6) AS mx,
+        |  CAST(size(filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  ROUND(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)), 4) AS tot,
+        |  ROUND(CAST(element_at(sort_array(embedding), 2) AS DOUBLE), 6) AS second_min
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
 
     Entry("q50_json",
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod, COUNT(*) AS n

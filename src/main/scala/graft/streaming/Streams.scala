@@ -73,7 +73,7 @@ object Streams {
   private val splitCache = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   private def stageSplit(s: SparkSession, dir: String, table: String, key: String,
-                         preds: Seq[org.apache.spark.sql.Column]): String =
+                         preds: => Seq[org.apache.spark.sql.Column]): String =
     splitCache.getOrElseUpdate((dir, table, key), {
       val tmp = newStageDir(s"graft_stream2_$table")
       val df = Tables(s, dir, table)
@@ -82,16 +82,19 @@ object Streams {
     })
 
   /** q55's three-way split staging (evens, on-time odds, late odds) — shared
-    * by the entry and [[prestage]] so the split predicates live in one place. */
-  private def stageQ55(s: SparkSession, d: String): String = {
-    val events = Tables(s, d, "events")
-    val wm1 = events.filter(col("event_id") % 2 === 0)
-      .agg(max(col("ts")) - expr("INTERVAL 1 HOUR")).collect()(0).getTimestamp(0)
-    val even = col("event_id") % 2 === 0
-    val windowOpen = date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") > lit(wm1)
-    stageSplit(s, d, "events", "q55_watermark_3way",
-      Seq(even, !even && windowOpen, !even && !windowOpen))
-  }
+    * by the entry and [[prestage]] so the split predicates live in one place.
+    * The watermark derivation (a full events scan) sits inside the by-name
+    * `preds` argument, so a memoized cache hit pays neither the scan nor the
+    * staging — prestage makes the timed q55 entry a pure lookup. */
+  private def stageQ55(s: SparkSession, d: String): String =
+    stageSplit(s, d, "events", "q55_watermark_3way", {
+      val events = Tables(s, d, "events")
+      val wm1 = events.filter(col("event_id") % 2 === 0)
+        .agg(max(col("ts")) - expr("INTERVAL 1 HOUR")).collect()(0).getTimestamp(0)
+      val even = col("event_id") % 2 === 0
+      val windowOpen = date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") > lit(wm1)
+      Seq(even, !even && windowOpen, !even && !windowOpen)
+    })
 
   /** Pre-build every staged stream-source dir (bench hygiene, VERDICT r3 #7):
     * staging is harness machinery that converts a static table into the
@@ -154,7 +157,14 @@ object Streams {
         .groupBy(window(col("ts"), "1 hour", "15 minutes")).agg(count(lit(1)).as("n"))
       runToMemory(agg, OutputMode.Complete())
         .select(unix_micros(col("window.start")).as("ws"), col("n")).orderBy(col("ws"))
-    },
+    }.sqlTwin(
+      // structural gap: DuckDB time_bucket + VALUES table — express the
+      // 15-min bucket as integer micros arithmetic, the slide offsets via
+      // explode(sequence(...))
+      """SELECT (unix_micros(ts) div 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000 AS ws,
+        |       COUNT(*) AS n
+        |FROM events CROSS JOIN (SELECT explode(sequence(0, 3)) AS k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     Entry("q54_session_window",
       """WITH o AS (

@@ -263,7 +263,13 @@ object Text {
           size(tokens(col("text"))).as("n_ws"),
           size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe"))
         .orderBy(col("doc_id"))
-    },
+    }.sqlTwin(
+      // structural gap: Spark regexp_extract_all needs the explicit group-0
+      // argument (DuckDB returns the full match by default)
+      s"""SELECT doc_id,
+        |  CAST(size(${graft.queries.Dialect.tokensSparkSql}) AS INT) AS n_ws,
+        |  CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS INT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ---- further ES query-DSL analogs (beyond the survey minimum) ----
 
@@ -280,7 +286,15 @@ object Text {
       shinglesOf(TokenIndex.toks(s, d), 2)
         .filter(col("sh") === "data stream")
         .select(col("doc_id")).distinct().orderBy(col("doc_id"))
-    },
+    }.sqlTwin(
+      // structural gap: Spark won't resolve the pre-DISTINCT alias
+      // `a.doc_id` in ORDER BY — sort by the projected name instead
+      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, posexplode(ws) AS (pos, w) FROM toks)
+        |SELECT DISTINCT a.doc_id AS doc_id FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.w = 'data' AND b.w = 'stream'
+        |ORDER BY doc_id""".stripMargin),
 
     // ES fuzzy query: terms within edit distance 1 of the query term
     Entry("q75_fuzzy_match",
@@ -328,7 +342,21 @@ object Text {
                 round((col("fgc").cast("double") / nfg) /
                       (col("bgc").cast("double") / nbg), 6).as("lift"))
         .orderBy(col("lift").desc, col("term")).limit(15)
-    },
+    }.sqlTwin(
+      // structural gap: generator under SELECT DISTINCT (as in q76's twin)
+      s"""WITH words AS (
+        |  SELECT DISTINCT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang, explode(${graft.queries.Dialect.tokensSparkSql}) AS w
+        |        FROM documents)),
+        |fg AS (SELECT w, COUNT(*) AS fgc FROM words WHERE lang = 'en' GROUP BY 1),
+        |bg AS (SELECT w, COUNT(*) AS bgc FROM words GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS nfg,
+        |             COUNT(DISTINCT doc_id) AS nbg FROM words)
+        |SELECT w AS term, CAST(fgc AS BIGINT) AS fg_docs,
+        |  ROUND((CAST(fgc AS DOUBLE) / (SELECT nfg FROM n)) /
+        |        (CAST(bgc AS DOUBLE) / (SELECT nbg FROM n)), 6) AS lift
+        |FROM fg JOIN bg USING (w) WHERE fgc >= 3
+        |ORDER BY lift DESC, term LIMIT 15""".stripMargin),
 
     // ES more_like_this: rank other docs by summed IDF of the distinct
     // terms they share with the query document (MLT's core scoring,
@@ -357,6 +385,54 @@ object Text {
         .groupBy(col("doc_id"))
         .agg(round(sum(log(lit(n.toDouble) / col("df"))), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }.sqlTwin(
+      // structural gap: Spark disallows a generator directly under
+      // SELECT DISTINCT — explode in a subquery, distinct above it
+      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
+        |words AS (SELECT DISTINCT doc_id, w
+        |          FROM (SELECT doc_id, explode(ws) AS w FROM toks)),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |df AS (SELECT w, COUNT(*) AS df FROM words GROUP BY 1),
+        |qw AS (SELECT w FROM words WHERE doc_id = 1)
+        |SELECT doc_id, ROUND(SUM(ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
+        |FROM words JOIN qw USING (w) JOIN df USING (w)
+        |WHERE doc_id <> 1 GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+    // ES `match` + `minimum_should_match` (the single most-used ES query;
+    // reference delivers it via the ES 6.3 DSL, pom.xml:36-46): the
+    // analyzer splits the query text into terms, each term is an OR'd
+    // SHOULD clause, a doc qualifies when it matches >= M of the N terms
+    // (minimum_should_match=2 of 3 here), and the score is the sum of the
+    // matched terms' TF-IDF contributions. Reuses the TokenIndex — tf is
+    // tiny (docs x 3 query terms), df broadcasts back.
+    Entry("q85_match",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+        |       WHERE w IN ('data', 'stream', 'join') GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
+        |FROM tf JOIN df USING (w) GROUP BY 1
+        |HAVING COUNT(DISTINCT tf.w) >= 2
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("data", "stream", "join")
+      val toks = TokenIndex.toks(s, d)
+      val n = toks.count()   // corpus stat: tiny driver scalar (as in q64)
+      val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .persist()   // feeds df and the scoring join
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "w")
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"),
+             countDistinct(col("w")).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
     },
 
     // ES highlight: snippet window around the first hit of the query term
@@ -390,7 +466,15 @@ object Text {
         .groupBy(col("doc_id"))
         .agg((sum(col("contrib")) % 2305843009213693951L).cast("bigint").as("fp"))
         .orderBy(col("doc_id"))
-    }
+    }.sqlTwin(
+      // structural gap: DuckDB SUM(BIGINT) promotes to HUGEINT; the Spark
+      // twin must sum in DECIMAL(38,0) like the DataFrame plan or long
+      // documents wrap
+      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, posexplode(ws) AS (pos, w) FROM toks)
+        |SELECT doc_id,
+        |  CAST(SUM(CAST((pos + 1) * token_hash(w) AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS fp
+        |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   /** Hashed distinct shingles per doc: `(doc_id, h)` from a `(doc_id, ws)`
@@ -433,14 +517,35 @@ object Text {
     * and without it the tokenize+shingle+distinct pipeline runs 4x. Band
     * buckets come from ONE pass over the signature row (explode of 8
     * (band, bucket) structs), not 8 union branches that each re-aggregate. */
-  def minhashNearDups(s: SparkSession, d: String): DataFrame = {
-    val numPerm = 64
-    val bands = 8
-    val rows = numPerm / bands
+  def minhashNearDups(s: SparkSession, d: String, maxBucket: Int = 1000): DataFrame = {
     // Shingle strings are hashed to longs ONCE (xxhash64); the 64
     // permutations then derive from long-mixing, not 64 re-hashes of the
     // full string — at 100 TB the string bytes are touched exactly once.
     val sh = hashedShingles(TokenIndex.toks(s, d), 3).persist()
+    val cands = lshCandidates(sh, 64, 8, maxBucket)
+    // exact Jaccard on candidates only — intersected on the 64-bit shingle
+    // hashes (collision odds ~n^2/2^64: immaterial, and the candidate set
+    // is verified, not the contract surface)
+    val inter = sh.as("a").join(cands, col("a.doc_id") === col("doc_a"))
+      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.h") === col("b.h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    jaccardScored(sh, inter, 0.2)
+  }
+
+  /** Banded-LSH candidate pairs `(doc_a, doc_b)` from a hashed-shingle set.
+    *
+    * Hot-bucket guard: the candidate self-join is quadratic PER BUCKET, so
+    * one degenerate bucket (boilerplate shared by a million docs) would
+    * dominate the whole job. Buckets holding more than `maxBucket` docs are
+    * excluded from the pair join — at 8-row bands an unrelated pair
+    * collides with probability ~2^-64 per band, so an oversized bucket
+    * means a near-identical clique, whose members pairwise-report is
+    * O(m^2) OUTPUT no matter the algorithm; that clique belongs to exact
+    * dedup (q60) upstream, not the near-dup pair report. The oversized
+    * list itself is tiny (only buckets past the cap), hence the broadcast
+    * anti-join. */
+  def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val rows = numPerm / bands
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     // band key = hash of the band's rows; candidates collide in >=1 band
@@ -451,16 +556,13 @@ object Text {
     val bandRows = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .persist()
-    val cands = bandRows.as("x").join(bandRows.as("y"),
+    val hot = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val safe = bandRows.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    safe.as("x").join(safe.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    // exact Jaccard on candidates only — intersected on the 64-bit shingle
-    // hashes (collision odds ~n^2/2^64: immaterial, and the candidate set
-    // is verified, not the contract surface)
-    val inter = sh.as("a").join(cands, col("a.doc_id") === col("doc_a"))
-      .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("a.h") === col("b.h"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    jaccardScored(sh, inter, 0.2)
   }
 }

@@ -32,9 +32,24 @@ object TokenIndex {
 
   private val cache = TrieMap.empty[String, String]
 
+  /** Cache key carries the source parquet's (mtime, size) fingerprint so a
+    * rewritten documents.parquet under the same dir invalidates the staged
+    * index instead of silently serving stale tokens (the fixtures are
+    * immutable in practice; this is cheap insurance, not a full catalog). */
+  private def key(dir: String): String = {
+    def stat(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.map(stat).foldLeft((0L, 0L)) {
+          case ((m, sz), (m2, sz2)) => (math.max(m, m2), sz + sz2)
+        }
+      else (f.lastModified, f.length)
+    val (m, sz) = stat(new java.io.File(s"$dir/documents.parquet"))
+    s"$dir@$m:$sz"
+  }
+
   /** The tokenized projection for a corpus dir (built on first use). */
   def toks(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(cache.getOrElseUpdate(dir, {
+    s.read.parquet(cache.getOrElseUpdate(key(dir), {
       val tmp = Files.createTempDirectory("graft_tokidx").toString
       sys.addShutdownHook(graft.core.Fs.deleteRecursively(new java.io.File(tmp)))
       Tables(s, dir, "documents")

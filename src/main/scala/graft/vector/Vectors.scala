@@ -89,7 +89,22 @@ object Vectors {
         |SELECT q_id, vec_id, cos_r, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin) { (s, d) =>
       topK(T(s, d, "embeddings"), Seq(1, 2, 3), 5)
-    },
+    }.sqlTwin(
+      // structural gap: list_cosine_similarity — the SQL path goes through
+      // the registered vec_dot kernel with the same precomputed norms the
+      // DataFrame plan uses, so the float arithmetic is identical
+      """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+        |                  sqrt(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                               CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id IN (1, 2, 3)),
+        |c AS (SELECT q_id, vec_id, ROUND(vec_dot(v, qv) / (nrm * qnrm), 6) AS cos_r
+        |      FROM e JOIN q ON vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos_r,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |             ORDER BY cos_r DESC, vec_id) AS INT) AS rn FROM c)
+        |SELECT q_id, vec_id, cos_r, rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin),
 
     // vector norms / arithmetic as first-class columns
     Entry("q62_vector_stats",
@@ -103,7 +118,14 @@ object Vectors {
           round(norm(v), 6).as("l2"),
           round(dot(v, transform(v, _ => lit(1.0))) / size(col("embedding")), 6).as("mean"))
         .orderBy(col("vec_id"))
-    },
+    }.sqlTwin(
+      """SELECT vec_id,
+        |  ROUND(sqrt(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                     CAST(embedding AS ARRAY<DOUBLE>))), 6) AS l2,
+        |  ROUND(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(1.0 AS DOUBLE)))
+        |        / size(embedding), 6) AS mean
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
 
     // embedding near-dup: same-label candidate blocking + cosine threshold.
     // Norms precomputed once per row; one codegen'd dot per candidate pair.
@@ -127,7 +149,18 @@ object Vectors {
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
         .orderBy(col("id_a"), col("id_b"))
-    },
+    }.sqlTwin(
+      // mirrors the DataFrame plan exactly (vec_dot + precomputed norms)
+      // so the doubles are bit-identical on both entry paths
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+        |                  sqrt(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                               CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+        |           FROM embeddings)
+        |SELECT id_a, id_b, ROUND(cos, 6) AS cos_r FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         vec_dot(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin),
 
     // ANN: random-hyperplane LSH — engine-specific buckets => bench-only;
     // tests assert recall in its design regime (planted near-dups).
@@ -159,7 +192,8 @@ object Vectors {
     * cells hold millions of vectors each.
     */
   def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int,
-             nlist: Int = 16, nprobe: Int = 6, iters: Int = 3): DataFrame = {
+             nlist: Int = 16, nprobe: Int = 6, iters: Int = 3,
+             trainCap: Int = 100000): DataFrame = {
     val e = withNorm(emb).persist()
     val spark = emb.sparkSession
     import spark.implicits._
@@ -171,10 +205,10 @@ object Vectors {
     // nlist=16), while this join's expression is small and stable, and at
     // real nlist (~sqrt N) an inlined-literal expression is impossible
     // anyway.
-    def assign(cents: Array[Array[Double]]): DataFrame = {
+    def assign(rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
       val centDf = broadcast(
         cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
-      e.crossJoin(centDf)
+      rows.crossJoin(centDf)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
                 cosine(col("v"), col("cv")).as("s"))
         .groupBy(col("vec_id"))
@@ -182,8 +216,21 @@ object Vectors {
              any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
     }
 
+    // Train the coarse quantizer on a BOUNDED sample (the standard IVF
+    // recipe): Lloyd rounds re-assign only the sample, so training is
+    // O(iters x trainCap) regardless of corpus size, and the full corpus is
+    // moved exactly once — by the final assignment pass below. Deterministic
+    // seed keeps centroids (and thus bench-only output) replay-stable. A
+    // k-means quantizer trained on a uniform ~100k sample is statistically
+    // indistinguishable from full-corpus training for nlist << sample.
+    val n = e.count()
+    val train =
+      if (n <= trainCap) e
+      else e.sample(withReplacement = false,
+                    math.min(1.0, trainCap * 1.2 / n), seed = 42L).limit(trainCap)
+
     // deterministic init: first nlist vectors by vec_id (TakeOrdered — no
-    // full collect, no global count; Lloyd rounds correct any init bias)
+    // full collect; Lloyd rounds correct any init bias)
     val cents: Array[Array[Double]] = e.orderBy("vec_id").select("v")
       .limit(nlist).as[Seq[Double]].collect().map(_.toArray)
 
@@ -191,7 +238,7 @@ object Vectors {
       // element-wise mean per cell: posexplode -> ONE (cell, pos) hash agg
       // (map-side combinable); the nlist x dim result is the tiny
       // driver-side collect
-      val next = assign(cents).select(col("cell"), posexplode(col("v")))
+      val next = assign(train, cents).select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .as[(Int, Int, Double)].collect()
       next.groupBy(_._1).foreach { case (cell, rows) =>
@@ -199,7 +246,7 @@ object Vectors {
       }
     }
 
-    val assigned = assign(cents)
+    val assigned = assign(e, cents)
     val qrows = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .collect()

@@ -59,6 +59,33 @@ class IngestSpec extends GraftSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("source seam: a memory-stream source runs the identical pipeline and oracle") {
+    // Proves the "any change-log source drops in here" claim (the
+    // reference is pinned to the coprocessor hook; our pipeline is
+    // source-agnostic): the SAME flatten+merge+doc-table path fed by a
+    // MemoryStream must reproduce the batch-fold oracle that the
+    // file-source test above pins.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val log = ChangeLog.fromEvents(Tables(spark, sf, "events"))
+    val ms = MemoryStream[ChangeLog.ChangeEvent]
+    ms.addData(log.as[ChangeLog.ChangeEvent].collect().toIndexedSeq)
+
+    val cfg = Ingest.SyncConfig(
+      sourceDir = "<memory>",   // unused by startFrom — the seam replaces it
+      stateDir = Files.createTempDirectory("graft_mem_state").toString,
+      checkpointDir = Files.createTempDirectory("graft_mem_ckpt").toString,
+      trigger = Trigger.AvailableNow())
+
+    val q = Ingest.startFrom(spark, ms.toDF(), cfg)
+    q.awaitTermination()
+    val got = DocSync.flattenDocs(Ingest.docTable(spark, cfg)).collect().toSeq
+    val want = DocSync.flattenDocs(DocSync.fold(log)).collect().toSeq
+    assert(got === want)
+  }
+
   test("graceful stop loses nothing: restart drains the remainder") {
     import spark.implicits._
     import graft.model.ChangeLog.{Cell, ChangeEvent}

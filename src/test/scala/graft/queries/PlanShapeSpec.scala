@@ -56,6 +56,19 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("vec_dot"), s"expected vec_dot in plan:\n$p")
   }
 
+  test("q86_composite_agg: keyset pager has no window operator; cursor filter pushed") {
+    val p = planOf("q86_composite_agg")
+    assert(!p.contains("Window"), s"keyset paging must not plan a window:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("TakeOrderedAndProject"),
+      s"expected pushed cursor filter + top-n page:\n$p")
+  }
+
+  test("q39_paging: bounded page fetched via TakeOrderedAndProject, not a full-table window") {
+    val p = planOf("q39_paging")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the from+size prefix via TakeOrderedAndProject:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.

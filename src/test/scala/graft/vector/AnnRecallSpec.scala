@@ -64,4 +64,18 @@ class AnnRecallSpec extends GraftSuite {
     assert(recall >= 0.9, s"MinHash recall $recall < 0.9")
     spark.catalog.clearCache()   // minhashNearDups persists its shingle set
   }
+
+  test("LSH hot-bucket cap keeps the candidate join sub-quadratic") {
+    import spark.implicits._
+    import graft.text.Text
+    // planted hot bucket: 40 docs with IDENTICAL shingle sets (identical
+    // signatures -> same bucket in every band) + 20 distinct singleton docs
+    val clique = for (d <- 1L to 40L; h <- Seq(1L, 2L, 3L, 4L, 5L)) yield (d, h)
+    val normal = for (d <- 101L to 120L; h <- Seq(d * 100, d * 100 + 1)) yield (d, h)
+    val sh = (clique ++ normal).toDF("doc_id", "h")
+    val uncapped = Text.lshCandidates(sh, 64, 8, maxBucket = 1000).count()
+    assert(uncapped >= 40L * 39 / 2, s"clique pairs missing uncapped: $uncapped")
+    val capped = Text.lshCandidates(sh, 64, 8, maxBucket = 10).count()
+    assert(capped == 0, s"hot bucket leaked $capped candidate pairs past the cap")
+  }
 }
