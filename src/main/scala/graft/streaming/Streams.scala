@@ -116,13 +116,27 @@ object Streams {
     s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
   }
 
-  /** Run a streaming DF to a memory sink until drained; return the table. */
+  /** Run a streaming DF to a memory sink until drained; return the table.
+    *
+    * State-partition sizing: stateful operators create one state store per
+    * shuffle partition and commit every store every micro-batch, so the
+    * per-batch floor cost is O(partitions) REGARDLESS of state size. The
+    * session default (32) is a batch-shuffle setting; for these streams it
+    * means 32 store commits per batch for kilobytes of state. 8 keeps the
+    * floor low at fixture scale while still exercising multi-partition
+    * state; a 100 TB deployment raises it with the key space (it is the
+    * same knob, read at first checkpoint creation). */
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
     val name = s"graft_mem_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   private val eventCountOracle =

@@ -101,9 +101,18 @@ object DocSync {
   def runStream(spark: SparkSession, changeStream: DataFrame, stateDir: String,
                 checkpointDir: String, numBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val q = startStream(spark, changeStream, stateDir, checkpointDir, numBuckets,
-      Trigger.AvailableNow())
-    q.awaitTermination()
+    // drain-mode state-partition sizing (same rationale as the streaming
+    // query harness): the per-batch fold shuffles a micro-batch of change
+    // events, so 8 partitions bounds the per-trigger task floor; the
+    // production facade (graft.ingest.Ingest) leaves the session setting
+    // alone and a deployment sizes it with the batch volume.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = startStream(spark, changeStream, stateDir, checkpointDir, numBuckets,
+        Trigger.AvailableNow())
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     docTable(spark, stateDir, numBuckets)
   }
 

@@ -478,9 +478,14 @@ object Text {
   )
 
   /** Hashed distinct shingles per doc: `(doc_id, h)` from a `(doc_id, ws)`
-    * token projection (normally the [[TokenIndex]]). */
+    * token projection (normally the [[TokenIndex]]). Hashes BEFORE the
+    * distinct so the dedup shuffle carries 16-byte (doc_id, h) rows, not
+    * shingle strings — the string bytes never leave the map side. */
   def hashedShingles(toks: DataFrame, k: Int): DataFrame =
-    shinglesOf(toks, k).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    toks.select(col("doc_id"),
+        explode(graft.functions.vec.wordShingles(col("ws"), k)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct()
 
   /** Score candidate pairs by exact Jaccard over the hashed shingle sets
     * and keep those >= threshold — the verification tail shared by the
