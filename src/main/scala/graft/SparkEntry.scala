@@ -22,6 +22,7 @@ object SparkEntry {
       sync.SyncQueries.entries ++
       streaming.Streams.entries ++
       text.Text.entries ++
+      text.Pipeline.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries
     // SQL entry path (SURVEY.md §3.4 C): entries without an explicit

@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.queries.{Dialect, Entry}
+
+/** Training-data pipeline composites on top of the text/dedup primitives:
+  * near-dup CLUSTERING (the step that turns pairwise dups into keep/drop
+  * decisions), deterministic stratified sampling, and token-budget
+  * sequence packing. These are the operators a 100 TB pretraining-data
+  * job runs after the per-document stages (q60-q71) — each is declared
+  * with a DuckDB oracle like every other query.
+  */
+object Pipeline {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Minimum-label propagation connected components over an undirected
+    * edge list `(doc_a, doc_b)` — the clustering step of near-dup dedup
+    * (each cluster keeps min doc_id as representative).
+    *
+    * Each iteration is one join + one map-side-combinable min-agg, i.e.
+    * O(E) shuffled bytes, and runs until NO label changes (convergence in
+    * O(component diameter) rounds — near-dup components are cliques and
+    * short chains, so single digits in practice; a worst-case long-path
+    * graph is pinned by a unit test). At 100 TB scale the same loop holds;
+    * if components with huge diameters ever appeared, the two-phase
+    * large-star/small-star variant (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond") drops the round count to O(log^2 n) with
+    * the same join primitive. */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+    val edges = fwd.unionByName(fwd.select(col("t").as("s"), col("s").as("t"))).persist()
+    // Each round's result is localCheckpoint'ed, NOT persist'ed: the next
+    // round references it twice (propagation join + change count), so a
+    // lineage-preserving cache would double the logical plan every round —
+    // exponential plan blowup by round ~10. Checkpointing truncates the
+    // plan to the materialized result (on a cluster: checkpoint() to a DFS
+    // dir for executor-loss tolerance — same call shape).
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nb = edges.join(labels.select(col("id").as("nid"), col("lbl").as("nlbl")),
+          col("t") === col("nid"))
+        .groupBy(col("s")).agg(min(col("nlbl")).as("nbl"))
+      val next = labels.join(nb, col("id") === col("s"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id").as("pid"), col("lbl").as("old")),
+          col("id") === col("pid"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").cast("bigint").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q61 near-dup pair derivation as shared DuckDB CTE text (3-shingle
+    * Jaccard >= 0.2) — q90's oracle builds its closure on top of it, and
+    * the Spark twin reuses it through the dialect bridge. */
+  private val pairCtes: String =
+    s"""toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+      |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
+      |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      |       FROM words a
+      |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+      |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
+
+  /** Spark twin of q90: Spark 4's recursive CTEs allow only UNION ALL,
+    * which cannot express a fixpoint over a cyclic graph — so the twin
+    * unrolls the SAME min-label rule the DataFrame loop applies, to a
+    * depth comfortably past the fixture's component diameter (the parity
+    * test fails loudly if a deeper component ever appears). */
+  private def unrolledClusterTwin(depth: Int): String = {
+    val levels = (1 to depth).map { i =>
+      s"""l$i AS (SELECT v.id, LEAST(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
+         |  FROM l${i - 1} v
+         |  LEFT JOIN edges e ON e.s = v.id
+         |  LEFT JOIN l${i - 1} n ON n.id = e.t
+         |  GROUP BY v.id, v.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dialect.duckToSpark(pairCtes)},
+       |l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM edges),
+       |$levels
+       |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l$depth
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val entries: Seq[Entry] = Seq(
+
+    // ---- near-dup clustering: pairwise dups -> components -> keep-one ----
+    Entry("q90_dedup_clusters",
+      s"""WITH RECURSIVE $pairCtes,
+        |r(s, t) AS (SELECT s, t FROM edges
+        |            UNION SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t)
+        |SELECT s AS doc_id, CAST(LEAST(s, MIN(t)) AS BIGINT) AS cluster
+        |FROM r GROUP BY s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Text.hashedShingles(TokenIndex.toks(s, d), 3).persist()
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      clusterPairs(Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
+    }.sqlTwin(unrolledClusterTwin(6)),
+
+    // ---- deterministic stratified sampling (per-language keep rates) ----
+    // The sampling decision is a pure function of doc_id (Knuth
+    // multiplicative hash, integer arithmetic shared with the oracle), so
+    // the sample is replayable, shardable, and pushes down as a plain
+    // filter — no shuffle, no RNG state. Rates: en 50%, de 25%, rest 10%.
+    Entry("q91_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |      CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T(s, d, "documents")
+        .filter((col("doc_id") * 2654435761L % 1000) <
+                when(col("lang") === "en", 500)
+                  .when(col("lang") === "de", 250).otherwise(100))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token-budget sequence packing ----
+    // Greedy in-order packing of documents into 2048-token training rows,
+    // sharded: the running token sum within a shard assigns each doc to
+    // the bin its START offset falls in. Packing is inherently sequential
+    // PER OUTPUT SHARD, so the shard is the unit of parallelism (a real
+    // pipeline packs per worker/output file); the window runs inside each
+    // shard, never globally. Output: per-bin doc and token counts.
+    Entry("q92_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |             CAST(len(${Text.tokensSql}) AS INT) AS n_tok FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT shard, CAST((cum - n_tok) // 2048 AS INT) AS bin,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      TokenIndex.toks(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("shard"),
+                size(col("ws")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("shard"), expr("CAST((cum - n_tok) div 2048 AS INT)").as("bin"),
+                col("n_tok"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("bigint").as("n_tokens"))
+        .orderBy(col("shard"), col("bin"))
+    }
+  )
+}
