@@ -181,6 +181,26 @@ object Aggregates {
         .orderBy(col("avg_bal").desc, col("c_mktsegment"))
     },
 
+    // ES matrix_stats analog: per-group second-order statistics between
+    // two metrics (covariance + correlation). One map-side-combinable
+    // hash agg — Spark's covar/corr carry (n, mean, co-moment) partials,
+    // so the shuffle is O(groups), never O(rows).
+    Entry("q94_matrix_stats",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(AVG(l_quantity), 6) AS mean_q,
+        |  ROUND(AVG(l_extendedprice), 4) AS mean_p,
+        |  ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS cov_qp,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("l_quantity")), 6).as("mean_q"),
+             round(avg(col("l_extendedprice")), 4).as("mean_p"),
+             round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Salted-aggregation invariance (SURVEY §4.3 skew posture): the
     // two-phase hot-key rewrite must hash-match the direct aggregation's
     // oracle — salting is a plan property, never a results property.

@@ -435,6 +435,32 @@ object Text {
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     },
 
+    // ES rare_terms: the long-tail terms (doc frequency <= max_doc_count).
+    // ES needs a CuckooFilter sketch here because shard-local counts can't
+    // prove global rarity; our df aggregation is global and exact, so the
+    // rare set falls out of the same one-pass agg the common-terms queries
+    // use — no sketch, no false positives.
+    Entry("q93_rare_terms",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT DISTINCT doc_id, unnest(ws) AS w FROM toks),
+        |df AS (SELECT w, COUNT(*) AS df FROM words GROUP BY 1)
+        |SELECT w AS term, CAST(df AS BIGINT) AS doc_count FROM df
+        |WHERE df <= 2 ORDER BY doc_count, term LIMIT 20""".stripMargin) { (s, d) =>
+      TokenIndex.toks(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("ws"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 2)
+        .select(col("w").as("term"), col("df").cast("bigint").as("doc_count"))
+        .orderBy(col("doc_count"), col("term")).limit(20)
+    }.sqlTwin(
+      // structural gap: generator under SELECT DISTINCT (as in q76's twin)
+      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
+        |words AS (SELECT DISTINCT doc_id, w
+        |          FROM (SELECT doc_id, explode(ws) AS w FROM toks)),
+        |df AS (SELECT w, COUNT(*) AS df FROM words GROUP BY 1)
+        |SELECT w AS term, CAST(df AS BIGINT) AS doc_count FROM df
+        |WHERE df <= 2 ORDER BY doc_count, term LIMIT 20""".stripMargin),
+
     // ES highlight: snippet window around the first hit of the query term
     Entry("q77_highlight",
       """SELECT doc_id,
