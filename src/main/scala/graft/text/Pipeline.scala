@@ -134,6 +134,39 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ---- quality-filter decision stage (Gopher-style rules) ----
+    // The per-document quality SIGNALS live in q68/q69; this is the stage
+    // that composes them into the keep/drop decision a filtering pipeline
+    // actually executes: thresholded flags per rule plus the conjunction,
+    // emitted per document so downstream stages (and audits) can see WHY
+    // a document was dropped. Pure per-row arithmetic over the TokenIndex
+    // — no shuffle before the ordered output.
+    Entry("q96_quality_filter",
+      s"""WITH t AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |q AS (SELECT doc_id, len(ws) AS n_tok,
+        |        len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS n_stop
+        |      FROM t WHERE len(ws) > 0)
+        |SELECT doc_id,
+        |  CASE WHEN n_tok >= 25 THEN 1 ELSE 0 END AS len_ok,
+        |  CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.03 THEN 1 ELSE 0 END AS stop_ok,
+        |  CASE WHEN n_tok >= 25 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.03
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val stop = Seq("the", "a", "of", "and", "to", "is", "in")
+      TokenIndex.toks(s, d)
+        .select(col("doc_id"), size(col("ws")).as("n_tok"),
+                size(filter(col("ws"), w => w.isin(stop: _*))).as("n_stop"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"),
+          when(col("n_tok") >= 25, 1).otherwise(0).as("len_ok"),
+          when(col("n_stop").cast("double") / col("n_tok") >= 0.03, 1).otherwise(0)
+            .as("stop_ok"),
+          when(col("n_tok") >= 25 &&
+               col("n_stop").cast("double") / col("n_tok") >= 0.03, 1).otherwise(0)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- token-budget sequence packing ----
     // Greedy in-order packing of documents into 2048-token training rows,
     // sharded: the running token sum within a shard assigns each doc to
