@@ -36,6 +36,20 @@ object GraftSession {
     .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     .config("spark.ui.enabled", "false")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to `n`,
+    * serializing callers on one monitor: the setting is session-GLOBAL, so
+    * an unsynchronized save/set/restore interleaving between two drains
+    * (or a drain and a batch query) could restore a stale value and leave
+    * the session mis-sized permanently. Harness drains are serial by
+    * design; the lock makes that an invariant instead of an assumption. */
+  private val confLock = new Object
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    confLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 32, extra: Map[String, String] = Map.empty): SparkSession = {
     var b = SparkSession.builder()

@@ -14,7 +14,12 @@ package graft.queries
   * those.
   *
   * Every derived twin is executed and compared row-for-row against the
-  * DataFrame entry by SqlParitySpec, so a bad rewrite cannot pass silently.
+  * DataFrame entry by SqlParitySpec. Known limitation: substitutions are
+  * position-blind, so a rename token appearing inside a STRING LITERAL of
+  * a future oracle would be rewritten too; the parity run catches any
+  * rewrite that changes results on the fixtures, but an author adding an
+  * oracle containing e.g. a literal `'strpos'` should use an explicit
+  * `Entry.sqlTwin` override instead of this bridge.
   */
 object Dialect {
 
@@ -31,9 +36,17 @@ object Dialect {
     graft.text.Text.tokensSql -> tokensSparkSql,
     "unnest(ws) AS w, unnest(range(len(ws))) AS pos" -> "posexplode(ws) AS (pos, w)",
     "(SELECT unnest(range(16)) AS i) g" -> "(SELECT explode(sequence(0, 15)) AS i) g",
+    // div/mod bit extraction is equivalent to >>/& ONLY for non-negative
+    // h — which token_hash guarantees (fold mod 1e9+7, always in
+    // [0, 1e9+7)); this rule must not be reused for signed hash columns
     "(h >> i) & 1 = 1" -> "(h div CAST(pow(2, i) AS BIGINT)) % 2 = 1",
     "1 << i" -> "CAST(pow(2, i) AS BIGINT)",
-    ", 'g')" -> ")",                       // DuckDB regexp_replace global flag
+    // DuckDB regexp_replace global flag — matched with its preceding
+    // replacement argument so a literal list element 'g' elsewhere in an
+    // oracle can never be eaten
+    ", ' ', 'g')" -> ", ' ')",
+    ", '', 'g')" -> ", '')",
+    ", '_', 'g')" -> ", '_')",
     // generic function renames (identical semantics + argument order)
     "list_filter" -> "filter",
     "string_split" -> "split",

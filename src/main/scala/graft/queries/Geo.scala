@@ -13,9 +13,16 @@ import graft.core.Tables
   * The fixtures carry no geo columns, so coordinates are SYNTHESIZED
   * deterministically from `c_custkey` with integer arithmetic — the same
   * SQL fragment is fed verbatim to the Spark side (`expr`) and the DuckDB
-  * oracle, so both engines run identical math and the hash compare is
-  * exact. On a real deployment the derivation seam is replaced by real
-  * lat/lon columns and everything downstream is unchanged.
+  * oracle. For q88/q89 the math is integer/exactly-rounded IEEE ops
+  * (div, mod, sqrt-free), so cross-engine equality is exact by
+  * construction. q87's haversine uses transcendentals (sin/cos/asin),
+  * which are NOT correctly-rounded — Java Math vs DuckDB's libm may
+  * differ in the last ulps, so a row landing within ulps of the 2000 km
+  * filter edge or a ROUND(.,3) half-point could in principle diverge;
+  * the boundary measure is ~1e-7 over the whole corpus, accepted and
+  * documented rather than claimed away. On a real deployment the
+  * derivation seam is replaced by real lat/lon columns and everything
+  * downstream is unchanged.
   *
   * Scale posture: all three are scan + pushable-filter + hash-agg shapes —
   * no joins, no windows. The geohash encoder is pure div/mod integer

@@ -129,13 +129,11 @@ object Streams {
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val s = df.sparkSession
     val name = s"graft_mem_${nameCounter.incrementAndGet()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.core.GraftSession.withShufflePartitions(s, 8) {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(name)
   }
 

@@ -106,13 +106,11 @@ object DocSync {
     // events, so 8 partitions bounds the per-trigger task floor; the
     // production facade (graft.ingest.Ingest) leaves the session setting
     // alone and a deployment sizes it with the batch volume.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.core.GraftSession.withShufflePartitions(spark, 8) {
       val q = startStream(spark, changeStream, stateDir, checkpointDir, numBuckets,
         Trigger.AvailableNow())
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     docTable(spark, stateDir, numBuckets)
   }
 

@@ -53,6 +53,10 @@ object Pipeline {
       changed = next.join(labels.select(col("id").as("pid"), col("lbl").as("old")),
           col("id") === col("pid"))
         .filter(col("lbl") =!= col("old")).count()
+      // the superseded snapshot is dead once the change count is known —
+      // release its blocks now (not at ContextCleaner GC time) so storage
+      // holds at most two label snapshots regardless of round count
+      labels.unpersist()
       labels = next
     }
     edges.unpersist()
@@ -146,12 +150,12 @@ object Pipeline {
         |q AS (SELECT doc_id, len(ws) AS n_tok,
         |        len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS n_stop
         |      FROM t WHERE len(ws) > 0)
-        |SELECT doc_id,
-        |  CASE WHEN n_tok >= 25 THEN 1 ELSE 0 END AS len_ok,
-        |  CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.03 THEN 1 ELSE 0 END AS stop_ok,
-        |  CASE WHEN n_tok >= 25 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.03
-        |       THEN 1 ELSE 0 END AS keep
-        |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |SELECT doc_id, len_ok, stop_ok, len_ok * stop_ok AS keep
+        |FROM (SELECT doc_id,
+        |        CASE WHEN n_tok >= 25 THEN 1 ELSE 0 END AS len_ok,
+        |        CASE WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.03 THEN 1 ELSE 0 END AS stop_ok
+        |      FROM q)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val stop = Seq("the", "a", "of", "and", "to", "is", "in")
       TokenIndex.toks(s, d)
         .select(col("doc_id"), size(col("ws")).as("n_tok"),
@@ -160,10 +164,10 @@ object Pipeline {
         .select(col("doc_id"),
           when(col("n_tok") >= 25, 1).otherwise(0).as("len_ok"),
           when(col("n_stop").cast("double") / col("n_tok") >= 0.03, 1).otherwise(0)
-            .as("stop_ok"),
-          when(col("n_tok") >= 25 &&
-               col("n_stop").cast("double") / col("n_tok") >= 0.03, 1).otherwise(0)
-            .as("keep"))
+            .as("stop_ok"))
+        // keep derives from the flags, so a threshold edit cannot produce
+        // an internally inconsistent decision row
+        .withColumn("keep", col("len_ok") * col("stop_ok"))
         .orderBy(col("doc_id"))
     },
 
