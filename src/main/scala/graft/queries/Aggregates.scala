@@ -181,6 +181,29 @@ object Aggregates {
         .orderBy(col("avg_bal").desc, col("c_mktsegment"))
     },
 
+    // ES adjacency_matrix analog at the entity level: named filters
+    // (purchase/click/view) -> per-user presence flags via one bool_or
+    // agg, then one count per flag combination. Two map-side-combinable
+    // hash aggs; the intersection counts ES computes per doc-set fall out
+    // of the flag-combination counts without any pairwise work.
+    Entry("q95_adjacency_matrix",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v
+        |  FROM events GROUP BY user_id)
+        |SELECT has_p, has_c, has_v, COUNT(*) AS n_users
+        |FROM f GROUP BY 1, 2, 3 ORDER BY has_p, has_c, has_v""".stripMargin) { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_p"),
+             max(when(col("event_type") === "click", 1).otherwise(0)).as("has_c"),
+             max(when(col("event_type") === "view", 1).otherwise(0)).as("has_v"))
+        .groupBy(col("has_p"), col("has_c"), col("has_v"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("has_p"), col("has_c"), col("has_v"))
+    },
+
     // ES matrix_stats analog: per-group second-order statistics between
     // two metrics (covariance + correlation). One map-side-combinable
     // hash agg — Spark's covar/corr carry (n, mean, co-moment) partials,
