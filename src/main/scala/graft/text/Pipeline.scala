@@ -106,6 +106,11 @@ object Pipeline {
   val entries: Seq[Entry] = Seq(
 
     // ---- near-dup clustering: pairwise dups -> components -> keep-one ----
+    // The declared query derives its pair set EXACTLY (hashed-shingle
+    // self-join) so the DuckDB closure oracle sees the identical edge
+    // list; at 100 TB the same clusterPairs consumes the MinHash-LSH
+    // verified candidates instead (q61_minhash_lsh) — identical pair
+    // semantics up to LSH recall, sub-quadratic generation.
     Entry("q90_dedup_clusters",
       s"""WITH RECURSIVE $pairCtes,
         |r(s, t) AS (SELECT s, t FROM edges
