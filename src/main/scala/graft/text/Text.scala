@@ -296,6 +296,38 @@ object Text {
         |WHERE a.w = 'data' AND b.w = 'stream'
         |ORDER BY doc_id""".stripMargin),
 
+    // ES match_phrase with slop: the two terms may sit up to `slop`
+    // positions apart, in order (ES slop counts permitted position
+    // moves; for a 2-term in-order phrase that is pos_b - pos_a - 1 <=
+    // slop). Same position-aware join shape as q74, band widened — the
+    // join key is still doc_id, the position predicate is a residual
+    // filter, so the shuffle is identical to the exact-phrase case.
+    Entry("q97_phrase_slop",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)
+        |SELECT DISTINCT a.doc_id AS doc_id FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id
+        | AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+        |WHERE a.w = 'data' AND b.w = 'stream'
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      words.as("a").filter(col("a.w") === "data")
+        .join(words.as("b").filter(col("b.w") === "stream"),
+          col("b.doc_id") === col("a.doc_id") &&
+          col("b.pos") > col("a.pos") && col("b.pos") - col("a.pos") - 1 <= 2)
+        .select(col("a.doc_id").as("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      // structural gap: pre-DISTINCT alias in ORDER BY (as in q74's twin)
+      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, posexplode(ws) AS (pos, w) FROM toks)
+        |SELECT DISTINCT a.doc_id AS doc_id FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id
+        | AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+        |WHERE a.w = 'data' AND b.w = 'stream'
+        |ORDER BY doc_id""".stripMargin),
+
     // ES fuzzy query: terms within edit distance 1 of the query term
     Entry("q75_fuzzy_match",
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
