@@ -35,6 +35,15 @@ object ChangeLog {
     StructField("ts", TimestampType),
     StructField("cells", ArrayType(cellType))))
 
+  /** Decode a stream of JSON-encoded change events — the Kafka wire shape
+    * (one JSON object per record `value`) — into the canonical change-log
+    * columns. A Kafka deployment is exactly
+    * `spark.readStream.format("kafka")... .select(col("value").cast("string"))`
+    * feeding this; IngestSpec drives the same doc-table oracle through it
+    * so the wire decode is contract-tested without a broker. */
+  def fromJsonValues(values: DataFrame): DataFrame =
+    values.select(from_json(col("value"), schema).as("e")).select("e.*")
+
   /** Number of distinct rowKeys the derived fixture folds events into.
     * Chosen so every key sees many Puts (exercises per-field LWW merge)
     * and is coprime with the delete stride below. */

@@ -86,6 +86,35 @@ class IngestSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("source seam: JSON wire format (the Kafka value shape) decodes to the same oracle") {
+    // A Kafka source is readStream.format("kafka") + value-cast + this
+    // exact from_json decode; no broker exists in this container, so the
+    // wire PATH (JSON value -> canonical columns -> pipeline -> doc table)
+    // is pinned through a memory stream of encoded values.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val log = ChangeLog.fromEvents(Tables(spark, sf, "events"))
+    val encoded = log.select(to_json(struct(col("*"))).as("value"))
+      .as[String].collect()
+    val ms = MemoryStream[String]
+    ms.addData(encoded.toIndexedSeq)
+
+    val cfg = Ingest.SyncConfig(
+      sourceDir = "<kafka-wire>",
+      stateDir = Files.createTempDirectory("graft_json_state").toString,
+      checkpointDir = Files.createTempDirectory("graft_json_ckpt").toString,
+      trigger = Trigger.AvailableNow())
+
+    val q = Ingest.startFrom(spark,
+      ChangeLog.fromJsonValues(ms.toDF().select(col("value"))), cfg)
+    q.awaitTermination()
+    val got = DocSync.flattenDocs(Ingest.docTable(spark, cfg)).collect().toSeq
+    val want = DocSync.flattenDocs(DocSync.fold(log)).collect().toSeq
+    assert(got === want)
+  }
+
   test("graceful stop loses nothing: restart drains the remainder") {
     import spark.implicits._
     import graft.model.ChangeLog.{Cell, ChangeEvent}
