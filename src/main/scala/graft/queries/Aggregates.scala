@@ -204,6 +204,26 @@ object Aggregates {
         .orderBy(col("has_p"), col("has_c"), col("has_v"))
     },
 
+    // ES max_bucket / avg_bucket pipeline aggs: sibling statistics OVER
+    // the buckets of a date histogram — the histogram is one hash agg,
+    // the sibling stats a second tiny agg over bucket rows (never the
+    // source rows). Timestamps project as epoch micros on both sides
+    // (the driver's schema compare rejects raw TIMESTAMP columns).
+    Entry("q100_bucket_stats",
+      """WITH h AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT epoch_us(day) AS max_day, n AS max_n,
+        |       (SELECT ROUND(AVG(n), 6) FROM h) AS avg_n
+        |FROM h ORDER BY n DESC, day LIMIT 1""".stripMargin) { (s, d) =>
+      val h = T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")).persist()   // feeds max pick + avg
+      val avgN = h.agg(round(avg(col("n")), 6)).collect()(0).getDouble(0)
+      h.orderBy(col("n").desc, col("day")).limit(1)
+        .select(unix_micros(col("day")).as("max_day"), col("n").as("max_n"),
+                lit(avgN).as("avg_n"))
+    },
+
     // ES matrix_stats analog: per-group second-order statistics between
     // two metrics (covariance + correlation). One map-side-combinable
     // hash agg — Spark's covar/corr carry (n, mean, co-moment) partials,

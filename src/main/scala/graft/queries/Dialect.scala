@@ -55,6 +55,7 @@ object Dialect {
     "strpos" -> "instr",
     "regexp_matches" -> "regexp_like",
     "quantile_cont" -> "percentile",
+    "list_contains" -> "array_contains",
     "list_min" -> "array_min",
     "list_max" -> "array_max",
     "list_sort" -> "sort_array",

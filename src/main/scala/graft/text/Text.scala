@@ -493,6 +493,65 @@ object Text {
         |SELECT w AS term, CAST(df AS BIGINT) AS doc_count FROM df
         |WHERE df <= 2 ORDER BY doc_count, term LIMIT 20""".stripMargin),
 
+    // ES boosting query: positive term scored by TF-IDF, docs also
+    // matching the negative term have their score multiplied by
+    // negative_boost (0.5) — demotion without exclusion.
+    Entry("q98_boosting",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |tf AS (SELECT doc_id, len(list_filter(ws, w -> w = 'stream')) AS tf,
+        |              CASE WHEN list_contains(ws, 'slow') THEN 0.5 ELSE 1.0 END AS boost
+        |       FROM toks),
+        |df AS (SELECT COUNT(*) AS df FROM tf WHERE tf > 0),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id,
+        |  ROUND(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / (SELECT df FROM df)) * boost, 6) AS score
+        |FROM tf WHERE tf > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = TokenIndex.toks(s, d)
+      val n = toks.count()   // corpus stat: tiny driver scalar (as in q64)
+      val tf = toks.select(col("doc_id"),
+          size(filter(col("ws"), w => w === "stream")).as("tf"),
+          when(array_contains(col("ws"), "slow"), 0.5).otherwise(1.0).as("boost"))
+        .filter(col("tf") > 0).persist()   // feeds df count and scoring
+      val df = tf.count()
+      tf.select(col("doc_id"),
+          round(col("tf") * log(lit(n.toDouble) / df) * col("boost"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
+    // ES dis_max: per-term scores compete instead of summing — score =
+    // best term + tie_breaker * other terms (0.3 here), the classic
+    // best-fields ranking for multi-term queries.
+    Entry("q99_dis_max",
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+        |t AS (SELECT doc_id,
+        |        CAST(len(list_filter(ws, w -> w = 'data')) AS DOUBLE) AS tf_a,
+        |        CAST(len(list_filter(ws, w -> w = 'stream')) AS DOUBLE) AS tf_b
+        |      FROM toks),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |dfa AS (SELECT COUNT(*) AS df FROM t WHERE tf_a > 0),
+        |dfb AS (SELECT COUNT(*) AS df FROM t WHERE tf_b > 0),
+        |s AS (SELECT doc_id,
+        |        tf_a * ln(CAST((SELECT n FROM n) AS DOUBLE) / (SELECT df FROM dfa)) AS sa,
+        |        tf_b * ln(CAST((SELECT n FROM n) AS DOUBLE) / (SELECT df FROM dfb)) AS sb
+        |      FROM t WHERE tf_a > 0 OR tf_b > 0)
+        |SELECT doc_id, ROUND(GREATEST(sa, sb) + 0.3 * LEAST(sa, sb), 6) AS score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = TokenIndex.toks(s, d)
+      val n = toks.count()
+      val t = toks.select(col("doc_id"),
+          size(filter(col("ws"), w => w === "data")).cast("double").as("tf_a"),
+          size(filter(col("ws"), w => w === "stream")).cast("double").as("tf_b"))
+        .filter(col("tf_a") > 0 || col("tf_b") > 0).persist()   // feeds dfs + scoring
+      val dfa = t.filter(col("tf_a") > 0).count()
+      val dfb = t.filter(col("tf_b") > 0).count()
+      val sa = col("tf_a") * log(lit(n.toDouble) / dfa)
+      val sb = col("tf_b") * log(lit(n.toDouble) / dfb)
+      t.select(col("doc_id"),
+          round(greatest(sa, sb) + lit(0.3) * least(sa, sb), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+
     // ES highlight: snippet window around the first hit of the query term
     Entry("q77_highlight",
       """SELECT doc_id,
