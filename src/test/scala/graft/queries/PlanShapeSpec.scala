@@ -73,6 +73,18 @@ class PlanShapeSpec extends GraftSuite {
       s"expected the from+size prefix via TakeOrderedAndProject:\n$p")
   }
 
+  test("q91_stratified_sample: pure filter — no hash-partitioned shuffle in the plan") {
+    val p = planOf("q91_stratified_sample")
+    assert(!p.contains("hashpartitioning"),
+      s"sampling must not shuffle on a key (the only exchange is the output sort):\n$p")
+  }
+
+  test("q95_adjacency_matrix: both aggregation levels are partial-aggregated") {
+    val p = planOf("q95_adjacency_matrix")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final HashAggregate at both levels:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
