@@ -143,6 +143,64 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ---- within-document repetition (Gopher repetition filter) ----
+    // Duplicate-shingle fraction INSIDE each document — the repetition
+    // signal (looping boilerplate, chorus spam) that cross-document dedup
+    // cannot see. Non-distinct shingles come from the same codegen'd
+    // WordShingles kernel; one hash agg per doc, no joins.
+    Entry("q101_repetition",
+      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
+        |sh AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |       FROM words a
+        |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
+        |  ROUND(1 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS rep_ratio
+        |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TokenIndex.toks(s, d)
+        .select(col("doc_id"),
+                explode(graft.functions.vec.wordShingles(col("ws"), 3)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+             countDistinct(col("sh")).as("n_distinct"),
+             round(lit(1) - countDistinct(col("sh")).cast("double") / count(lit(1)), 6)
+               .as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- benchmark-contamination check (train/test overlap) ----
+    // The decontamination join of a pretraining pipeline: flag corpus
+    // documents sharing >= 2 distinct 3-shingles with any document of a
+    // probe (benchmark) set — here the probe set is doc_id <= 5 as a
+    // stand-in for an eval suite. The probe shingle set is tiny by
+    // definition, so the overlap join BROADCASTS it and the corpus
+    // streams through map-side — no corpus shuffle at any scale. The
+    // pair join runs on 64-bit shingle hashes (same collision reasoning
+    // as q61: the string bytes never leave the map side).
+    Entry("q102_contamination",
+      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
+        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |       FROM words a
+        |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+        |SELECT d.doc_id AS doc_id, p.doc_id AS probe_id, COUNT(*) AS shared
+        |FROM sh d JOIN sh p ON d.sh = p.sh AND p.doc_id <= 5 AND d.doc_id > 5
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY doc_id, probe_id""".stripMargin) { (s, d) =>
+      val sh = Text.hashedShingles(TokenIndex.toks(s, d), 3)
+      val probe = sh.filter(col("doc_id") <= 5)
+        .select(col("doc_id").as("probe_id"), col("h"))
+      sh.filter(col("doc_id") > 5)
+        .join(broadcast(probe), "h")
+        .groupBy(col("doc_id"), col("probe_id"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy(col("doc_id"), col("probe_id"))
+    },
+
     // ---- quality-filter decision stage (Gopher-style rules) ----
     // The per-document quality SIGNALS live in q68/q69; this is the stage
     // that composes them into the keep/drop decision a filtering pipeline
