@@ -19,6 +19,19 @@ class PipelineSpec extends GraftSuite {
     assert(got.values.toSet === Set(1L), s"all nodes must reach label 1: $got")
   }
 
+  test("q92 packing invariant: a bin overflows 2048 only by its boundary-spanning doc") {
+    val bins = graft.SparkEntry.queries("q92_pack_sequences")(spark, sf).collect()
+    val maxTok = graft.text.TokenIndex.toks(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.size(col("ws")))).collect()(0).getInt(0)
+    bins.foreach { r =>
+      val n = r.getLong(3)
+      assert(n < 2048 + maxTok,
+        s"bin (${r.getInt(0)}, ${r.getInt(1)}) holds $n tokens (> 2048 + $maxTok)")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("clusterPairs keeps disjoint components apart") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
