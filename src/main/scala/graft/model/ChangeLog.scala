@@ -35,14 +35,28 @@ object ChangeLog {
     StructField("ts", TimestampType),
     StructField("cells", ArrayType(cellType))))
 
+  /** Wire timestamp format for the JSON encoding. Spark's DEFAULT
+    * to_json format truncates to milliseconds — with micro-precision
+    * event times that silently loses the low digits on the wire, so the
+    * format is pinned to microseconds on both encode and decode. */
+  val wireTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val wireOptions = Map("timestampFormat" -> wireTimestampFormat)
+
   /** Decode a stream of JSON-encoded change events — the Kafka wire shape
     * (one JSON object per record `value`) — into the canonical change-log
     * columns. A Kafka deployment is exactly
     * `spark.readStream.format("kafka")... .select(col("value").cast("string"))`
     * feeding this; IngestSpec drives the same doc-table oracle through it
-    * so the wire decode is contract-tested without a broker. */
+    * AND asserts decode(encode(log)) == log including `ts`, so the wire
+    * decode is contract-tested without a broker. */
   def fromJsonValues(values: DataFrame): DataFrame =
-    values.select(from_json(col("value"), schema).as("e")).select("e.*")
+    values.select(from_json(col("value"), schema, wireOptions).as("e")).select("e.*")
+
+  /** Encode change-log rows to the JSON wire shape (`value` column) —
+    * what a producer would publish; the test-side inverse of
+    * [[fromJsonValues]] with the same pinned timestamp format. */
+  def toJsonValues(log: DataFrame): DataFrame =
+    log.select(to_json(struct(col("*")), wireOptions).as("value"))
 
   /** Number of distinct rowKeys the derived fixture folds events into.
     * Chosen so every key sees many Puts (exercises per-field LWW merge)

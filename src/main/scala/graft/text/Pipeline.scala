@@ -68,12 +68,8 @@ object Pipeline {
     * Jaccard >= 0.2) — q90's oracle builds its closure on top of it, and
     * the Spark twin reuses it through the dialect bridge. */
   private val pairCtes: String =
-    s"""toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
-      |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
-      |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-      |       FROM words a
-      |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-      |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+    s"""${Text.wordsCtesSql},
+      |${Text.shingle3CteSql(distinct = true)},
       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
       |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
@@ -149,12 +145,8 @@ object Pipeline {
     // cannot see. Non-distinct shingles come from the same codegen'd
     // WordShingles kernel; one hash agg per doc, no joins.
     Entry("q101_repetition",
-      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
-        |sh AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-        |       FROM words a
-        |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+      s"""WITH ${Text.wordsCtesSql},
+        |${Text.shingle3CteSql(distinct = false)}
         |SELECT doc_id, COUNT(*) AS n_shingles,
         |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
         |  ROUND(1 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS rep_ratio
@@ -184,12 +176,8 @@ object Pipeline {
     // pair join runs on 64-bit shingle hashes (same collision reasoning
     // as q61: the string bytes never leave the map side).
     Entry("q102_contamination",
-      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
-        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-        |       FROM words a
-        |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)
+      s"""WITH ${Text.wordsCtesSql},
+        |${Text.shingle3CteSql(distinct = true)}
         |SELECT d.doc_id AS doc_id, p.doc_id AS probe_id, COUNT(*) AS shared
         |FROM sh d JOIN sh p ON d.sh = p.sh AND p.doc_id <= 5 AND d.doc_id > 5
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2

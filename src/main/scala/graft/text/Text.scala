@@ -44,6 +44,21 @@ object Text {
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))), " +
       "(h, c) -> (h * 31 + c) % 1000000007)"
 
+  /** Shared oracle CTE text — ONE copy of the analyzer + positioned-words
+    * derivation; every position/shingle oracle splices this (a change here
+    * changes all consumers in lockstep instead of desynchronizing one). */
+  val wordsCtesSql: String =
+    s"""toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)""".stripMargin
+
+  /** The 3-shingle set over [[wordsCtesSql]]'s `words` (DISTINCT per doc
+    * for set semantics; non-distinct for occurrence counts). */
+  def shingle3CteSql(distinct: Boolean): String =
+    s"""sh AS (SELECT ${if (distinct) "DISTINCT " else ""}a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      |       FROM words a
+      |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
     // ---- Q60 exact dedup ----
@@ -57,12 +72,8 @@ object Text {
 
     // ---- Q61 near-dup via exact 3-shingle Jaccard (oracle twin) ----
     Entry("q61_neardup_jaccard",
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
-        |sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
-        |       FROM words a
-        |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |       JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      s"""WITH $wordsCtesSql,
+        |${shingle3CteSql(distinct = true)},
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
         |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
@@ -277,8 +288,7 @@ object Text {
     // stream == membership in the 2-shingle set (not raw substring match,
     // which would cross token boundaries differently).
     Entry("q74_phrase_match",
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)
+      s"""WITH $wordsCtesSql
         |SELECT DISTINCT a.doc_id AS doc_id FROM words a
         |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |WHERE a.w = 'data' AND b.w = 'stream'
@@ -289,42 +299,44 @@ object Text {
     }.sqlTwin(
       // structural gap: Spark won't resolve the pre-DISTINCT alias
       // `a.doc_id` in ORDER BY — sort by the projected name instead
-      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
-        |words AS (SELECT doc_id, posexplode(ws) AS (pos, w) FROM toks)
+      s"""WITH ${graft.queries.Dialect.duckToSpark(wordsCtesSql)}
         |SELECT DISTINCT a.doc_id AS doc_id FROM words a
         |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |WHERE a.w = 'data' AND b.w = 'stream'
         |ORDER BY doc_id""".stripMargin),
 
-    // ES match_phrase with slop: the two terms may sit up to `slop`
-    // positions apart, in order (ES slop counts permitted position
-    // moves; for a 2-term in-order phrase that is pos_b - pos_a - 1 <=
-    // slop). Same position-aware join shape as q74, band widened — the
-    // join key is still doc_id, the position predicate is a residual
-    // filter, so the shuffle is identical to the exact-phrase case.
+    // ES match_phrase with slop=2, FULL two-term semantics: slop counts
+    // permitted position moves, so an in-order pair matches when the gap
+    // (pos_b - pos_a - 1) <= slop, and a REVERSED pair also matches when
+    // the transposition cost (pos_a - pos_b + 1) <= slop — e.g.
+    // "stream data" (adjacent, reversed) matches slop=2 exactly as in ES.
+    // Same position-aware join shape as q74 with the position band as a
+    // residual filter; the join key stays doc_id, so the shuffle is
+    // identical to the exact-phrase case.
     Entry("q97_phrase_slop",
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)
+      s"""WITH $wordsCtesSql
         |SELECT DISTINCT a.doc_id AS doc_id FROM words a
         |JOIN words b ON b.doc_id = a.doc_id
-        | AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+        | AND ((b.pos > a.pos AND b.pos - a.pos - 1 <= 2)
+        |   OR (b.pos < a.pos AND a.pos - b.pos + 1 <= 2))
         |WHERE a.w = 'data' AND b.w = 'stream'
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val words = TokenIndex.toks(s, d)
         .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      val inOrder = col("b.pos") > col("a.pos") && col("b.pos") - col("a.pos") - 1 <= 2
+      val reversed = col("b.pos") < col("a.pos") && col("a.pos") - col("b.pos") + 1 <= 2
       words.as("a").filter(col("a.w") === "data")
         .join(words.as("b").filter(col("b.w") === "stream"),
-          col("b.doc_id") === col("a.doc_id") &&
-          col("b.pos") > col("a.pos") && col("b.pos") - col("a.pos") - 1 <= 2)
+          col("b.doc_id") === col("a.doc_id") && (inOrder || reversed))
         .select(col("a.doc_id").as("doc_id")).distinct()
         .orderBy(col("doc_id"))
     }.sqlTwin(
       // structural gap: pre-DISTINCT alias in ORDER BY (as in q74's twin)
-      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
-        |words AS (SELECT doc_id, posexplode(ws) AS (pos, w) FROM toks)
+      s"""WITH ${graft.queries.Dialect.duckToSpark(wordsCtesSql)}
         |SELECT DISTINCT a.doc_id AS doc_id FROM words a
         |JOIN words b ON b.doc_id = a.doc_id
-        | AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+        | AND ((b.pos > a.pos AND b.pos - a.pos - 1 <= 2)
+        |   OR (b.pos < a.pos AND a.pos - b.pos + 1 <= 2))
         |WHERE a.w = 'data' AND b.w = 'stream'
         |ORDER BY doc_id""".stripMargin),
 
@@ -567,8 +579,7 @@ object Text {
     },
 
     Entry("q71_fingerprint",
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
+      s"""WITH $wordsCtesSql,
         |hashed AS (SELECT doc_id, pos, $tokenHashSql AS h FROM words)
         |SELECT doc_id, CAST(SUM((pos + 1) * h) % 2305843009213693951 AS BIGINT) AS fp
         |FROM hashed GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -587,8 +598,7 @@ object Text {
       // structural gap: DuckDB SUM(BIGINT) promotes to HUGEINT; the Spark
       // twin must sum in DECIMAL(38,0) like the DataFrame plan or long
       // documents wrap
-      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
-        |words AS (SELECT doc_id, posexplode(ws) AS (pos, w) FROM toks)
+      s"""WITH ${graft.queries.Dialect.duckToSpark(wordsCtesSql)}
         |SELECT doc_id,
         |  CAST(SUM(CAST((pos + 1) * token_hash(w) AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS fp
         |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin)

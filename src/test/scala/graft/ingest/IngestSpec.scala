@@ -96,8 +96,15 @@ class IngestSpec extends GraftSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val log = ChangeLog.fromEvents(Tables(spark, sf, "events"))
-    val encoded = log.select(to_json(struct(col("*"))).as("value"))
-      .as[String].collect()
+    val encoded = ChangeLog.toJsonValues(log).as[String].collect()
+
+    // the wire round-trip must be LOSSLESS, including sub-millisecond ts
+    // digits (Spark's default to_json format truncates to millis — the
+    // pinned wireTimestampFormat exists exactly for this)
+    val decoded = ChangeLog.fromJsonValues(
+      encoded.toIndexedSeq.toDF("value")).collect().toSeq
+    assert(decoded.toSet === log.collect().toSet, "decode(encode(log)) != log")
+
     val ms = MemoryStream[String]
     ms.addData(encoded.toIndexedSeq)
 
