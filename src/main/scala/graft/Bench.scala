@@ -53,9 +53,14 @@ object Bench {
       spark.catalog.clearCache()
       e.name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision keeps the single JSON line compact enough to
+    // survive bounded tail-capture by the harness (117 queries at full
+    // double precision overflow a ~4 KB tail window and the line arrives
+    // truncated/unparseable)
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ingest":$ingestSec,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
