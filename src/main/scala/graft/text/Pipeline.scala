@@ -32,32 +32,45 @@ object Pipeline {
     * in MapReduce and Beyond") drops the round count to O(log^2 n) with
     * the same join primitive. */
   def clusterPairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
     val edges = fwd.unionByName(fwd.select(col("t").as("s"), col("s").as("t"))).persist()
+    // Materialize the (corpus-scale) pair derivation at the session's full
+    // partitioning BEFORE entering the loop's narrow scope below.
+    edges.count()
     // Each round's result is localCheckpoint'ed, NOT persist'ed: the next
     // round references it twice (propagation join + change count), so a
     // lineage-preserving cache would double the logical plan every round —
     // exponential plan blowup by round ~10. Checkpointing truncates the
     // plan to the materialized result (on a cluster: checkpoint() to a DFS
     // dir for executor-loss tolerance — same call shape).
+    //
+    // The loop itself moves only the edge/label tables (orders of
+    // magnitude smaller than the corpus), so its joins run at a narrow
+    // partitioning — per-round cost is dominated by fixed task scheduling
+    // otherwise. A deployment whose edge list is itself huge raises the
+    // same knob.
     var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nb = edges.join(labels.select(col("id").as("nid"), col("lbl").as("nlbl")),
-          col("t") === col("nid"))
-        .groupBy(col("s")).agg(min(col("nlbl")).as("nbl"))
-      val next = labels.join(nb, col("id") === col("s"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("id").as("pid"), col("lbl").as("old")),
-          col("id") === col("pid"))
-        .filter(col("lbl") =!= col("old")).count()
-      // the superseded snapshot is dead once the change count is known —
-      // release its blocks now (not at ContextCleaner GC time) so storage
-      // holds at most two label snapshots regardless of round count
-      labels.unpersist()
-      labels = next
+      .select(col("id"), col("id").as("lbl"))
+    graft.core.GraftSession.withShufflePartitions(spark, 8) {
+      labels = labels.localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nb = edges.join(labels.select(col("id").as("nid"), col("lbl").as("nlbl")),
+            col("t") === col("nid"))
+          .groupBy(col("s")).agg(min(col("nlbl")).as("nbl"))
+        val next = labels.join(nb, col("id") === col("s"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.select(col("id").as("pid"), col("lbl").as("old")),
+            col("id") === col("pid"))
+          .filter(col("lbl") =!= col("old")).count()
+        // the superseded snapshot is dead once the change count is known —
+        // release its blocks now (not at ContextCleaner GC time) so storage
+        // holds at most two label snapshots regardless of round count
+        labels.unpersist()
+        labels = next
+      }
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").cast("bigint").as("cluster"))
