@@ -27,6 +27,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The bench harness tail-captures only the last ~2000 chars of output;
+// Bench prints its machine-readable JSON as the LAST line, so sbt's
+// "[success] Total time ..." banner must not trail it.
+Global / showSuccess := false
+Global / showTiming := false
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
