@@ -217,11 +217,16 @@ object Aggregates {
         |FROM h ORDER BY n DESC, day LIMIT 1""".stripMargin) { (s, d) =>
       val h = T(s, d, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n")).persist()   // feeds max pick + avg
-      val avgN = h.agg(round(avg(col("n")), 6)).collect()(0).getDouble(0)
+        .agg(count(lit(1)).as("n"))
+      // ONE lazy plan with h under both branches: the two subtrees are
+      // identical, so ReuseExchange serves the sibling-avg from the same
+      // shuffle the max pick reads — no persist (whose block would leak
+      // past the entry) and no eager collect.
+      val avgN = h.agg(round(avg(col("n")), 6).as("avg_n"))
       h.orderBy(col("n").desc, col("day")).limit(1)
+        .crossJoin(broadcast(avgN))
         .select(unix_micros(col("day")).as("max_day"), col("n").as("max_n"),
-                lit(avgN).as("avg_n"))
+                col("avg_n"))
     },
 
     // ES matrix_stats analog: per-group second-order statistics between

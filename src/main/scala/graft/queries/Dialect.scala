@@ -68,8 +68,27 @@ object Dialect {
     "arg_max(" -> "max_by(",
     "BLOB" -> "BINARY")
 
+  private val stringLiteral = "'([^']*)'".r
+
   /** Derive the Spark twin of an oracle statement. Identity for SQL that is
-    * already dialect-shared. */
-  def duckToSpark(sql: String): String =
+    * already dialect-shared.
+    *
+    * Guard: substitutions are position-blind, so a rename token INSIDE a
+    * quoted string literal would be corrupted — and a corrupted literal
+    * used in a filter that matches nothing at fixture scale would pass the
+    * parity run silently. Any oracle whose literals contain a rule token is
+    * rejected here (SqlParitySpec derives every twin, so the reject fires
+    * at test time): that entry must declare an explicit `Entry.sqlTwin`.
+    * Only quote-free rule tokens can sit inside a literal; quoted composite
+    * rules are by construction not literal content. */
+  def duckToSpark(sql: String): String = {
+    val lits = stringLiteral.findAllMatchIn(sql).map(_.group(1)).toList
+    val clashes = rules.collect {
+      case (from, _) if !from.contains("'") && lits.exists(_.contains(from)) => from
+    }
+    require(clashes.isEmpty,
+      s"duckToSpark: rule token(s) ${clashes.mkString(", ")} inside a string literal — " +
+        "declare an explicit Entry.sqlTwin for this oracle instead of the bridge")
     rules.foldLeft(sql) { case (acc, (from, to)) => acc.replace(from, to) }
+  }
 }

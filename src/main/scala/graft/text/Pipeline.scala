@@ -131,7 +131,14 @@ object Pipeline {
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      clusterPairs(Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
+      val clusters =
+        clusterPairs(Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
+      // clusterPairs has materialized the edge derivation (edges.count())
+      // and checkpointed the labels, so the returned plan no longer
+      // references sh — release its blocks before handing the plan out
+      // instead of leaking them into the caller's cache.
+      sh.unpersist()
+      clusters
     }.sqlTwin(unrolledClusterTwin(6)),
 
     // ---- deterministic stratified sampling (per-language keep rates) ----
@@ -139,13 +146,17 @@ object Pipeline {
     // multiplicative hash, integer arithmetic shared with the oracle), so
     // the sample is replayable, shardable, and pushes down as a plain
     // filter — no shuffle, no RNG state. Rates: en 50%, de 25%, rest 10%.
+    // doc_id is reduced mod a prime BEFORE the multiply: the raw product
+    // would overflow signed 64-bit past doc_id ~3.47e9 (ANSI mode throws;
+    // DuckDB errors too), which a 100 TB corpus exceeds. The reduced form
+    // is exact for all BIGINT doc_ids: 1000002 * 2654435761 < 2^63.
     Entry("q91_stratified_sample",
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
         |      CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       T(s, d, "documents")
-        .filter((col("doc_id") * 2654435761L % 1000) <
+        .filter((col("doc_id") % 1000003L * 2654435761L % 1000) <
                 when(col("lang") === "en", 500)
                   .when(col("lang") === "de", 250).otherwise(100))
         .select(col("doc_id"), col("lang"))
@@ -164,17 +175,21 @@ object Pipeline {
         |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
         |  ROUND(1 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*), 6) AS rep_ratio
         |FROM sh GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // distinct runs on the shingle's 64-bit hash, not the string (the
-      // q61 posture: string bytes stay map-side; collision odds are
-      // immaterial and the oracle accepts the same reasoning)
-      val h = xxhash64(col("sh"))
+      // distinct runs on the shingle STRING, exactly like the oracle and
+      // the derived SQL twin — a hashed distinct (the q61 posture) would
+      // make the three paths disagree on a 64-bit collision, turning the
+      // row-for-row parity contract probabilistic. The distinct here is
+      // per-document (GROUP BY doc_id), so the dedup state is one doc's
+      // shingle set at a time — bounded by document length, not corpus
+      // size; the string bytes it shuffles are what q61 avoids, but q61's
+      // join fan-out does not exist here.
       TokenIndex.toks(s, d)
         .select(col("doc_id"),
                 explode(graft.functions.vec.wordShingles(col("ws"), 3)).as("sh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
-             countDistinct(h).as("n_distinct"),
-             round(lit(1) - countDistinct(h).cast("double") / count(lit(1)), 6)
+             countDistinct(col("sh")).as("n_distinct"),
+             round(lit(1) - countDistinct(col("sh")).cast("double") / count(lit(1)), 6)
                .as("rep_ratio"))
         .orderBy(col("doc_id"))
     },

@@ -468,11 +468,17 @@ object Text {
       val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
         .filter(col("w").isin(terms: _*))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .persist()   // feeds df and the scoring join
-      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "w")
+      // df is one row per query term (<= 3): collect it like `n` instead
+      // of persisting tf for a broadcast join — the idf inlines as a
+      // literal map and no cached block outlives the entry. Costs a second
+      // map-filter pass over the token index, same work the persist's
+      // materialization paid.
+      val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df")).collect()
+        .map(r => r.getString(0) -> math.log(n.toDouble / r.getLong(1))).toMap
+      tf.select(col("doc_id"), col("w"),
+          (col("tf") * element_at(typedLit(idf), col("w"))).as("contrib"))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"),
+        .agg(round(sum(col("contrib")), 6).as("score"),
              countDistinct(col("w")).as("m"))
         .filter(col("m") >= 2)
         .select(col("doc_id"), col("score"))
@@ -521,10 +527,13 @@ object Text {
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
       val toks = TokenIndex.toks(s, d)
       val n = toks.count()   // corpus stat: tiny driver scalar (as in q64)
+      // tf feeds the eager df count plus the scoring pass: two cheap
+      // map-filter passes over the token index — a persist here would pay
+      // the same materialization and leak its block past the entry.
       val tf = toks.select(col("doc_id"),
           size(filter(col("ws"), w => w === "stream")).as("tf"),
           when(array_contains(col("ws"), "slow"), 0.5).otherwise(1.0).as("boost"))
-        .filter(col("tf") > 0).persist()   // feeds df count and scoring
+        .filter(col("tf") > 0)
       val df = tf.count()
       tf.select(col("doc_id"),
           round(col("tf") * log(lit(n.toDouble) / df) * col("boost"), 6).as("score"))
@@ -554,9 +563,13 @@ object Text {
       val t = toks.select(col("doc_id"),
           size(filter(col("ws"), w => w === "data")).cast("double").as("tf_a"),
           size(filter(col("ws"), w => w === "stream")).cast("double").as("tf_b"))
-        .filter(col("tf_a") > 0 || col("tf_b") > 0).persist()   // feeds dfs + scoring
-      val dfa = t.filter(col("tf_a") > 0).count()
-      val dfb = t.filter(col("tf_b") > 0).count()
+        .filter(col("tf_a") > 0 || col("tf_b") > 0)
+      // both per-term doc frequencies come from ONE conditional-count agg
+      // pass (not one count() per term over a persisted t — the persist
+      // would leak its block past the entry)
+      val dfRow = t.agg(count(when(col("tf_a") > 0, 1)).as("dfa"),
+                        count(when(col("tf_b") > 0, 1)).as("dfb")).collect()(0)
+      val (dfa, dfb) = (dfRow.getLong(0), dfRow.getLong(1))
       val sa = col("tf_a") * log(lit(n.toDouble) / dfa)
       val sb = col("tf_b") * log(lit(n.toDouble) / dfb)
       t.select(col("doc_id"),
