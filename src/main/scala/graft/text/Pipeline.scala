@@ -126,20 +126,72 @@ object Pipeline {
         |            UNION SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t)
         |SELECT s AS doc_id, CAST(LEAST(s, MIN(t)) AS BIGINT) AS cluster
         |FROM r GROUP BY s ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val sh = Text.hashedShingles(TokenIndex.toks(s, d), 3).persist()
+      // sh is the ingest-staged shingle table (TokenIndex.shingles3): its
+      // consumers re-scan a small staged parquet instead of re-deriving
+      // shingles, and no persisted blocks leak past the entry.
+      val sh = TokenIndex.shingles3(s, d)
       val inter = sh.as("x").join(sh.as("y"),
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
-      val clusters =
-        clusterPairs(Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
-      // clusterPairs has materialized the edge derivation (edges.count())
-      // and checkpointed the labels, so the returned plan no longer
-      // references sh — release its blocks before handing the plan out
-      // instead of leaking them into the caller's cache.
-      sh.unpersist()
-      clusters
+      clusterPairs(Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
     }.sqlTwin(unrolledClusterTwin(6)),
+
+    // ---- passage-level exact dedup (RefinedWeb-style sub-document) ----
+    // Document-level dedup (q60/q61) misses boilerplate REPEATED INSIDE
+    // otherwise-distinct documents; passage dedup chunks each document
+    // into fixed 16-token passages and reports, per document, how many of
+    // its passages occur elsewhere in the corpus verbatim. Plan: one pass
+    // over the staged token index (posexplode -> per-(doc, chunk) hash
+    // agg rebuilds the passage in token order), then ONE window keyed by
+    // passage (the multiplicity count — no self-join, the ck derivation
+    // runs once), then a per-doc roll-up. The passage STRING is the
+    // window key so all three paths (DataFrame / oracle / twin) share
+    // exact semantics (the q101 lesson: hashing one side only makes
+    // parity probabilistic); at 100 TB the key would be xxhash64(passage)
+    // with identical plan shape. Documents shorter than one full passage
+    // carry no full chunk and are absent by construction (trailing
+    // partial chunks are excluded — a 3-token tail would otherwise
+    // "duplicate" across unrelated short documents).
+    Entry("q107_passage_dedup",
+      s"""WITH ${Text.wordsCtesSql},
+        |ck AS (SELECT doc_id, pos // 16 AS ck, COUNT(*) AS n_tok,
+        |              string_agg(w, ' ' ORDER BY pos) AS passage
+        |       FROM words GROUP BY 1, 2),
+        |fc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY passage) AS n
+        |       FROM ck WHERE n_tok = 16)
+        |SELECT doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+        |FROM fc GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ck = TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .groupBy(col("doc_id"), expr("pos div 16").as("ck"))
+        .agg(count(lit(1)).as("n_tok"),
+             array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+                                  _.getField("w")), " ").as("passage"))
+        .filter(col("n_tok") === 16)
+      val dup = when(count(lit(1)).over(Window.partitionBy(col("passage"))) > 1, 1)
+        .otherwise(0)
+      ck.select(col("doc_id"), dup.as("is_dup"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_passages"),
+             sum(col("is_dup")).cast("bigint").as("n_dup"),
+             round(sum(col("is_dup")).cast("double") / count(lit(1)), 6).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      // structural gaps: DuckDB's ordered string_agg has no direct Spark
+      // SQL spelling (rebuilt via array_sort over (pos, w) structs)
+      s"""WITH ${Dialect.duckToSpark(Text.wordsCtesSql)},
+        |ck AS (SELECT doc_id, pos div 16 AS ck, COUNT(*) AS n_tok,
+        |  array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ') AS passage
+        |       FROM words GROUP BY 1, 2),
+        |fc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY passage) AS n
+        |       FROM ck WHERE n_tok = 16)
+        |SELECT doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+        |FROM fc GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     // ---- deterministic stratified sampling (per-language keep rates) ----
     // The sampling decision is a pure function of doc_id (Knuth
@@ -210,7 +262,7 @@ object Pipeline {
         |FROM sh d JOIN sh p ON d.sh = p.sh AND p.doc_id <= 5 AND d.doc_id > 5
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY doc_id, probe_id""".stripMargin) { (s, d) =>
-      val sh = Text.hashedShingles(TokenIndex.toks(s, d), 3)
+      val sh = TokenIndex.shingles3(s, d)
       val probe = sh.filter(col("doc_id") <= 5)
         .select(col("doc_id").as("probe_id"), col("h"))
       sh.filter(col("doc_id") > 5)

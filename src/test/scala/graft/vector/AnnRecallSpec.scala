@@ -62,7 +62,7 @@ class AnnRecallSpec extends GraftSuite {
     assert(exactPairs.nonEmpty, "fixture produced no exact near-dup pairs")
     val recall = (exactPairs & lshPairs).size.toDouble / exactPairs.size
     assert(recall >= 0.9, s"MinHash recall $recall < 0.9")
-    spark.catalog.clearCache()   // minhashNearDups persists its shingle set
+    spark.catalog.clearCache()
   }
 
   test("LSH hot-bucket cap keeps the candidate join sub-quadratic") {
