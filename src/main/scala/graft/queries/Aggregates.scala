@@ -284,6 +284,70 @@ object Aggregates {
         .orderBy(col("day"))
     },
 
+    // ES weighted_avg metric agg: quantity-weighted mean price per flag.
+    // Both weighted sums run in DECIMAL (the doubles carry exactly 2
+    // decimals, so the cast is lossless and the sums are EXACT in both
+    // engines regardless of summation order); only the final division is
+    // floating-point, on identical inputs -> identical doubles.
+    Entry("q104_weighted_avg",
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dec = (c: String) => col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(sum(dec("l_extendedprice") * dec("l_quantity")).cast("double")
+               / sum(dec("l_quantity")).cast("double"), 6).as("wavg_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ES bucket_script + bucket_selector pipeline aggs: a per-bucket
+    // derived metric computed FROM other sub-aggregations of the same
+    // bucket (error share of the day's events), then a HAVING-style
+    // bucket filter on the derived value (threshold 0.2 keeps ~half the buckets at both fixture SFs). Conditional counts ride the
+    // same single hash agg as the bucket count — one pass over events,
+    // then bucket-level arithmetic over O(buckets) rows.
+    Entry("q105_bucket_script",
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+        |         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, n_err, ROUND(CAST(n_err AS DOUBLE) / n, 6) AS err_share
+        |FROM h WHERE CAST(n_err AS DOUBLE) / n > 0.2
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+             count(when(col("event_type") === "error", 1)).as("n_err"))
+        .filter(col("n_err").cast("double") / col("n") > 0.2)
+        .select(col("day"), col("n"), col("n_err"),
+                round(col("n_err").cast("double") / col("n"), 6).as("err_share"))
+        .orderBy(col("day"))
+    },
+
+    // ES serial_diff (period 7) + moving_fn pipeline aggs: lag-k delta and
+    // a trailing-window max over date-histogram buckets. The window runs
+    // over O(buckets) rows (days), never raw events — the single
+    // unpartitioned window is bounded by the histogram's bucket count,
+    // not corpus size (same posture as q78).
+    Entry("q106_serial_diff",
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(n - lag(n, 7) OVER (ORDER BY day) AS BIGINT) AS diff7,
+        |  CAST(MAX(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS max7
+        |FROM h ORDER BY day""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("day"))
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day"), col("n"),
+                (col("n") - lag(col("n"), 7).over(w)).cast("bigint").as("diff7"),
+                max(col("n")).over(w.rowsBetween(-6, 0)).cast("bigint").as("max7"))
+        .orderBy(col("day"))
+    },
+
     Entry("q32_top_hits",
       """SELECT c_mktsegment, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS top5
         |FROM (SELECT c_mktsegment, c_custkey,

@@ -108,6 +108,26 @@ object Geo {
         .orderBy(col("c_custkey"))
     },
 
+    // ES geo_centroid: the mean coordinate per bucket (here per market
+    // segment — on a deployment, per geohash cell or term bucket). One
+    // map-side-combinable hash agg; AVG partials are (sum, count) pairs so
+    // the shuffle is O(buckets). The coordinates carry two decimals, so
+    // double summation error is ~1e-12 relative and ROUND(.,6) is stable
+    // across engine summation orders.
+    Entry("q103_geo_centroid",
+      s"""WITH g AS (SELECT c_mktsegment AS seg, $latSql AS lat, $lonSql AS lon FROM customer)
+        |SELECT seg, COUNT(*) AS n,
+        |       ROUND(AVG(lat), 6) AS c_lat, ROUND(AVG(lon), 6) AS c_lon
+        |FROM g GROUP BY 1 ORDER BY seg""".stripMargin) { (s, d) =>
+      T(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"), expr(latSql).as("lat"), expr(lonSql).as("lon"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("lat")), 6).as("c_lat"),
+             round(avg(col("lon")), 6).as("c_lon"))
+        .orderBy(col("seg"))
+    },
+
     // ES geohash_grid: bucket count per geohash cell (precision 3).
     Entry("q89_geohash_grid",
       s"""WITH b AS (SELECT ${geohashBitsSql("//", ghPrecision)} AS bits FROM customer),
