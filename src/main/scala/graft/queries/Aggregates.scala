@@ -229,6 +229,51 @@ object Aggregates {
                 col("avg_n"))
     },
 
+    // ES percentiles_bucket pipeline agg: percentiles OVER the buckets of
+    // a date histogram — the histogram is one hash agg; the percentile
+    // runs over O(buckets) rows (30 days), never source rows. Both
+    // engines interpolate linearly over exact integer counts, so the
+    // result doubles are identical (same contract as q24).
+    Entry("q109_percentiles_bucket",
+      """WITH h AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  ROUND(quantile_cont(n, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(n, 0.50), 4) AS p50,
+        |  ROUND(quantile_cont(n, 0.90), 4) AS p90
+        |FROM h""".stripMargin) { (s, d) =>
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("bigint").as("n_buckets"),
+             round(expr("percentile(n, 0.25)"), 4).as("p25"),
+             round(expr("percentile(n, 0.50)"), 4).as("p50"),
+             round(expr("percentile(n, 0.90)"), 4).as("p90"))
+    },
+
+    // ES diversified_sampler agg: cap the per-"diversity field" (source)
+    // contribution BEFORE aggregating, so one dominant source cannot
+    // swamp the downstream agg. Deterministic sample: top-3 per source by
+    // (n_chars DESC, doc_id) — a per-source window, shuffle keyed on the
+    // diversity field, then the per-lang agg over the bounded sample.
+    Entry("q110_diversified_sampler",
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM ranked WHERE rn <= 3
+        |GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      T(s, d, "documents")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("bigint").as("chars"))
+        .orderBy(col("lang"))
+    },
+
     // ES matrix_stats analog: per-group second-order statistics between
     // two metrics (covariance + correlation). One map-side-combinable
     // hash agg — Spark's covar/corr carry (n, mean, co-moment) partials,

@@ -616,7 +616,40 @@ object Text {
       s"""WITH ${graft.queries.Dialect.duckToSpark(wordsCtesSql)}
         |SELECT doc_id,
         |  CAST(SUM(CAST((pos + 1) * token_hash(w) AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS fp
-        |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM words GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- unigram LM negative log-likelihood (perplexity-filter signal) ----
+    // The CCNet/Gopher-style "perplexity against a reference LM" quality
+    // gate, with the corpus's own unigram model standing in for the
+    // external KenLM (the plumbing — model stats join + per-doc NLL — is
+    // identical; a real deployment broadcasts externally-trained
+    // probabilities through the same seam). Per doc: mean over tokens of
+    // -ln(cnt(w)/N). Plan: corpus counts are ONE hash agg over the staged
+    // token index; the per-token probability lookup is an equi-join
+    // against the (tiny) vocabulary table — broadcast at any corpus size,
+    // since the vocab grows sub-linearly — then one per-doc avg.
+    // cnt and N are exact integers on both engines, so cnt/N is the
+    // IDENTICAL double on both sides; ln() is the one non-correctly-
+    // rounded op (same caveat as q87's haversine, measure ~ulps), and
+    // ROUND(.,4) over a ~50-term mean makes a cross-engine divergence
+    // measure-zero in practice (documented, not claimed away).
+    Entry("q108_unigram_nll",
+      s"""WITH $wordsCtesSql,
+        |cnt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM words)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  ROUND(AVG(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        |FROM words JOIN cnt USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = TokenIndex.words(s, d).select(col("doc_id"), col("w"))
+      val cnt = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = words.agg(count(lit(1)).as("n"))
+      words.join(broadcast(cnt), "w").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+             round(avg(-log(col("c").cast("double") / col("n"))), 4).as("nll"))
+        .orderBy(col("doc_id"))
+    }
   )
 
   /** Hashed distinct shingles per doc: `(doc_id, h)` from a `(doc_id, ws)`
@@ -692,7 +725,12 @@ object Text {
     * list itself is tiny (only buckets past the cap), hence the broadcast
     * anti-join. */
   def lshCandidates(sh: DataFrame, numPerm: Int, bands: Int, maxBucket: Int): DataFrame =
-    lshCandidatesFromSigs(minhashSignatures(sh, numPerm), numPerm, bands, maxBucket)
+    // Ad-hoc/test convenience over a raw shingle set: the signature agg is
+    // the expensive part and feeds three consumers downstream (hot-bucket
+    // count + both sides of the pair join), so persist it here — declared
+    // queries use the ingest-staged signatures via lshCandidatesFromSigs
+    // and never hit this path.
+    lshCandidatesFromSigs(minhashSignatures(sh, numPerm).persist(), numPerm, bands, maxBucket)
 
   /** MinHash signature row `(doc_id, h0..h{numPerm-1})` from a hashed
     * shingle set. Shingle strings were hashed to longs ONCE upstream

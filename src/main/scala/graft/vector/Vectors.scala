@@ -172,6 +172,12 @@ object Vectors {
     // assignment is engine-specific); tests assert recall vs exact top-k.
     Entry.benchOnly("q62_ann_ivf") { (s, d) =>
       annIvf(T(s, d, "embeddings"), Seq(1, 2, 3), 5)
+    },
+
+    // ANN: PQ/ADC — the memory-compression scale path (codes instead of
+    // vectors in the scan); bench-only; recall vs exact asserted in tests.
+    Entry.benchOnly("q62_ann_pq") { (s, d) =>
+      annPq(T(s, d, "embeddings"), Seq(1, 2, 3), 5)
     }
   )
 
@@ -269,6 +275,124 @@ object Vectors {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
     assigned.join(probeDf, "cell").join(qDf, "q_id")
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Product-quantization ANN with asymmetric distance (ADC): each vector
+    * compresses to `m` sub-codes (here 8 codes x 16 centroids = 8 x 4 bits
+    * — a 64x memory reduction over 64 float32 dims), queries score the
+    * corpus as a sum of `m` table lookups, and the top `rerank` candidates
+    * get an exact-cosine re-rank.
+    *
+    * Scale posture: this is the path where the CORPUS SCAN no longer
+    * touches vectors at all — the ADC pass reads (vec_id, codes) rows and
+    * a broadcast (q, sub, code) -> partial-dot table (m x ks x |Q| rows,
+    * driver-computed from the tiny codebook); only the `rerank` candidates
+    * per query fetch their full vector for the exact re-rank join. Like
+    * IVF, codebook training is sample-bounded (Lloyd rounds move the
+    * sample, O(iters x trainCap x m)); encoding moves the corpus once —
+    * at deployment codes are an ingest artifact like the MinHash
+    * signatures. Composes with IVF cells (classic IVF-PQ) — orthogonal
+    * here since the fixture corpus is one "cell".
+    *
+    * Approximation: per-subspace L2 quantization of raw subvectors;
+    * approx dot(q, v) = sum_sub table[sub][code(v, sub)], normalized by
+    * the STORED exact norms — so the approximation error is in the dot,
+    * not the norms. Deterministic init (first `ks` vectors), ties broken
+    * by code id. */
+  def annPq(emb: DataFrame, queryIds: Seq[Int], k: Int,
+            m: Int = 8, ks: Int = 16, iters: Int = 3, rerank: Int = 50,
+            trainCap: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = withNorm(emb).persist()
+    // deterministic init: sub-slices of the first ks vectors by vec_id —
+    // also supplies the dimensionality (no separate probe job)
+    val init = e.orderBy("vec_id").select("v").limit(ks).as[Seq[Double]].collect()
+    val dim = init.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    // (vec_id, nrm, sub, sv): the per-subspace view. slice() is 1-based.
+    def subRows(rows: DataFrame): DataFrame =
+      rows.select(col("vec_id"), col("nrm"), col("v"),
+          explode(sequence(lit(0), lit(m - 1))).as("sub"))
+        .select(col("vec_id"), col("nrm"), col("sub"),
+                slice(col("v"), col("sub") * sub + 1, lit(sub)).as("sv"))
+
+    // nearest-centroid code per (vec_id, sub): broadcast codebook join +
+    // min_by over -2<sv,cv>+|cv|^2 (the |sv|^2 term is constant per row)
+    def assignCodes(rows: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame = {
+      val centDf = broadcast(
+        (for (s <- 0 until m; c <- 0 until ks)
+          yield (s, c, cents(s)(c).toSeq, cents(s)(c).map(x => x * x).sum))
+          .toDF("sub", "code", "cv", "cvsq"))
+      rows.join(centDf, "sub")
+        .select(col("vec_id"), col("nrm"), col("sub"), col("sv"), col("code"),
+                (dot(col("sv"), col("cv")) * -2 + col("cvsq")).as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+             any_value(col("sv")).as("sv"), any_value(col("nrm")).as("nrm"))
+    }
+
+    val n = e.count()
+    // training set persisted across Lloyd rounds and released right after —
+    // rounds consume it EAGERLY (collect), so unlike `e`/`codes` (which the
+    // returned lazy plan still references) it can be dropped here
+    val train = subRows(
+      if (n <= trainCap) e
+      else e.sample(withReplacement = false,
+                    math.min(1.0, trainCap * 1.2 / n), seed = 42L).limit(trainCap))
+      .persist()
+
+    val cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ks)((s, c) => init(c).slice(s * sub, (s + 1) * sub).toArray)
+    for (_ <- 0 until iters) {
+      // per-(sub, code) element-wise mean; m x ks x sub doubles — tiny
+      val next = assignCodes(train, cents)
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("col")).as("mu"))
+        .as[(Int, Int, Int, Double)].collect()
+      next.groupBy(x => (x._1, x._2)).foreach { case ((s, c), rows) =>
+        cents(s)(c) = rows.sortBy(_._3).map(_._4).toArray   // empty cells keep old
+      }
+    }
+    train.unpersist()
+
+    val codes = assignCodes(subRows(e), cents).persist()
+
+    // ADC lookup table per query: (q_id, sub, code) -> partial dot, plus
+    // the query norms — all driver math over the tiny codebook
+    val qrows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val tab = broadcast(
+      (for ((qid, qv, _) <- qrows.toSeq; s <- 0 until m; c <- 0 until ks)
+        yield (qid, s, c,
+               cents(s)(c).zip(qv.slice(s * sub, (s + 1) * sub))
+                 .map { case (x, y) => x * y }.sum))
+        .toDF("q_id", "sub", "code", "p"))
+    val qDf = broadcast(qrows.toSeq.map { case (qid, qv, qn) => (qid, qv.toSeq, qn) }
+      .toDF("q_id", "qv", "qnrm"))
+
+    // ADC scan: codes ⋈ table, one sum per (q_id, vec_id) — never touches v
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
+    val cands = codes.join(tab, Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // cosine ranking: divide by the stored corpus norm; the query norm
+      // is constant within a q_id partition and cannot change the order
+      .agg((sum(col("p")) / any_value(col("nrm"))).as("approx"))
+      .withColumn("rn", row_number().over(wa)).filter(col("rn") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+
+    // exact re-rank of the candidate slice only
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
+    cands.join(e, "vec_id").join(qDf, "q_id")
       .select(col("q_id"), col("vec_id"),
               round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(w).cast("int"))

@@ -65,6 +65,18 @@ class AnnRecallSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("PQ/ADC top-5 recalls >= 0.8 of exact cosine top-5 (after re-rank)") {
+    val emb = Tables(spark, sf01, "embeddings")
+    val queryIds = Seq(1, 2, 3)
+    val exact = Vectors.topK(emb, queryIds, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Vectors.annPq(emb, queryIds, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall < 0.8 (hits ${(exact & got).size}/${exact.size})")
+    spark.catalog.clearCache()   // annPq persists codes + normed corpus
+  }
+
   test("LSH hot-bucket cap keeps the candidate join sub-quadratic") {
     import spark.implicits._
     import graft.text.Text
