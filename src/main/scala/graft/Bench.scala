@@ -35,12 +35,29 @@ object Bench {
     // amortized write-path work stays visible in the bench line.
     val ingest0 = System.nanoTime()
     graft.text.TokenIndex.ensure(spark, sfDir)
+    graft.vector.VectorIndex.ensure(spark, sfDir)
     graft.streaming.Streams.prestage(spark, sfDir)
     val ingestSec = (System.nanoTime() - ingest0) / 1e9
 
     // q04 writes a json copy of lineitem — IO-bound, excluded from bench
     val skip = Set("q04_roundtrip")
-    val results = SparkEntry.allEntries.filterNot(e => skip(e.name)).map { e =>
+    val entries = SparkEntry.allEntries.filterNot(e => skip(e.name))
+
+    // Validate the short-key scheme BEFORE running anything: names are
+    // static declarations, and a collision (or a malformed name with an
+    // empty '_' segment) discovered after the multi-minute run would
+    // discard all of its results.
+    def shortKey(name: String): String = {
+      val ps = name.split('_').filter(_.nonEmpty)
+      ps.head + ps.tail.map(_.head).mkString
+    }
+    locally {
+      val dup = entries.map(e => shortKey(e.name)).groupBy(identity)
+        .collect { case (k, vs) if vs.size > 1 => k }
+      require(dup.isEmpty, s"short-key collision: ${dup.mkString(", ")}")
+    }
+
+    val results = entries.map { e =>
       val t0 = System.nanoTime()
       val ok = try {
         e.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
@@ -69,11 +86,6 @@ object Bench {
     //     bench_full.json) sized to survive the tail window.
     // build.sbt suppresses sbt's "[success]" banner so this line is the
     // final line of output.
-    def shortKey(name: String): String = {
-      val ps = name.split('_'); ps.head + ps.tail.map(_.head).mkString
-    }
-    val shorts = results.map { case (k, _) => shortKey(k) }
-    require(shorts.distinct.size == shorts.size, "short-key collision")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"queries":$fullQs,"sf":"$sfDir"}"""

@@ -13,7 +13,15 @@ import graft.queries.{Aggregates, Dialect, Entry, Geo, Relational, Scalars}
   */
 object SparkEntry {
 
-  val allEntries: Seq[Entry] = {
+  // SQL entry path (SURVEY.md §3.4 C): entries without an explicit
+  // Spark-dialect twin get one derived from the oracle SQL by the
+  // mechanical rename bridge; SqlParitySpec executes every twin against
+  // the DataFrame plan, so a bad derivation cannot pass silently. A
+  // derivation REJECT (rule token inside a string literal) is isolated to
+  // that entry — recorded in [[twinDerivationErrors]] and failed by
+  // SqlParitySpec — instead of throwing here, where one bad oracle would
+  // take down registration for every unrelated bench/correctness run.
+  private val derived: Seq[(Entry, Option[String])] = {
     val declared =
       Relational.entries ++
       Aggregates.entries ++
@@ -25,15 +33,22 @@ object SparkEntry {
       text.Pipeline.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries
-    // SQL entry path (SURVEY.md §3.4 C): entries without an explicit
-    // Spark-dialect twin get one derived from the oracle SQL by the
-    // mechanical rename bridge; SqlParitySpec executes every twin against
-    // the DataFrame plan, so a bad derivation cannot pass silently.
     declared.map { e =>
-      if (e.sparkSqlOverride.nonEmpty) e
-      else e.oracle.map(o => e.sqlTwin(Dialect.duckToSpark(o))).getOrElse(e)
+      if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None)
+      else
+        scala.util.Try(e.sqlTwin(Dialect.duckToSpark(e.oracle.get))) match {
+          case scala.util.Success(withTwin) => (withTwin, None)
+          case scala.util.Failure(ex)       => (e, Some(ex.getMessage))
+        }
     }
   }
+
+  val allEntries: Seq[Entry] = derived.map(_._1)
+
+  /** Twin-derivation rejects by entry name (empty in a healthy build);
+    * SqlParitySpec fails each named entry individually. */
+  val twinDerivationErrors: Map[String, String] =
+    derived.collect { case (e, Some(msg)) => e.name -> msg }.toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mini-TPC-H-Q5: the 6-table join + revenue rollup. */

@@ -1,0 +1,42 @@
+package graft.core
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ingest-time artifact staging shared by the text index (TokenIndex) and
+  * the vector index (VectorIndex): build a projection ONCE per corpus dir,
+  * park it as temp parquet, memoize per JVM, delete at exit.
+  *
+  * The cache key carries the source parquet's (mtime, size) fingerprint so
+  * a rewritten source under the same dir invalidates the staged artifact
+  * instead of silently serving stale rows (the fixtures are immutable in
+  * practice; this is cheap insurance, not a full catalog).
+  */
+private[graft] object Staging {
+
+  private val cache = TrieMap.empty[String, String]
+
+  private def key(dir: String, srcTable: String, name: String): String = {
+    def stat(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.map(stat).foldLeft((0L, 0L)) {
+          case ((m, sz), (m2, sz2)) => (math.max(m, m2), sz + sz2)
+        }
+      else (f.lastModified, f.length)
+    val (m, sz) = stat(new java.io.File(s"$dir/$srcTable.parquet"))
+    s"$dir@$m:$sz#$name"
+  }
+
+  /** Stage `build`'s result as parquet on first use for (dir, name). */
+  def staged(s: SparkSession, dir: String, srcTable: String, name: String)
+            (build: => DataFrame): DataFrame =
+    s.read.parquet(cache.getOrElseUpdate(key(dir, srcTable, name), {
+      val tmp = Files.createTempDirectory(s"graft_$name").toString
+      sys.addShutdownHook(Fs.deleteRecursively(new java.io.File(tmp)))
+      build.write.mode("overwrite").parquet(tmp)
+      tmp
+    }))
+}

@@ -393,6 +393,134 @@ object Aggregates {
         .orderBy(col("day"))
     },
 
+    // ES extended_stats: one hash agg emitting the full moment family —
+    // count/sum/avg/sum_of_squares/variance/std_deviation plus the
+    // ±2σ std bounds ES reports. All partials are (sum, sum_sq, count)
+    // triples, map-side-combinable; l_quantity is O(50) so ROUND(.,6) is
+    // stable across engine summation orders.
+    Entry("q111_extended_stats",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 6) AS sum_q,
+        |  ROUND(AVG(l_quantity), 6) AS avg_q,
+        |  ROUND(SUM(l_quantity * l_quantity), 6) AS sum_sq,
+        |  ROUND(var_pop(l_quantity), 6) AS var_q,
+        |  ROUND(stddev_pop(l_quantity), 6) AS std_q,
+        |  ROUND(AVG(l_quantity) + 2 * stddev_pop(l_quantity), 6) AS std_upper,
+        |  ROUND(AVG(l_quantity) - 2 * stddev_pop(l_quantity), 6) AS std_lower
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 6).as("sum_q"),
+             round(avg(col("l_quantity")), 6).as("avg_q"),
+             round(sum(col("l_quantity") * col("l_quantity")), 6).as("sum_sq"),
+             round(var_pop(col("l_quantity")), 6).as("var_q"),
+             round(stddev_pop(col("l_quantity")), 6).as("std_q"),
+             round(avg(col("l_quantity")) + stddev_pop(col("l_quantity")) * 2, 6).as("std_upper"),
+             round(avg(col("l_quantity")) - stddev_pop(col("l_quantity")) * 2, 6).as("std_lower"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ES scripted_metric: a user-authored map/combine/reduce aggregation.
+    // The engine's surface for this is a typed Aggregator
+    // (graft.functions.GeoMean — SURVEY.md §2.3 UDAF row): map = per-row
+    // (ln x, 1) accumulate, combine = pair merge, reduce = exp(sum/count);
+    // the two-scalar buffer pre-reduces map-side exactly like the builtin
+    // aggs. The oracle states the same math declaratively.
+    Entry("q112_scripted_metric",
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(EXP(AVG(LN(value))), 6) AS geo_mean
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val gm = udaf(graft.functions.GeoMean, org.apache.spark.sql.Encoders.scalaDouble)
+      T(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             round(gm(col("value")), 6).as("geo_mean"))
+        .orderBy(col("event_type"))
+    }.sqlTwin(
+      // the SQL twin states the identical math with builtins (the
+      // Aggregator is the DataFrame-side surface under test; avg(ln) and
+      // the buffer's exp(sum/count) follow the same double path)
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(EXP(AVG(LN(value))), 6) AS geo_mean
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ES date_range agg: explicit half-open date buckets with open ends
+    // (*-1996, 1996-1999, 1999-*). A CASE over the scan — one hash agg,
+    // no join; at scale the CASE folds into the scan's projection.
+    Entry("q114_date_range_agg",
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN '*-1996'
+        |            WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN '1996-1999'
+        |            ELSE '1999-*' END AS bucket,
+        |       COUNT(*) AS n, ROUND(SUM(o_totalprice), 6) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "orders")
+        .groupBy(when(col("o_orderdate") < lit("1996-01-01").cast("timestamp"), "*-1996")
+          .when(col("o_orderdate") < lit("1999-01-01").cast("timestamp"), "1996-1999")
+          .otherwise("1999-*").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice")), 6).as("sum_price"))
+        .orderBy(col("bucket"))
+    },
+
+    // ES bucket_sort pipeline agg: rank the terms-agg buckets by a metric
+    // and page into them (from=3, size=5). The paging runs over O(buckets)
+    // rows — the nation terms agg output — never the source rows, so the
+    // global sort+offset is bounded by bucket count (same posture as the
+    // other pipeline aggs, q78/q100/q106).
+    Entry("q115_bucket_sort",
+      """SELECT c_nationkey, COUNT(*) AS n, ROUND(AVG(c_acctbal), 6) AS avg_bal
+        |FROM customer GROUP BY 1
+        |ORDER BY n DESC, c_nationkey LIMIT 5 OFFSET 3""".stripMargin) { (s, d) =>
+      T(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+        .orderBy(col("n").desc, col("c_nationkey"))
+        .offset(3).limit(5)
+    },
+
+    // ES auto_date_histogram: the interval is CHOSEN FROM THE DATA — the
+    // smallest rung of the day/month/year ladder that keeps the bucket
+    // count within the target (100). Pass 1 is a tiny min/max bounds agg
+    // broadcast back (same shape as q100's sibling stats); pass 2 is the
+    // histogram at the chosen interval. Orders spans ~2400 days / ~80
+    // months, so the ladder lands on 'month' — from the data, not a
+    // constant the planner could fold. Buckets project as epoch micros
+    // (the driver's schema compare rejects raw TIMESTAMP columns).
+    Entry("q117_auto_histogram",
+      """WITH b AS (SELECT CASE
+        |    WHEN date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) <= 100 THEN 'day'
+        |    WHEN date_diff('month', MIN(o_orderdate), MAX(o_orderdate)) <= 100 THEN 'month'
+        |    ELSE 'year' END AS iv FROM orders)
+        |SELECT iv, epoch_us(CASE iv WHEN 'day' THEN date_trunc('day', o_orderdate)
+        |                            WHEN 'month' THEN date_trunc('month', o_orderdate)
+        |                            ELSE date_trunc('year', o_orderdate) END) AS bucket,
+        |       COUNT(*) AS n
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val o = T(s, d, "orders")
+      val bounds = o.agg(
+        when(datediff(max(col("o_orderdate")), min(col("o_orderdate"))) <= 100, "day")
+          .when(months_between(max(col("o_orderdate")), min(col("o_orderdate"))) <= 100, "month")
+          .otherwise("year").as("iv"))
+      o.crossJoin(broadcast(bounds))
+        .groupBy(col("iv"),
+                 unix_micros(when(col("iv") === "day", date_trunc("day", col("o_orderdate")))
+                   .when(col("iv") === "month", date_trunc("month", col("o_orderdate")))
+                   .otherwise(date_trunc("year", col("o_orderdate")))).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }.sqlTwin(
+      // structural gaps: DuckDB date_diff('month', a, b) vs Spark's
+      // months_between(b, a); epoch_us vs unix_micros
+      """WITH b AS (SELECT CASE
+        |    WHEN datediff(MAX(o_orderdate), MIN(o_orderdate)) <= 100 THEN 'day'
+        |    WHEN months_between(MAX(o_orderdate), MIN(o_orderdate)) <= 100 THEN 'month'
+        |    ELSE 'year' END AS iv FROM orders)
+        |SELECT iv, unix_micros(CASE iv WHEN 'day' THEN date_trunc('day', o_orderdate)
+        |                               WHEN 'month' THEN date_trunc('month', o_orderdate)
+        |                               ELSE date_trunc('year', o_orderdate) END) AS bucket,
+        |       COUNT(*) AS n
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY bucket""".stripMargin),
+
     Entry("q32_top_hits",
       """SELECT c_mktsegment, string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS top5
         |FROM (SELECT c_mktsegment, c_custkey,

@@ -68,7 +68,12 @@ object Dialect {
     "arg_max(" -> "max_by(",
     "BLOB" -> "BINARY")
 
-  private val stringLiteral = "'([^']*)'".r
+  // '' inside a literal is the SQL escape for a single quote: treat the
+  // whole run ('it''s') as ONE literal, else the doubled quote would split
+  // parsing and swap literal/non-literal regions — exactly the confusion
+  // this guard exists to catch. The captured group keeps the escape pairs
+  // (we only substring-search it, so unescaping is unnecessary).
+  private val stringLiteral = "'((?:[^']|'')*)'".r
 
   /** Derive the Spark twin of an oracle statement. Identity for SQL that is
     * already dialect-shared.

@@ -128,6 +128,28 @@ object Geo {
         .orderBy(col("seg"))
     },
 
+    // ES geo_bounds: the smallest box enclosing each bucket's points —
+    // top/bottom = max/min lat, left/right = min/max lon. Four
+    // map-side-combinable min/max partials per bucket, O(buckets) shuffle;
+    // the coordinates are exact two-decimal values so min/max equality is
+    // exact across engines (no summation involved).
+    Entry("q116_geo_bounds",
+      s"""WITH g AS (SELECT c_mktsegment AS seg, $latSql AS lat, $lonSql AS lon FROM customer)
+        |SELECT seg, COUNT(*) AS n,
+        |       ROUND(MAX(lat), 6) AS top, ROUND(MIN(lat), 6) AS bottom,
+        |       ROUND(MIN(lon), 6) AS left_lon, ROUND(MAX(lon), 6) AS right_lon
+        |FROM g GROUP BY 1 ORDER BY seg""".stripMargin) { (s, d) =>
+      T(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"), expr(latSql).as("lat"), expr(lonSql).as("lon"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+             round(max(col("lat")), 6).as("top"),
+             round(min(col("lat")), 6).as("bottom"),
+             round(min(col("lon")), 6).as("left_lon"),
+             round(max(col("lon")), 6).as("right_lon"))
+        .orderBy(col("seg"))
+    },
+
     // ES geohash_grid: bucket count per geohash cell (precision 3).
     Entry("q89_geohash_grid",
       s"""WITH b AS (SELECT ${geohashBitsSql("//", ghPrecision)} AS bits FROM customer),

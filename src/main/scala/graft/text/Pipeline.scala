@@ -141,11 +141,14 @@ object Pipeline {
     // Document-level dedup (q60/q61) misses boilerplate REPEATED INSIDE
     // otherwise-distinct documents; passage dedup chunks each document
     // into fixed 16-token passages and reports, per document, how many of
-    // its passages occur elsewhere in the corpus verbatim. Plan: one pass
-    // over the staged token index (posexplode -> per-(doc, chunk) hash
-    // agg rebuilds the passage in token order), then ONE window keyed by
-    // passage (the multiplicity count — no self-join, the ck derivation
-    // runs once), then a per-doc roll-up. The passage STRING is the
+    // its passages occur elsewhere in the corpus verbatim. Plan: the
+    // staged token index already stores each document's tokens as an
+    // ORDERED array, so the chunking is map-only — slice(ws) per chunk
+    // index, no posexplode + collect_list sort-agg (that shape re-sorts
+    // and re-shuffles every token to rebuild an order the array already
+    // has; measured ~2x the whole query). Then ONE window keyed by
+    // passage (the multiplicity count — no self-join, the chunk
+    // derivation runs once), then a per-doc roll-up. The passage STRING is the
     // window key so all three paths (DataFrame / oracle / twin) share
     // exact semantics (the q101 lesson: hashing one side only makes
     // parity probabilistic); at 100 TB the key would be xxhash64(passage)
@@ -164,13 +167,14 @@ object Pipeline {
         |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |  ROUND(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
         |FROM fc GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // full 16-token chunks only: sequence(0, n-1) needs n >= 1, and a
+      // doc shorter than one passage contributes nothing by construction
       val ck = TokenIndex.toks(s, d)
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-        .groupBy(col("doc_id"), expr("pos div 16").as("ck"))
-        .agg(count(lit(1)).as("n_tok"),
-             array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-                                  _.getField("w")), " ").as("passage"))
-        .filter(col("n_tok") === 16)
+        .filter(size(col("ws")) >= 16)
+        .select(col("doc_id"),
+                explode(transform(
+                  sequence(lit(0), (size(col("ws")) / lit(16)).cast("int") - 1),
+                  i => array_join(slice(col("ws"), i * 16 + 1, lit(16)), " "))).as("passage"))
       val dup = when(count(lit(1)).over(Window.partitionBy(col("passage"))) > 1, 1)
         .otherwise(0)
       ck.select(col("doc_id"), dup.as("is_dup"))
@@ -334,6 +338,43 @@ object Pipeline {
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("bigint").as("n_tokens"))
         .orderBy(col("shard"), col("bin"))
+    },
+
+    // ---- token-budget curriculum mix (per-language data mixing) ----
+    // A pretraining mix caps each language's contribution at a token
+    // budget: docs are taken in a DETERMINISTIC pseudo-random order (the
+    // q91 Knuth hash — replayable, shard-stable, no RNG state) until the
+    // language's running token total exceeds the budget (3000 here). The
+    // running total is a window cumsum PARTITIONED BY lang ordered by
+    // (hash, doc_id) — ties broken by doc_id make the frame equivalent to
+    // ROWS, so both engines bucket identically. The window sorts only
+    // within a language; at 100 TB the same plan holds per-lang (a
+    // language's doc list shuffles to its partition group — the operator
+    // is a per-key prefix scan, inherently order-dependent).
+    Entry("q119_token_budget_mix",
+      s"""WITH ${Text.wordsCtesSql},
+        |n AS (SELECT doc_id, COUNT(*) AS n_tok FROM words GROUP BY 1),
+        |d AS (SELECT doc_id, lang, n_tok,
+        |        (doc_id % 1000003) * 2654435761 % 1000000007 AS ord
+        |      FROM documents JOIN n USING (doc_id)),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum
+        |      FROM d)
+        |SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(cum AS BIGINT) AS cum_tok
+        |FROM c WHERE cum <= 3000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val n = TokenIndex.toks(s, d)
+        .select(col("doc_id"), size(col("ws")).as("n_tok"))
+        .filter(col("n_tok") > 0)   // words CTE inner-join drops 0-token docs
+      val w = Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
+      T(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(n, "doc_id")
+        .withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .filter(col("cum") <= 3000)
+        .select(col("doc_id"), col("lang"), col("n_tok").cast("bigint").as("n_tok"),
+                col("cum").cast("bigint").as("cum_tok"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -649,6 +649,60 @@ object Text {
         .agg(count(lit(1)).as("n_tok"),
              round(avg(-log(col("c").cast("double") / col("n"))), 4).as("nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // ES sampler agg: run the sub-aggregation over a bounded,
+    // deterministic slice of the corpus instead of all of it — here the
+    // 100 lowest doc_ids (ES samples the top-scored shard docs; lowest-id
+    // is the deterministic analog), then a terms agg over their tokens.
+    // The slice is a TakeOrdered (per-partition top-N, no full sort) and
+    // every downstream cost is bounded by the sample size regardless of
+    // corpus scale — which is the entire point of the sampler agg.
+    Entry("q113_sampler_agg",
+      s"""WITH s AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
+        |$wordsCtesSql
+        |SELECT w, COUNT(*) AS c FROM words JOIN s USING (doc_id)
+        |GROUP BY 1 ORDER BY c DESC, w LIMIT 10""".stripMargin) { (s, d) =>
+      val sample = T(s, d, "documents").select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(100)
+      TokenIndex.words(s, d).select(col("doc_id"), col("w"))
+        .join(broadcast(sample), "doc_id")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(10)
+    },
+
+    // Bigram negative log-likelihood per document — the 2-gram upgrade of
+    // q108's unigram perplexity proxy (fluency scoring for quality
+    // filtering: a doc of real collocations scores lower NLL than bag-of-
+    // frequent-words spam that unigram NLL cannot tell apart). The bigram
+    // derivation is MAP-ONLY over the staged token index (adjacent pairs
+    // via slice arithmetic on the ordered ws array — no posexplode +
+    // self-join); corpus bigram counts are one hash agg, joined back
+    // broadcast at fixture scale (an equi-join shuffle at corpus scale).
+    Entry("q118_bigram_nll",
+      s"""WITH $wordsCtesSql,
+        |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+        |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM bg)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(-ln(CAST(c AS DOUBLE) / n)), 4) AS nll
+        |FROM bg JOIN cnt USING (bg) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bg = TokenIndex.toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+                explode(transform(
+                  sequence(lit(0), size(col("ws")) - 2),
+                  i => concat_ws(" ", element_at(col("ws"), i + 1),
+                                      element_at(col("ws"), i + 2)))).as("bg"))
+      val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val tot = bg.agg(count(lit(1)).as("n"))
+      bg.join(broadcast(cnt), "bg").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             round(avg(-log(col("c").cast("double") / col("n"))), 4).as("nll"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -1,9 +1,5 @@
 package graft.text
 
-import java.nio.file.Files
-
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,32 +37,11 @@ import graft.core.Tables
   */
 object TokenIndex {
 
-  private val cache = TrieMap.empty[String, String]
-
-  /** Cache key carries the source parquet's (mtime, size) fingerprint so a
-    * rewritten documents.parquet under the same dir invalidates the staged
-    * artifacts instead of silently serving stale rows (the fixtures are
-    * immutable in practice; this is cheap insurance, not a full catalog). */
-  private def key(dir: String, name: String): String = {
-    def stat(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.map(stat).foldLeft((0L, 0L)) {
-          case ((m, sz), (m2, sz2)) => (math.max(m, m2), sz + sz2)
-        }
-      else (f.lastModified, f.length)
-    val (m, sz) = stat(new java.io.File(s"$dir/documents.parquet"))
-    s"$dir@$m:$sz#$name"
-  }
-
-  /** Stage `build`'s result as parquet on first use for (dir, name). */
+  /** Stage via the shared per-JVM parquet cache (graft.core.Staging), keyed
+    * on the documents table's (mtime, size) fingerprint. */
   private def staged(s: SparkSession, dir: String, name: String)
                     (build: => DataFrame): DataFrame =
-    s.read.parquet(cache.getOrElseUpdate(key(dir, name), {
-      val tmp = Files.createTempDirectory(s"graft_$name").toString
-      sys.addShutdownHook(graft.core.Fs.deleteRecursively(new java.io.File(tmp)))
-      build.write.mode("overwrite").parquet(tmp)
-      tmp
-    }))
+    graft.core.Staging.staged(s, dir, "documents", name)(build)
 
   /** The tokenized projection for a corpus dir (built on first use). */
   def toks(s: SparkSession, dir: String): DataFrame =

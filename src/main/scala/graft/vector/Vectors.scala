@@ -176,8 +176,11 @@ object Vectors {
 
     // ANN: PQ/ADC — the memory-compression scale path (codes instead of
     // vectors in the scan); bench-only; recall vs exact asserted in tests.
+    // Consumes the staged ingest index (VectorIndex): the measured query is
+    // ADC scan + re-rank, the deployment shape — training/encoding are
+    // write-path work like the MinHash signatures.
     Entry.benchOnly("q62_ann_pq") { (s, d) =>
-      annPq(T(s, d, "embeddings"), Seq(1, 2, 3), 5)
+      annPq(T(s, d, "embeddings"), Seq(1, 2, 3), 5, index = Some(VectorIndex.pq(s, d)))
     }
   )
 
@@ -282,6 +285,87 @@ object Vectors {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Train the PQ codebook DRIVER-SIDE on a bounded deterministic sample:
+    * the lowest-`trainCap` vec_ids (TakeOrdered — per-partition top-N, no
+    * full shuffle; ids are assignment-order, so "first N by id" is an
+    * unbiased content sample). k-means on an in-memory sample is the
+    * standard quantizer recipe (FAISS trains IVF/PQ codebooks the same
+    * way): the codebook is m x ks x sub doubles, a sample of ~100k rows
+    * bounds each Lloyd round at O(trainCap x m x ks x sub) driver flops
+    * (~100M — milliseconds), and running the rounds in-process avoids
+    * paying a distributed shuffle + collect PER ROUND for a result that is
+    * statistically identical. The corpus-sized work — encoding — stays
+    * distributed ([[pqEncode]], one pass).
+    *
+    * Deterministic: init = sub-slices of the first `ks` sampled vectors,
+    * assignment ties keep the lowest code, empty cells keep their old
+    * centroid. */
+  def pqTrain(emb: DataFrame, m: Int = 8, ks: Int = 16, iters: Int = 3,
+              trainCap: Int = 100000): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts: Array[Array[Double]] = withNorm(emb)
+      .orderBy("vec_id").select("v").limit(trainCap)
+      .as[Seq[Double]].collect().map(_.toArray)
+    val dim = pts.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cents = Array.tabulate(m, ks)((s, c) => pts(c).slice(s * sub, (s + 1) * sub))
+    for (_ <- 0 until iters; s <- 0 until m) {
+      val off = s * sub
+      val sums = Array.fill(ks, sub)(0.0)
+      val cnt = new Array[Int](ks)
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i)
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          var d = 0.0; var j = 0
+          while (j < sub) { val t = p(off + j) - cents(s)(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < sub) { sums(best)(j) += p(off + j); j += 1 }
+        cnt(best) += 1
+        i += 1
+      }
+      for (c <- 0 until ks if cnt(c) > 0) cents(s)(c) = sums(c).map(_ / cnt(c))
+    }
+    cents
+  }
+
+  /** One-pass distributed PQ encoding: nearest-centroid code per
+    * (vec_id, sub) via a broadcast codebook join + min_by over
+    * -2<sv,cv>+|cv|^2 (the |sv|^2 term is constant per row, so the argmin
+    * is the L2 argmin). Returns `(vec_id, nrm, sub, code)` — m rows per
+    * vector, the shape the ADC scan consumes. This is the only pass that
+    * touches the full corpus; at deployment it runs at ingest
+    * (VectorIndex) like the MinHash signatures. */
+  def pqEncode(emb: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (m, ks, sub) = (cents.length, cents(0).length, cents(0)(0).length)
+    // (vec_id, nrm, sub, sv): the per-subspace view. slice() is 1-based.
+    val srows = withNorm(emb)
+      .select(col("vec_id"), col("nrm"), col("v"),
+              explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("nrm"), col("sub"),
+              slice(col("v"), col("sub") * sub + 1, lit(sub)).as("sv"))
+    val centDf = broadcast(
+      (for (s <- 0 until m; c <- 0 until ks)
+        yield (s, c, cents(s)(c).toSeq, cents(s)(c).map(x => x * x).sum))
+        .toDF("sub", "code", "cv", "cvsq"))
+    srows.join(centDf, "sub")
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"),
+              (dot(col("sv"), col("cv")) * -2 + col("cvsq")).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+           any_value(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
+  }
+
   /** Product-quantization ANN with asymmetric distance (ADC): each vector
     * compresses to `m` sub-codes (here 8 codes x 16 centroids = 8 x 4 bits
     * — a 64x memory reduction over 64 float32 dims), queries score the
@@ -292,12 +376,13 @@ object Vectors {
     * touches vectors at all — the ADC pass reads (vec_id, codes) rows and
     * a broadcast (q, sub, code) -> partial-dot table (m x ks x |Q| rows,
     * driver-computed from the tiny codebook); only the `rerank` candidates
-    * per query fetch their full vector for the exact re-rank join. Like
-    * IVF, codebook training is sample-bounded (Lloyd rounds move the
-    * sample, O(iters x trainCap x m)); encoding moves the corpus once —
-    * at deployment codes are an ingest artifact like the MinHash
-    * signatures. Composes with IVF cells (classic IVF-PQ) — orthogonal
-    * here since the fixture corpus is one "cell".
+    * per query fetch their full vector for the exact re-rank join.
+    * Codebook training is driver-side over a bounded sample ([[pqTrain]]);
+    * encoding moves the corpus once ([[pqEncode]]) — at deployment both
+    * run at ingest (VectorIndex) and codes are a stored artifact like the
+    * MinHash signatures, so the query pays only ADC + re-rank. Composes
+    * with IVF cells (classic IVF-PQ) — orthogonal here since the fixture
+    * corpus is one "cell".
     *
     * Approximation: per-subspace L2 quantization of raw subvectors;
     * approx dot(q, v) = sum_sub table[sub][code(v, sub)], normalized by
@@ -306,64 +391,24 @@ object Vectors {
     * by code id. */
   def annPq(emb: DataFrame, queryIds: Seq[Int], k: Int,
             m: Int = 8, ks: Int = 16, iters: Int = 3, rerank: Int = 50,
-            trainCap: Int = 100000): DataFrame = {
+            trainCap: Int = 100000,
+            index: Option[(Array[Array[Array[Double]]], DataFrame)] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = withNorm(emb).persist()
-    // deterministic init: sub-slices of the first ks vectors by vec_id —
-    // also supplies the dimensionality (no separate probe job)
-    val init = e.orderBy("vec_id").select("v").limit(ks).as[Seq[Double]].collect()
-    val dim = init.head.size
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sub = dim / m
-
-    // (vec_id, nrm, sub, sv): the per-subspace view. slice() is 1-based.
-    def subRows(rows: DataFrame): DataFrame =
-      rows.select(col("vec_id"), col("nrm"), col("v"),
-          explode(sequence(lit(0), lit(m - 1))).as("sub"))
-        .select(col("vec_id"), col("nrm"), col("sub"),
-                slice(col("v"), col("sub") * sub + 1, lit(sub)).as("sv"))
-
-    // nearest-centroid code per (vec_id, sub): broadcast codebook join +
-    // min_by over -2<sv,cv>+|cv|^2 (the |sv|^2 term is constant per row)
-    def assignCodes(rows: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame = {
-      val centDf = broadcast(
-        (for (s <- 0 until m; c <- 0 until ks)
-          yield (s, c, cents(s)(c).toSeq, cents(s)(c).map(x => x * x).sum))
-          .toDF("sub", "code", "cv", "cvsq"))
-      rows.join(centDf, "sub")
-        .select(col("vec_id"), col("nrm"), col("sub"), col("sv"), col("code"),
-                (dot(col("sv"), col("cv")) * -2 + col("cvsq")).as("d2"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
-             any_value(col("sv")).as("sv"), any_value(col("nrm")).as("nrm"))
+    // Codebook + codes come from the staged ingest artifact when supplied
+    // (VectorIndex.pq — the deployment shape: codes are written alongside
+    // the vectors like the MinHash signatures); otherwise train + encode
+    // here (specs, ad-hoc corpora). Nothing below persists: every
+    // intermediate is consumed exactly once by the returned plan.
+    val (cents, codes) = index.getOrElse {
+      val c = pqTrain(emb, m, ks, iters, trainCap)
+      (c, pqEncode(emb, c))
     }
+    val e = withNorm(emb)
 
-    val n = e.count()
-    // training set persisted across Lloyd rounds and released right after —
-    // rounds consume it EAGERLY (collect), so unlike `e`/`codes` (which the
-    // returned lazy plan still references) it can be dropped here
-    val train = subRows(
-      if (n <= trainCap) e
-      else e.sample(withReplacement = false,
-                    math.min(1.0, trainCap * 1.2 / n), seed = 42L).limit(trainCap))
-      .persist()
-
-    val cents: Array[Array[Array[Double]]] =
-      Array.tabulate(m, ks)((s, c) => init(c).slice(s * sub, (s + 1) * sub).toArray)
-    for (_ <- 0 until iters) {
-      // per-(sub, code) element-wise mean; m x ks x sub doubles — tiny
-      val next = assignCodes(train, cents)
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("col")).as("mu"))
-        .as[(Int, Int, Int, Double)].collect()
-      next.groupBy(x => (x._1, x._2)).foreach { case ((s, c), rows) =>
-        cents(s)(c) = rows.sortBy(_._3).map(_._4).toArray   // empty cells keep old
-      }
-    }
-    train.unpersist()
-
-    val codes = assignCodes(subRows(e), cents).persist()
+    // codebook geometry from the codebook itself, so a staged index with
+    // different (m, ks) than the call-site defaults still scores correctly
+    val (mm, kk, sub) = (cents.length, cents(0).length, cents(0)(0).length)
 
     // ADC lookup table per query: (q_id, sub, code) -> partial dot, plus
     // the query norms — all driver math over the tiny codebook
@@ -371,7 +416,7 @@ object Vectors {
       .select(col("vec_id"), col("v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     val tab = broadcast(
-      (for ((qid, qv, _) <- qrows.toSeq; s <- 0 until m; c <- 0 until ks)
+      (for ((qid, qv, _) <- qrows.toSeq; s <- 0 until mm; c <- 0 until kk)
         yield (qid, s, c,
                cents(s)(c).zip(qv.slice(s * sub, (s + 1) * sub))
                  .map { case (x, y) => x * y }.sum))

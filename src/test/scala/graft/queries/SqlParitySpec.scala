@@ -26,6 +26,13 @@ class SqlParitySpec extends GraftSuite {
     Tables.all.foreach(t => Tables(spark, sf, t).createOrReplaceTempView(t))
   }
 
+  // A bridge REJECT (rule token inside an oracle's string literal) is
+  // recorded at registration instead of thrown, so unrelated entries keep
+  // running; it must still fail HERE, named per entry.
+  for ((name, msg) <- SparkEntry.twinDerivationErrors) {
+    test(s"$name: dialect bridge derived a twin") { fail(msg) }
+  }
+
   for (e <- SparkEntry.allEntries; twin <- e.sparkSql) {
     test(s"${e.name}: spark.sql twin matches the DataFrame entry") {
       viewsReady

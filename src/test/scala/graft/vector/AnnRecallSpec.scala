@@ -74,7 +74,14 @@ class AnnRecallSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.8, s"PQ recall $recall < 0.8 (hits ${(exact & got).size}/${exact.size})")
-    spark.catalog.clearCache()   // annPq persists codes + normed corpus
+    // the staged ingest index (what the bench entry consumes) must produce
+    // the identical result to inline train+encode — same deterministic
+    // sample, same Lloyd rule, just parked as parquet
+    val viaIndex = Vectors
+      .annPq(emb, queryIds, 5, index = Some(VectorIndex.pq(spark, sf01)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === got, "staged PQ index diverged from inline train+encode")
+    spark.catalog.clearCache()
   }
 
   test("LSH hot-bucket cap keeps the candidate join sub-quadratic") {
