@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Aggregates, Dialect, Entry, Geo, Relational, Scalars}
+import graft.queries.{Aggregates, Dialect, Entry, Geo, Metrics, Relational, Scalars, Search}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,6 +27,8 @@ object SparkEntry {
       Aggregates.entries ++
       Scalars.entries ++
       Geo.entries ++
+      Metrics.entries ++
+      Search.entries ++
       sync.SyncQueries.entries ++
       streaming.Streams.entries ++
       text.Text.entries ++

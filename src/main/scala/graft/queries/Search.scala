@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** ES `simple_query_string` — the user-facing mini query language
+  * (`+required -prohibited "a phrase" prefix*`). The parser produces an
+  * occur-tagged clause list; [[predicate]] compiles it to ONE Catalyst
+  * boolean Column over the analyzed token array, so a parsed query is an
+  * ordinary pushable filter (scan + filter, no joins, no UDFs — every
+  * clause is array_contains/exists/element_at, all codegen'd HOFs).
+  *
+  * Supported subset (ES 6.3 semantics, `simple_query_string` docs):
+  *   - bare terms are SHOULD clauses under default_operator=OR — a doc
+  *     must match at least one (when any exist);
+  *   - `+term` is MUST, `-term` is MUST_NOT;
+  *   - `"quoted terms"` is a phrase clause (consecutive positions,
+  *     in order) — with `+`/`-` prefixes honored;
+  *   - `term*` is a prefix clause (ES `prefix` expansion).
+  * Unsupported: `|`/`&` explicit operators, `~N` fuzziness, `(...)`
+  * grouping — the flat +/-/OR form covers the reference DSL's default
+  * configuration. Input is analyzed with the SAME analyzer as the corpus
+  * (lowercase; non-alphanumerics split), so query terms can never
+  * disagree with indexed tokens.
+  */
+object SimpleQueryString {
+
+  sealed trait Occur
+  case object Must extends Occur
+  case object MustNot extends Occur
+  case object Should extends Occur
+
+  sealed trait Kind
+  final case class Term(t: String) extends Kind
+  final case class Prefix(p: String) extends Kind
+  final case class Phrase(terms: Seq[String]) extends Kind
+
+  final case class Clause(occur: Occur, kind: Kind)
+
+  /** Analyzer for a single query token — must mirror
+    * [[graft.text.Text.tokensSql]] (lowercase, strip non-alphanumerics). */
+  private def analyze(raw: String): String =
+    raw.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+
+  /** Split the query into raw clause strings: quoted runs stay together
+    * (with any +/- prefix attached), everything else splits on
+    * whitespace. */
+  private val clauseRe = """([+-]?"[^"]*")|(\S+)""".r
+
+  def parse(q: String): Seq[Clause] =
+    clauseRe.findAllIn(q).toSeq.flatMap { raw =>
+      val (occur, body) = raw.head match {
+        case '+' => (Must, raw.tail)
+        case '-' => (MustNot, raw.tail)
+        case _   => (Should, raw)
+      }
+      if (body.startsWith("\"")) {
+        val terms = analyze(body.stripPrefix("\"").stripSuffix("\""))
+          .split(' ').filter(_.nonEmpty).toSeq
+        if (terms.isEmpty) None else Some(Clause(occur, Phrase(terms)))
+      } else if (body.endsWith("*")) {
+        // the analyzer may split the body; the prefix applies to the last
+        // produced token (ES expands the final position)
+        val p = analyze(body.dropRight(1)).split(' ').filter(_.nonEmpty).lastOption
+        p.map(t => Clause(occur, Prefix(t)))
+      } else {
+        // a single query token can analyze to SEVERAL index tokens
+        // ("DATA-Stream" -> data, stream); ES treats the expansion as a
+        // positional run — our phrase clause
+        analyze(body).split(' ').filter(_.nonEmpty).toSeq match {
+          case Seq()  => None
+          case Seq(t) => Some(Clause(occur, Term(t)))
+          case ts     => Some(Clause(occur, Phrase(ts)))
+        }
+      }
+    }
+
+  /** One clause as a boolean Column over the token array `ws`. */
+  def clausePred(ws: Column, kind: Kind): Column = kind match {
+    case Term(t)   => array_contains(ws, t)
+    case Prefix(p) => exists(ws, w => w.startsWith(p))
+    case Phrase(ts) =>
+      val n = ts.length
+      // consecutive in-order positions: some start i (1-based) has
+      // ws[i+j] = ts(j) for all j. Guarded so sequence() never runs
+      // descending (size < n would flip its direction).
+      when(size(ws) >= n,
+        exists(sequence(lit(1), size(ws) - (n - 1)),
+          i => ts.zipWithIndex.map { case (t, j) =>
+            element_at(ws, (i + j).cast("int")) === t
+          }.reduce(_ && _)))
+        .otherwise(lit(false))
+  }
+
+  /** The whole query as one Column: all MUST, none of MUST_NOT, and — when
+    * any SHOULD clauses exist — at least one of them
+    * (`minimum_should_match=1`, the ES default when should is the only
+    * scoring context). */
+  def predicate(clauses: Seq[Clause], ws: Column): Column = {
+    val must = clauses.collect { case Clause(Must, k) => clausePred(ws, k) }
+    val not = clauses.collect { case Clause(MustNot, k) => !clausePred(ws, k) }
+    val should = clauses.collect { case Clause(Should, k) => clausePred(ws, k) }
+    val shouldPred = if (should.isEmpty) Nil else Seq(should.reduce(_ || _))
+    (must ++ not ++ shouldPred).reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+/** Round-7 search-DSL analogs — the remaining ES 6.x SEARCH layer (vs the
+  * agg layer in Metrics): `multi_match` best_fields, `simple_query_string`
+  * (via [[SimpleQueryString]]), `function_score` gaussian decay, field
+  * `collapse` + inner_hits, and row-level `search_after` keyset paging.
+  * Provenance: `pom.xml:36-46` pins ES 6.3 whose core search DSL includes
+  * all five; SURVEY.md §2.2 declares the family.
+  *
+  * Scale posture: q120/q121/q122 are scan + filter/projection shapes (the
+  * score and the parsed predicate are per-row expressions — pushable,
+  * codegen'd, no joins); q123 is one window shuffle on the collapse key;
+  * q124 is a pushed-down filter + TakeOrderedAndProject, the same
+  * no-window keyset posture as the q86 bucket pager.
+  */
+object Search {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+
+    // ES multi_match (type=best_fields, tie_breaker=0.3): per-field match
+    // scores compete, best wins, others contribute 0.3x — the same
+    // best+rest shape as q99's dis_max, here ACROSS FIELDS of one doc
+    // (p_name tokens vs p_type keyword) instead of across terms. Per-row
+    // arithmetic over two CASE chains — folds into the scan.
+    Entry("q120_multi_match",
+      """WITH f AS (SELECT p_partkey,
+        |  (CASE WHEN ' ' || lower(p_name) || ' ' LIKE '% large %' THEN 1 ELSE 0 END
+        | + CASE WHEN ' ' || lower(p_name) || ' ' LIKE '% economy %' THEN 1 ELSE 0 END) AS s_name,
+        |  (CASE WHEN lower(p_type) = 'large' THEN 1 ELSE 0 END
+        | + CASE WHEN lower(p_type) = 'economy' THEN 1 ELSE 0 END) AS s_type
+        |FROM part)
+        |SELECT p_partkey, s_name, s_type,
+        |  ROUND(GREATEST(s_name, s_type)
+        |        + 0.3 * CAST(s_name + s_type - GREATEST(s_name, s_type) AS DOUBLE), 6) AS score
+        |FROM f WHERE s_name + s_type > 0
+        |ORDER BY score DESC, p_partkey""".stripMargin) { (s, d) =>
+      val padded = concat(lit(" "), lower(col("p_name")), lit(" "))
+      val sName = (when(padded.like("% large %"), 1).otherwise(0)
+        + when(padded.like("% economy %"), 1).otherwise(0)).as("s_name")
+      val sType = (when(lower(col("p_type")) === "large", 1).otherwise(0)
+        + when(lower(col("p_type")) === "economy", 1).otherwise(0)).as("s_type")
+      T(s, d, "part")
+        .select(col("p_partkey"), sName, sType)
+        .filter(col("s_name") + col("s_type") > 0)
+        .select(col("p_partkey"), col("s_name"), col("s_type"),
+                round(greatest(col("s_name"), col("s_type"))
+                  + (col("s_name") + col("s_type")
+                     - greatest(col("s_name"), col("s_type"))) * 0.3, 6).as("score"))
+        .orderBy(col("score").desc, col("p_partkey"))
+    },
+
+    // ES simple_query_string: '+data -slow "data stream" batch vec*' —
+    // required term, prohibited term, an optional phrase, an optional
+    // term, an optional prefix (match >= 1 of the optionals). The
+    // DataFrame side compiles the parsed query through
+    // [[SimpleQueryString.predicate]]; the oracle states the same
+    // semantics longhand (phrase via the positions self-join, prefix via
+    // a lambda filter). SqsParserSpec covers the parser itself across
+    // more query shapes than this one pinned string.
+    Entry("q121_simple_query_string",
+      s"""WITH ${graft.text.Text.wordsCtesSql},
+        |ph AS (SELECT DISTINCT a.doc_id FROM words a
+        |       JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       WHERE a.w = 'data' AND b.w = 'stream')
+        |SELECT t.doc_id FROM toks t
+        |WHERE list_contains(ws, 'data') AND NOT list_contains(ws, 'slow')
+        |  AND (t.doc_id IN (SELECT doc_id FROM ph)
+        |       OR list_contains(ws, 'batch')
+        |       OR len(list_filter(ws, x -> x LIKE 'vec%')) > 0)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val q = SimpleQueryString.parse("""+data -slow "data stream" batch vec*""")
+      graft.text.TokenIndex.toks(s, d)
+        .filter(SimpleQueryString.predicate(q, col("ws")))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // ES function_score with a gauss decay on recency: score =
+    // o_totalprice x exp(-age² / 2σ²), σ chosen so a 365-day distance
+    // from the origin halves the score (the ES scale/decay
+    // parameterization: σ² = -scale²/(2 ln decay)). Pure per-row
+    // arithmetic over epoch micros — no join against a "now" table, the
+    // origin folds as a constant; top-20 plans TakeOrderedAndProject.
+    // exp/pow are not correctly-rounded across libm implementations
+    // (same documented ulp-boundary risk as q87's haversine).
+    Entry("q122_function_score_decay",
+      """SELECT o_orderkey,
+        |  ROUND(o_totalprice * EXP(
+        |    -POW(ABS(epoch_us(CAST(o_orderdate AS TIMESTAMP)) - epoch_us(TIMESTAMP '1997-06-01 00:00:00')) / 86400000000.0, 2)
+        |    / (2 * POW(365.0 / SQRT(2 * LN(2.0)), 2))), 4) AS score
+        |FROM orders
+        |ORDER BY score DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val ageDays = abs(unix_micros(col("o_orderdate").cast("timestamp"))
+        - unix_micros(lit("1997-06-01 00:00:00").cast("timestamp"))) / 86400000000.0d
+      val sigma = 365.0 / math.sqrt(2 * math.log(2.0))
+      val score = col("o_totalprice") * exp(-pow(ageDays, 2) / (2 * sigma * sigma))
+      T(s, d, "orders")
+        .select(col("o_orderkey"), round(score, 4).as("score"))
+        .orderBy(col("score").desc, col("o_orderkey")).limit(20)
+    },
+
+    // ES field collapse + inner_hits: one result per customer — their
+    // top-priced order — ranked by that price, with the collapsed group
+    // size carried as the inner-hits count. ONE window shuffle on the
+    // collapse key computes both the pick (row_number) and the group size
+    // (count over the same partition); the final top-50 is
+    // TakeOrderedAndProject over one row per key.
+    Entry("q123_field_collapse",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_custkey) AS n_hits
+        |FROM orders)
+        |SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS top_price,
+        |       CAST(n_hits AS BIGINT) AS n_hits
+        |FROM r WHERE rn = 1
+        |ORDER BY top_price DESC, o_custkey LIMIT 50""".stripMargin) { (s, d) =>
+      val byKey = Window.partitionBy(col("o_custkey"))
+      val w = byKey.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).as("rn"),
+                count(lit(1)).over(byKey).cast("bigint").as("n_hits"))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+                round(col("o_totalprice"), 4).as("top_price"), col("n_hits"))
+        .orderBy(col("top_price").desc, col("o_custkey")).limit(50)
+    },
+
+    // ES search_after: row-level keyset paging on (o_totalprice DESC,
+    // o_orderkey ASC) after cursor (150000.0, 3000). The cursor is a
+    // tuple-compare FILTER below the top-k — pushable to the scan — and
+    // the page plans TakeOrderedAndProject: page cost is O(page), not
+    // O(from + size) like ES's from/size deep paging (q39), and no
+    // window operator appears (same keyset posture as the q86 bucket
+    // pager at row granularity).
+    Entry("q124_search_after",
+      """SELECT o_orderkey, ROUND(o_totalprice, 4) AS price
+        |FROM orders
+        |WHERE o_totalprice < 150000.0
+        |   OR (o_totalprice = 150000.0 AND o_orderkey > 3000)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_totalprice") < 150000.0
+          || (col("o_totalprice") === 150000.0 && col("o_orderkey") > 3000))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+        .limit(10)
+    }
+  )
+}
