@@ -111,9 +111,11 @@ object SimpleQueryString {
 /** Round-7 search-DSL analogs — the remaining ES 6.x SEARCH layer (vs the
   * agg layer in Metrics): `multi_match` best_fields, `simple_query_string`
   * (via [[SimpleQueryString]]), `function_score` gaussian decay, field
-  * `collapse` + inner_hits, and row-level `search_after` keyset paging.
-  * Provenance: `pom.xml:36-46` pins ES 6.3 whose core search DSL includes
-  * all five; SURVEY.md §2.2 declares the family.
+  * `collapse` + inner_hits, row-level `search_after` keyset paging,
+  * `terms_set`, `regexp`, two-phase `rescore`, the term suggester,
+  * `percolate` (reverse search) and `constant_score`. Provenance:
+  * `pom.xml:36-46` pins ES 6.3 whose core search DSL includes all of
+  * these; SURVEY.md §2.2 declares the family.
   *
   * Scale posture: q120/q121/q122 are scan + filter/projection shapes (the
   * score and the parsed predicate are per-row expressions — pushable,
@@ -234,6 +236,161 @@ object Search {
         .select(col("o_custkey"), col("o_orderkey"),
                 round(col("o_totalprice"), 4).as("top_price"), col("n_hits"))
         .orderBy(col("top_price").desc, col("o_custkey")).limit(50)
+    },
+
+    // ES terms_set: match >= M of the given terms where M comes FROM THE
+    // DOCUMENT (minimum_should_match_field — here derived from n_chars;
+    // on a deployment a stored integer field). Per-row arithmetic over
+    // array membership — no join, folds into the scan like q120.
+    Entry("q133_terms_set",
+      s"""WITH t AS (SELECT doc_id, 1 + n_chars % 3 AS m_req,
+        |                  ${graft.text.Text.tokensSql} AS ws FROM documents),
+        |m AS (SELECT doc_id, m_req,
+        |  CAST(list_contains(ws, 'data') AS INT) + CAST(list_contains(ws, 'stream') AS INT)
+        |  + CAST(list_contains(ws, 'join') AS INT) + CAST(list_contains(ws, 'vector') AS INT) AS n_match
+        |FROM t)
+        |SELECT doc_id, CAST(m_req AS INT) AS m_req, n_match
+        |FROM m WHERE n_match >= m_req ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val terms = Seq("data", "stream", "join", "vector")
+      val nMatch = terms.map(t => array_contains(col("ws"), t).cast("int")).reduce(_ + _)
+      graft.text.TokenIndex.toks(s, d)
+        .join(T(s, d, "documents").select(col("doc_id").as("did"), col("n_chars")),
+              col("doc_id") === col("did"))
+        .select(col("doc_id"), (lit(1) + col("n_chars") % 3).as("m_req"),
+                nMatch.as("n_match"))
+        .filter(col("n_match") >= col("m_req"))
+        .select(col("doc_id"), col("m_req").cast("int").as("m_req"), col("n_match"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ES regexp query: anchored alternation over a keyword-ish field.
+    // A single rlike predicate — pushable, no analysis pass.
+    Entry("q134_regexp_query",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^(small|large) w')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      T(s, d, "part")
+        .filter(col("p_name").rlike("^(small|large) w"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ES rescore: two-phase ranking — a CHEAP first pass (matched-term
+    // count, pure membership arithmetic) picks a top-100 window, and the
+    // expensive scorer (TF-IDF, the q64 machinery) runs on that window
+    // only. The same cheap-candidates / exact-re-rank shape as the ANN
+    // paths (q62_ann_*): at 100 TB the phase-2 join touches 100 rows per
+    // query, not the corpus, and phase 1 is a scan + TakeOrdered.
+    Entry("q135_rescore",
+      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws FROM documents),
+        |cheap AS (SELECT doc_id,
+        |    CAST(list_contains(ws, 'data') AS INT) + CAST(list_contains(ws, 'stream') AS INT)
+        |    + CAST(list_contains(ws, 'join') AS INT) AS s1
+        |  FROM toks),
+        |win AS (SELECT doc_id, s1 FROM cheap WHERE s1 > 0
+        |        ORDER BY s1 DESC, doc_id LIMIT 100),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+        |       WHERE w IN ('data', 'stream', 'join') GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+        |       WHERE w IN ('data', 'stream', 'join') GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT win.doc_id, win.s1,
+        |  ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
+        |FROM win JOIN tf ON tf.doc_id = win.doc_id JOIN df USING (w)
+        |GROUP BY 1, 2 ORDER BY score DESC, win.doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      val toks = graft.text.TokenIndex.toks(s, d)
+      val qts = Seq("data", "stream", "join")
+      val s1 = qts.map(t => array_contains(col("ws"), t).cast("int")).reduce(_ + _)
+      val win = toks.select(col("doc_id"), s1.as("s1"))
+        .filter(col("s1") > 0)
+        .orderBy(col("s1").desc, col("doc_id")).limit(100)
+      val n = T(s, d, "documents").count()
+      val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(qts: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .persist()   // tiny (docs x 3 terms); feeds tf AND df below
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      broadcast(win).join(tf, "doc_id").join(broadcast(df), "w")
+        .groupBy(col("doc_id"), col("s1"))
+        .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ES term suggester ("did you mean"): misspelled query terms against
+    // the corpus VOCABULARY (distinct tokens + doc freq — O(|V|) rows,
+    // already an aggregate of the token index, never the corpus). The
+    // candidate join is vocab x query-terms with the edit-distance bound
+    // as the filter; query terms broadcast, top-3 per term by
+    // (distance, -df). ES ranks candidates the same way (frequency-tied
+    // edit distance) within its per-shard vocabulary.
+    Entry("q136_term_suggester",
+      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |vocab AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        |q AS (SELECT 'strem' AS term UNION ALL SELECT 'jion'),
+        |cand AS (SELECT term, w AS suggestion, levenshtein(term, w) AS dist, df
+        |         FROM q CROSS JOIN vocab WHERE levenshtein(term, w) <= 2),
+        |r AS (SELECT term, suggestion, dist, df,
+        |        row_number() OVER (PARTITION BY term
+        |                           ORDER BY dist, df DESC, suggestion) AS rn
+        |      FROM cand)
+        |SELECT term, suggestion, CAST(dist AS INT) AS dist, df FROM r WHERE rn <= 3
+        |ORDER BY term, dist, df DESC, suggestion""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val vocab = graft.text.TokenIndex.words(s, d)
+        .groupBy(col("w")).agg(count_distinct(col("doc_id")).as("df"))
+      val q = Seq("strem", "jion").toDF("term")
+      val w = Window.partitionBy(col("term"))
+        .orderBy(col("dist"), col("df").desc, col("suggestion"))
+      vocab.crossJoin(broadcast(q))
+        .select(col("term"), col("w").as("suggestion"),
+                levenshtein(col("term"), col("w")).as("dist"), col("df"))
+        .filter(col("dist") <= 2)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("term"), col("suggestion"), col("dist").cast("int").as("dist"), col("df"))
+        .orderBy(col("term"), col("dist"), col("df").desc, col("suggestion"))
+    },
+
+    // ES percolate: REVERSE search — queries are stored data, documents
+    // are probes. The registered query table (tiny) broadcasts; the
+    // corpus streams through map-side, each doc evaluated against every
+    // stored predicate — at 100 TB this is one broadcast-nested-loop
+    // over the scan with zero shuffle before the per-query count agg.
+    Entry("q137_percolate",
+      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws FROM documents),
+        |q AS (SELECT 1 AS query_id, 'data' AS must_w, 'slow' AS not_w
+        |      UNION ALL SELECT 2, 'stream', 'batch'
+        |      UNION ALL SELECT 3, 'vector', 'join'
+        |      UNION ALL SELECT 4, 'hash', 'merge'
+        |      UNION ALL SELECT 5, 'spark', 'customer')
+        |SELECT query_id, COUNT(*) AS n_matched
+        |FROM toks CROSS JOIN q
+        |WHERE list_contains(ws, must_w) AND NOT list_contains(ws, not_w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val stored = Seq((1, "data", "slow"), (2, "stream", "batch"), (3, "vector", "join"),
+                       (4, "hash", "merge"), (5, "spark", "customer"))
+        .toDF("query_id", "must_w", "not_w")
+      graft.text.TokenIndex.toks(s, d)
+        .crossJoin(broadcast(stored))
+        .filter(array_contains(col("ws"), col("must_w"))
+          && !array_contains(col("ws"), col("not_w")))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+        .orderBy(col("query_id"))
+    },
+
+    // ES constant_score: a filter context wrapped with a uniform boost —
+    // matching docs all score `boost`, no TF/IDF machinery runs. The
+    // degenerate-but-real DSL member: predicate + literal projection.
+    Entry("q138_constant_score",
+      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws FROM documents)
+        |SELECT doc_id, CAST(1.5 AS DOUBLE) AS score FROM toks
+        |WHERE list_contains(ws, 'vector') ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.text.TokenIndex.toks(s, d)
+        .filter(array_contains(col("ws"), "vector"))
+        .select(col("doc_id"), lit(1.5d).as("score"))
+        .orderBy(col("doc_id"))
     },
 
     // ES search_after: row-level keyset paging on (o_totalprice DESC,
