@@ -426,12 +426,19 @@ object Aggregates {
     // (ln x, 1) accumulate, combine = pair merge, reduce = exp(sum/count);
     // the two-scalar buffer pre-reduces map-side exactly like the builtin
     // aggs. The oracle states the same math declaratively.
+    // The `value > 0` guard matches the map script's skip rule (GeoMean
+    // drops non-positives — a geometric mean is defined over positive
+    // reals) AND keeps the oracle runnable at every SF: sf0.1 carries
+    // value = 0 rows, where DuckDB's LN(0) is a hard error while Spark's
+    // returns null — without the shared guard the two engines would
+    // diverge exactly where the data stops being benign.
     Entry("q112_scripted_metric",
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(EXP(AVG(LN(value))), 6) AS geo_mean
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+        |FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val gm = udaf(graft.functions.GeoMean, org.apache.spark.sql.Encoders.scalaDouble)
-      T(s, d, "events").groupBy(col("event_type"))
+      T(s, d, "events").filter(col("value") > 0)
+        .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
              round(gm(col("value")), 6).as("geo_mean"))
         .orderBy(col("event_type"))
@@ -441,7 +448,7 @@ object Aggregates {
       // the buffer's exp(sum/count) follow the same double path)
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(EXP(AVG(LN(value))), 6) AS geo_mean
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+        |FROM events WHERE value > 0 GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ES date_range agg: explicit half-open date buckets with open ends
     // (*-1996, 1996-1999, 1999-*). A CASE over the scan — one hash agg,

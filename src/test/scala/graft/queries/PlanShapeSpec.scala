@@ -85,6 +85,32 @@ class PlanShapeSpec extends GraftSuite {
       s"expected partial+final HashAggregate at both levels:\n$p")
   }
 
+  test("q124_search_after: keyset page = pushed cursor filter + TakeOrderedAndProject, no window") {
+    val p = planOf("q124_search_after")
+    assert(!p.contains("Window"), s"search_after must not plan a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-n page:\n$p")
+    // the tuple-compare cursor reaches the scan (content, not bare label)
+    assert(p.contains("LessThan(o_totalprice,150000.0)"),
+      s"cursor predicate not pushed to the scan:\n$p")
+  }
+
+  test("q137_percolate: stored queries broadcast; corpus side never shuffles before the agg") {
+    val p = planOf("q137_percolate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast-nested-loop over the stored-query table:\n$p")
+  }
+
+  test("q122_function_score_decay: top-20 plans TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q122_function_score_decay")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q121_simple_query_string: parsed predicate compiles to a filter, no join/window") {
+    val p = planOf("q121_simple_query_string")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the compiled query must be a pure scan+filter plan:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
