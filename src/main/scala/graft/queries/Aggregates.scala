@@ -601,9 +601,15 @@ object Aggregates {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // pr/cd are canonicalized by TRUNCATION (floor(x*1e6)/1e6), not
+    // ROUND: the fractions k/n land on exact decimal half-ties (sf0.1
+    // partitions hit 41/640 = 0.0640625), where DuckDB's double rounding
+    // and Spark's BigDecimal HALF_UP disagree in the last digit. Both
+    // engines compute bit-identical IEEE quotients, so flooring the same
+    // scaled double is deterministic across engines at every SF.
     Entry("q37_ntile",
       """SELECT c_nationkey, c_custkey, CAST(q AS INT) AS q,
-        |  ROUND(pr, 6) AS pr, ROUND(cd, 6) AS cd FROM (
+        |  FLOOR(pr * 1000000) / 1000000 AS pr, FLOOR(cd * 1000000) / 1000000 AS cd FROM (
         |  SELECT c_nationkey, c_custkey,
         |    ntile(4) OVER win AS q, percent_rank() OVER win AS pr, cume_dist() OVER win AS cd
         |  FROM customer WINDOW win AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
@@ -612,8 +618,8 @@ object Aggregates {
       T(s, d, "customer")
         .select(col("c_nationkey"), col("c_custkey"),
                 ntile(4).over(w).cast("int").as("q"),
-                round(percent_rank().over(w), 6).as("pr"),
-                round(cume_dist().over(w), 6).as("cd"))
+                (floor(percent_rank().over(w) * 1000000) / 1000000).as("pr"),
+                (floor(cume_dist().over(w) * 1000000) / 1000000).as("cd"))
         .orderBy(col("c_nationkey"), col("c_custkey"))
     },
 

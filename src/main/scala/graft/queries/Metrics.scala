@@ -205,6 +205,23 @@ object Metrics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // ES global agg: aggregations that ESCAPE the query's filter context —
+    // the classic "this slice vs the whole corpus" comparison row. Spark
+    // expresses the escape as conditional aggregation: ONE scan, one hash
+    // agg computing both the filtered-context stats (CASE-guarded
+    // partials) and the unfiltered corpus stats, instead of two passes.
+    Entry("q140_global_agg",
+      """SELECT COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_ctx,
+        |  ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS avg_ctx,
+        |  COUNT(*) AS n_all, ROUND(AVG(o_totalprice), 6) AS avg_all
+        |FROM orders""".stripMargin) { (s, d) =>
+      T(s, d, "orders")
+        .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_ctx"),
+             round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 6).as("avg_ctx"),
+             count(lit(1)).as("n_all"),
+             round(avg(col("o_totalprice")), 6).as("avg_all"))
+    },
+
     // ES t_test agg (Welch's unpaired, the ES default): compare mean order
     // value of finished vs open orders. One hash agg computes both
     // populations' (n, mean, var_samp) partials in a single pass; the

@@ -351,6 +351,53 @@ object Streams {
         .orderBy(col("purchase_id"), col("click_id"))
     },
 
+    // Stream-stream LEFT OUTER join: matched pairs emit like q81's inner
+    // join; an UNMATCHED purchase emits its null-extended row only once
+    // the watermark guarantees no matching click can still arrive — i.e.
+    // when the global watermark (min of both inputs' max event time,
+    // ms-truncated, minus the 1 h delay) passes the purchase's timestamp,
+    // since the band only admits clicks with cts <= pts. The oracle
+    // replays exactly that emission rule on top of the batch left join:
+    // purchases still inside the final watermark horizon stay unemitted
+    // (state that would keep waiting in a live stream). Same state
+    // machinery as q81 — watermark-bounded per-key state, one shuffle on
+    // the join key.
+    Entry("q139_stream_stream_left_join",
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |wm AS (SELECT least(
+        |    (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000) FROM p),
+        |    (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000) FROM c))
+        |  - INTERVAL '1 hour' AS w),
+        |j AS (SELECT p.purchase_id, c.click_id FROM p JOIN c
+        |      ON c.user_id = p.user_id
+        |      AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts)
+        |SELECT purchase_id, click_id FROM j
+        |UNION ALL
+        |SELECT purchase_id, NULL AS click_id FROM p
+        |WHERE purchase_id NOT IN (SELECT purchase_id FROM j)
+        |  AND ts < (SELECT w FROM wm)
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      val purchases = readStreamTable(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+                col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val clicks = readStreamTable(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+                col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("cu") === col("pu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"),
+        "left_outer")
+      runToMemory(joined.select(col("purchase_id"), col("click_id")), OutputMode.Append())
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+
     Entry("q58_stream_static_join",
       """SELECT c_mktsegment, COUNT(*) AS n FROM events
         |JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>

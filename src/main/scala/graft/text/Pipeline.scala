@@ -375,6 +375,45 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("n_tok").cast("bigint").as("n_tok"),
                 col("cum").cast("bigint").as("cum_tok"))
         .orderBy(col("doc_id"))
-    }
+    },
+
+    // ---- sliding-window chunking (training context windows) ----
+    // Pretraining/RAG chunkers cut each doc into overlapping windows —
+    // here size 32, stride 24 (8-token overlap), the sub-document unit
+    // downstream embedding/packing stages consume. Chunk COUNT is pure
+    // per-row arithmetic (ceil((len-32)/24)+1, min 1); emission is one
+    // explode off the staged token index — map-only, no shuffle, the
+    // same ingest-side posture as q107's disjoint passages. The oracle
+    // twin differs only in range() exclusivity (DuckDB range(0,n) is
+    // end-exclusive; Spark sequence(0,n) is inclusive).
+    Entry("q141_overlap_chunks",
+      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tok,
+        |        unnest(range(0, CASE WHEN len(ws) <= 32 THEN 1
+        |                             ELSE (len(ws) - 32 + 23) // 24 + 1 END)) AS ci
+        |      FROM toks)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_id, CAST(ci * 24 AS INT) AS start,
+        |       CAST(LEAST(32, n_tok - ci * 24) AS INT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val nChunks = when(size(col("ws")) <= 32, 1)
+        .otherwise((size(col("ws")) - 32 + 23) / 24 + 1)   // int div: ceil((n-32)/24)+1
+      TokenIndex.toks(s, d)
+        .select(col("doc_id"), size(col("ws")).as("n_tok"),
+                explode(sequence(lit(0), nChunks.cast("int") - 1)).as("ci"))
+        .select(col("doc_id"), col("ci").cast("int").as("chunk_id"),
+                (col("ci") * 24).cast("int").as("start"),
+                least(lit(32), col("n_tok") - col("ci") * 24).cast("int").as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }.sqlTwin(
+      // structural gap: DuckDB range(0, n) is end-EXCLUSIVE, Spark
+      // sequence(0, n) inclusive — the twin subtracts 1 from the bound
+      s"""WITH toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST(size(ws) AS INT) AS n_tok,
+        |        explode(sequence(0, CASE WHEN size(ws) <= 32 THEN 0
+        |                                 ELSE (size(ws) - 32 + 23) div 24 END)) AS ci
+        |      FROM toks)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_id, CAST(ci * 24 AS INT) AS start,
+        |       CAST(LEAST(32, n_tok - ci * 24) AS INT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
   )
 }
