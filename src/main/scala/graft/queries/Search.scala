@@ -37,13 +37,20 @@ object SimpleQueryString {
   final case class Term(t: String) extends Kind
   final case class Prefix(p: String) extends Kind
   final case class Phrase(terms: Seq[String]) extends Kind
+  /** `terms` at consecutive positions immediately followed by a token
+    * starting with `p` — ES match_phrase_prefix, produced when a starred
+    * query token analyzes to several index tokens ("data-vec*"). */
+  final case class PhrasePrefix(terms: Seq[String], p: String) extends Kind
 
   final case class Clause(occur: Occur, kind: Kind)
 
   /** Analyzer for a single query token — must mirror
-    * [[graft.text.Text.tokensSql]] (lowercase, strip non-alphanumerics). */
+    * [[graft.text.Text.tokensSql]] (lowercase, strip non-alphanumerics).
+    * Locale.ROOT pins the casing: a tr/az default locale would dot-swap
+    * 'I'/'i' while the corpus side (Spark's locale-independent lower())
+    * would not, silently making query terms unmatchable. */
   private def analyze(raw: String): String =
-    raw.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    raw.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim
 
   /** Split the query into raw clause strings: quoted runs stay together
     * (with any +/- prefix attached), everything else splits on
@@ -62,10 +69,16 @@ object SimpleQueryString {
           .split(' ').filter(_.nonEmpty).toSeq
         if (terms.isEmpty) None else Some(Clause(occur, Phrase(terms)))
       } else if (body.endsWith("*")) {
-        // the analyzer may split the body; the prefix applies to the last
-        // produced token (ES expands the final position)
-        val p = analyze(body.dropRight(1)).split(' ').filter(_.nonEmpty).lastOption
-        p.map(t => Clause(occur, Prefix(t)))
+        // the analyzer may split the body; ES expands the FINAL position
+        // as the prefix and keeps the preceding tokens as a positional
+        // run (match_phrase_prefix) — dropping them would silently
+        // weaken a MUST constraint ("+data-vec*" must still require
+        // "data" adjacent to the "vec"-prefixed token)
+        analyze(body.dropRight(1)).split(' ').filter(_.nonEmpty).toSeq match {
+          case Seq()  => None
+          case Seq(p) => Some(Clause(occur, Prefix(p)))
+          case ts     => Some(Clause(occur, PhrasePrefix(ts.init, ts.last)))
+        }
       } else {
         // a single query token can analyze to SEVERAL index tokens
         // ("DATA-Stream" -> data, stream); ES treats the expansion as a
@@ -78,21 +91,28 @@ object SimpleQueryString {
       }
     }
 
+  /** Some start position i (1-based) where check j accepts ws[i+j] for
+    * all j — the positional-run core shared by phrase and phrase-prefix.
+    * Guarded so sequence() never runs descending (size < n would flip
+    * its direction). */
+  private def positionalRun(ws: Column, checks: Seq[Column => Column]): Column = {
+    val n = checks.length
+    when(size(ws) >= n,
+      exists(sequence(lit(1), size(ws) - (n - 1)),
+        i => checks.zipWithIndex.map { case (f, j) =>
+          f(element_at(ws, (i + j).cast("int")))
+        }.reduce(_ && _)))
+      .otherwise(lit(false))
+  }
+
   /** One clause as a boolean Column over the token array `ws`. */
   def clausePred(ws: Column, kind: Kind): Column = kind match {
     case Term(t)   => array_contains(ws, t)
     case Prefix(p) => exists(ws, w => w.startsWith(p))
-    case Phrase(ts) =>
-      val n = ts.length
-      // consecutive in-order positions: some start i (1-based) has
-      // ws[i+j] = ts(j) for all j. Guarded so sequence() never runs
-      // descending (size < n would flip its direction).
-      when(size(ws) >= n,
-        exists(sequence(lit(1), size(ws) - (n - 1)),
-          i => ts.zipWithIndex.map { case (t, j) =>
-            element_at(ws, (i + j).cast("int")) === t
-          }.reduce(_ && _)))
-        .otherwise(lit(false))
+    case Phrase(ts) => positionalRun(ws, ts.map(t => (c: Column) => c === t))
+    case PhrasePrefix(ts, p) =>
+      positionalRun(ws, ts.map(t => (c: Column) => c === t)
+        :+ ((c: Column) => c.startsWith(p)))
   }
 
   /** The whole query as one Column: all MUST, none of MUST_NOT, and — when
@@ -282,38 +302,28 @@ object Search {
     // paths (q62_ann_*): at 100 TB the phase-2 join touches 100 rows per
     // query, not the corpus, and phase 1 is a scan + TakeOrdered.
     Entry("q135_rescore",
-      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws FROM documents),
+      s"""WITH ${graft.text.Text.tfidfCtesSql(Seq("data", "stream", "join"))},
         |cheap AS (SELECT doc_id,
         |    CAST(list_contains(ws, 'data') AS INT) + CAST(list_contains(ws, 'stream') AS INT)
         |    + CAST(list_contains(ws, 'join') AS INT) AS s1
         |  FROM toks),
         |win AS (SELECT doc_id, s1 FROM cheap WHERE s1 > 0
-        |        ORDER BY s1 DESC, doc_id LIMIT 100),
-        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
-        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
-        |       WHERE w IN ('data', 'stream', 'join') GROUP BY 1, 2),
-        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
-        |       WHERE w IN ('data', 'stream', 'join') GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n FROM documents)
-        |SELECT win.doc_id, win.s1,
-        |  ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
+        |        ORDER BY s1 DESC, doc_id LIMIT 100)
+        |SELECT win.doc_id, win.s1, ${graft.text.Text.tfidfScoreSql} AS score
         |FROM win JOIN tf ON tf.doc_id = win.doc_id JOIN df USING (w)
         |GROUP BY 1, 2 ORDER BY score DESC, win.doc_id LIMIT 10""".stripMargin) { (s, d) =>
-      val toks = graft.text.TokenIndex.toks(s, d)
       val qts = Seq("data", "stream", "join")
       val s1 = qts.map(t => array_contains(col("ws"), t).cast("int")).reduce(_ + _)
-      val win = toks.select(col("doc_id"), s1.as("s1"))
+      val win = graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), s1.as("s1"))
         .filter(col("s1") > 0)
         .orderBy(col("s1").desc, col("doc_id")).limit(100)
-      val n = T(s, d, "documents").count()
-      val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
-        .filter(col("w").isin(qts: _*))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .persist()   // tiny (docs x 3 terms); feeds tf AND df below
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // phase 2 = the SAME tf/df/N machinery as q64_tfidf (Text.tfidfParts),
+      // restricted to the top-100 window before scoring
+      val (tf, df, n) = graft.text.Text.tfidfParts(s, d, qts)
       broadcast(win).join(tf, "doc_id").join(broadcast(df), "w")
         .groupBy(col("doc_id"), col("s1"))
-        .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"))
+        .agg(graft.text.Text.tfidfScoreCol(n).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     },
 

@@ -51,6 +51,44 @@ object Text {
     s"""toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
       |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)""".stripMargin
 
+  /** TF-IDF working set for a fixed term list — ONE copy of the
+    * tf/df/corpus-count machinery shared by q64_tfidf and q135_rescore
+    * (a scoring change lands in both or neither). Returns the persisted
+    * per-(doc, term) tf rows (tiny: docs x |terms|, feeds both the score
+    * join AND the df aggregate — persist so the index explode runs
+    * once), the df table (broadcast by callers), and the corpus size. */
+  def tfidfParts(s: org.apache.spark.sql.SparkSession, d: String,
+                 terms: Seq[String]): (DataFrame, DataFrame, Long) = {
+    val toks = TokenIndex.toks(s, d)
+    val n = toks.count()   // corpus stat: tiny driver scalar, standard two-pass
+    val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    (tf, df, n)
+  }
+
+  /** The aggregate TF-IDF score over joined tf⋈df rows. */
+  def tfidfScoreCol(n: Long): Column =
+    round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6)
+
+  /** The same working set as oracle CTE text (`toks`/`words`/`tf`/`df`/
+    * `n`), and the matching score aggregate. */
+  def tfidfCtesSql(terms: Seq[String]): String = {
+    val list = terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+      |       WHERE w IN ($list) GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+      |       WHERE w IN ($list) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)""".stripMargin
+  }
+
+  val tfidfScoreSql: String =
+    "ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6)"
+
   /** The 3-shingle set over [[wordsCtesSql]]'s `words` (DISTINCT per doc
     * for set semantics; non-distinct for occurrence counts). */
   def shingle3CteSql(distinct: Boolean): String =
@@ -114,28 +152,14 @@ object Text {
 
     // ---- Q64 TF-IDF relevance (ES match-scoring analog) ----
     Entry("q64_tfidf",
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
-        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
-        |       WHERE w IN ('data', 'stream') GROUP BY 1, 2),
-        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
-        |       WHERE w IN ('data', 'stream') GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n FROM documents)
-        |SELECT tf.doc_id, ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6) AS score
+      s"""WITH ${tfidfCtesSql(Seq("data", "stream"))}
+        |SELECT tf.doc_id, $tfidfScoreSql AS score
         |FROM tf JOIN df USING (w) GROUP BY 1
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val toks = TokenIndex.toks(s, d)
-      val n = toks.count()   // corpus stat: tiny driver scalar, standard two-pass
-      // tf is tiny (docs x 2 query terms) and feeds both aggregates:
-      // persist it so the index explode scan runs once.
-      val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
-        .filter(col("w").isin("data", "stream"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .persist()
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val (tf, df, n) = tfidfParts(s, d, Seq("data", "stream"))
       tf.join(broadcast(df), "w")
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("tf") * log(lit(n.toDouble) / col("df"))), 6).as("score"))
+        .agg(tfidfScoreCol(n).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(20)
     },
 

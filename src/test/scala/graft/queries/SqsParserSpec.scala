@@ -20,6 +20,11 @@ class SqsParserSpec extends GraftSuite {
       Seq(Clause(Must, Phrase(Seq("big", "data", "stream")))))
     assert(parse("vec*") === Seq(Clause(Should, Prefix("vec"))))
     assert(parse("-vec*") === Seq(Clause(MustNot, Prefix("vec"))))
+    // a starred token that analyzes to several index tokens keeps the
+    // leading tokens as a positional run (ES match_phrase_prefix) — the
+    // MUST constraint on "data" must not silently vanish
+    assert(parse("+data-vec*") ===
+      Seq(Clause(Must, PhrasePrefix(Seq("data"), "vec"))))
     // analyzer parity: uppercase + punctuation normalize like the corpus;
     // a token that analyzes to several index tokens becomes a phrase run
     assert(parse("Data") === Seq(Clause(Should, Term("data"))))
@@ -50,6 +55,19 @@ class SqsParserSpec extends GraftSuite {
     val rows = Seq((1L, Seq("data")), (2L, Seq("data", "slow")), (3L, Seq("x")))
       .toDF("doc_id", "ws")
     val got = rows.filter(predicate(parse("+data -slow"), col("ws")))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("phrase-prefix predicate: leading run adjacent to the prefix token") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq("data", "vector", "x")),   // run + prefix adjacent: match
+      (2L, Seq("data", "x", "vector")),   // not adjacent: no match
+      (3L, Seq("vector", "data")),        // prefix before run: no match
+      (4L, Seq("data"))                   // shorter than the clause: no match
+    ).toDF("doc_id", "ws")
+    val got = rows.filter(clausePred(col("ws"), PhrasePrefix(Seq("data"), "vec")))
       .select("doc_id").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
