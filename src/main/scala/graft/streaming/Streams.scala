@@ -408,6 +408,43 @@ object Streams {
       runToMemory(agg, OutputMode.Complete()).orderBy(col("c_mktsegment"))
     },
 
+    // Ingest-time near-dup detection: each ARRIVING document probes the
+    // corpus shingle index (the staged TokenIndex.shingles3 — at a
+    // deployment, the index the write path maintains) for existing docs
+    // sharing 3-shingles, and per-pair intersection counts accumulate as
+    // streaming state. The per-row analysis chain (tokenize -> shingle ->
+    // hash -> distinct) is the stateless map side; the stream-static join
+    // on the 64-bit shingle hash is the index lookup; the pair-count agg
+    // runs in Complete mode (counts are monotone across batches). Every
+    // unordered pair is discovered from BOTH endpoints across the replay
+    // (doc X's arrival counts (X,Y) fully against the static index, Y's
+    // arrival counts it again), so the drained count is exactly 2x the
+    // intersection — halved before the Jaccard gate. Result must equal
+    // the batch all-pairs twin (q61's oracle, shared text). The banded
+    // MinHash route stays bench-only (q61_minhash_lsh): banding recall
+    // < 1 can't meet a hash-equality contract.
+    Entry("q142_stream_neardup_ingest", graft.text.Text.neardupPairsOracleSql) { (s, d) =>
+      val shStatic = graft.text.TokenIndex.shingles3(s, d)   // (doc_id, h)
+      val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val arriving = readStreamTable(s, d, "documents")
+        .select(col("doc_id").as("new_id"),
+                explode(array_distinct(transform(
+                  graft.functions.vec.wordShingles(graft.text.Text.tokens(col("text")), 3),
+                  sh => xxhash64(sh)))).as("hn"))
+      val counted = arriving
+        .join(shStatic, col("hn") === col("h") && col("new_id") =!= col("doc_id"))
+        .groupBy(least(col("new_id"), col("doc_id")).as("doc_a"),
+                 greatest(col("new_id"), col("doc_id")).as("doc_b"))
+        .agg(count(lit(1)).as("inter2"))
+      val jac = (col("inter2") / 2) / (col("sa.sz") + col("sb.sz") - col("inter2") / 2)
+      runToMemory(counted, OutputMode.Complete())
+        .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.2)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Q59: update output mode — per-batch emissions; the final value per key
     // is the batch-equivalent count (counts are monotone across batches).
     Entry("q59_update_mode", eventCountOracle) { (s, d) =>

@@ -89,6 +89,23 @@ object Text {
   val tfidfScoreSql: String =
     "ROUND(SUM(tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df)), 6)"
 
+  /** The exact Jaccard >= 0.2 near-dup pair report — ONE oracle text for
+    * every implementation route of the same declared result: the batch
+    * all-pairs twin (q61_neardup_jaccard) and the streaming ingest-time
+    * variant (q142 in Streams, which must converge to the identical pair
+    * set after draining). */
+  lazy val neardupPairsOracleSql: String =
+    s"""WITH $wordsCtesSql,
+      |${shingle3CteSql(distinct = true)},
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+      |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+      |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The 3-shingle set over [[wordsCtesSql]]'s `words` (DISTINCT per doc
     * for set semantics; non-distinct for occurrence counts). */
   def shingle3CteSql(distinct: Boolean): String =
@@ -109,17 +126,7 @@ object Text {
     },
 
     // ---- Q61 near-dup via exact 3-shingle Jaccard (oracle twin) ----
-    Entry("q61_neardup_jaccard",
-      s"""WITH $wordsCtesSql,
-        |${shingle3CteSql(distinct = true)},
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
-        |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
-        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Entry("q61_neardup_jaccard", neardupPairsOracleSql) { (s, d) =>
       // sh is the ingest-staged shingle table (TokenIndex.shingles3) — its
       // three consumers (sizes + both join sides) each re-scan a small
       // staged parquet instead of re-running shingle+distinct, and no
