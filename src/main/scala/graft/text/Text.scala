@@ -734,6 +734,55 @@ object Text {
         .agg(count(lit(1)).as("n_bigrams"),
              round(avg(-log(col("c").cast("double") / col("n"))), 4).as("nll"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Q143 PMI collocation ranking (BPE merge-candidate signal) ----
+    // Tokenizer-vocabulary induction starts from exactly this statistic:
+    // the token pairs whose joint frequency most exceeds independence —
+    // PMI = ln(p(ab) / (p(a) p(b))) — are the merge candidates (BPE picks
+    // by raw count; PMI-ranked variants like WordPiece normalize by the
+    // unigram mass, which is this query). Two hash aggs over the staged
+    // token index (bigrams + unigrams, both map-side-combinable) and two
+    // one-row totals broadcast back; min-support >= 10 keeps rare-pair
+    // noise out and the output bounded. Shuffle payload is O(vocab²)
+    // observed pairs, never positions.
+    Entry("q143_pmi_collocations",
+      s"""WITH $wordsCtesSql,
+        |big AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_ab
+        |        FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |        GROUP BY 1, 2),
+        |uni AS (SELECT w, COUNT(*) AS n FROM words GROUP BY 1),
+        |tb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS t FROM big),
+        |tu AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM uni)
+        |SELECT w1, w2, n_ab,
+        |  ROUND(LN((n_ab / (SELECT t FROM tb))
+        |           / ((ua.n / (SELECT t FROM tu)) * (ub.n / (SELECT t FROM tu)))), 6) AS pmi
+        |FROM big JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2
+        |WHERE n_ab >= 10
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+      val words = TokenIndex.words(s, d)
+      val bigrams = TokenIndex.toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+                      element_at(col("ws"), i + 2).as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+        .persist()   // tiny (observed vocab² pairs); feeds totals + the score join
+      val uni = words.groupBy(col("w")).agg(count(lit(1)).as("n")).persist()
+      // totals over the UNFILTERED streams (the support cut prunes the
+      // report, not the probability denominators)
+      val tb = bigrams.agg(count(lit(1)).cast("double").as("tb"))
+      val tu = uni.agg(sum(col("n")).cast("double").as("tu"))
+      val pmi = log((col("n_ab") / col("tb"))
+        / ((col("ua.n") / col("tu")) * (col("ub.n") / col("tu"))))
+      big.join(uni.as("ua"), col("ua.w") === col("w1"))
+        .join(uni.as("ub"), col("ub.w") === col("w2"))
+        .crossJoin(broadcast(tb)).crossJoin(broadcast(tu))
+        .select(col("w1"), col("w2"), col("n_ab"), round(pmi, 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
     }
   )
 
