@@ -422,6 +422,32 @@ object Search {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
         .limit(10)
+    },
+
+    // ES `function_score` / `field_value_factor` (the remaining ES 6.3
+    // score-modifier family after q122's gaussian decay): score = weight
+    // x tf(term) x ln1p(factor x field). Per-row arithmetic folds into
+    // the scan — tf is a codegen'd HOF over the staged token array, no
+    // join, no window — and the page plans TakeOrderedAndProject. The
+    // sort key is the ROUNDED score (ties then doc_id) so the top-20
+    // boundary is replay-stable across engines at ulp differences.
+    Entry("q150_field_value_factor",
+      s"""WITH m AS (SELECT doc_id, n_chars, ${graft.text.Text.tokensSql} AS ws
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(list_filter(ws, x -> x = 'vector')) AS INT) AS tf,
+        |       ROUND(2.0 * len(list_filter(ws, x -> x = 'vector'))
+        |             * ln(1 + 0.1 * n_chars), 6) AS score
+        |FROM m WHERE list_contains(ws, 'vector')
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      graft.text.TokenIndex.toks(s, d)
+        .join(T(s, d, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+        .filter(array_contains(col("ws"), "vector"))
+        .withColumn("tf", size(filter(col("ws"), x => x === "vector")).cast("int"))
+        .select(col("doc_id"), col("tf"),
+                round(lit(2.0) * col("tf") * log(lit(1) + lit(0.1) * col("n_chars")), 6)
+                  .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }

@@ -414,6 +414,119 @@ object Pipeline {
         |      FROM toks)
         |SELECT doc_id, CAST(ci AS INT) AS chunk_id, CAST(ci * 24 AS INT) AS start,
         |       CAST(LEAST(32, n_tok - ci * 24) AS INT) AS chunk_len
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ---- training output sharding (token-balanced shard assignment) ----
+    // The last stage of a training-data pipeline writes N shards whose
+    // token mass should be roughly equal (data-parallel readers consume
+    // one shard each). Assignment is the same pure doc_id hash as q91 —
+    // replayable, shuffle-free at assignment time (the only shuffle is
+    // the O(shards)-row stats agg) — and `balance` (shard tokens / ideal
+    // share) is the skew audit a pipeline alarms on. The window runs over
+    // 16 post-agg rows, never source rows.
+    Entry("q145_shard_budget",
+      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |sh AS (SELECT ((doc_id % 1000003) * 2654435761) % 16 AS shard,
+        |              len(ws) AS n_tok FROM toks)
+        |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(SUM(n_tok) AS DOUBLE) * 16 / SUM(CAST(SUM(n_tok) AS BIGINT)) OVER (), 6) AS balance
+        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      TokenIndex.toks(s, d)
+        .select((col("doc_id") % 1000003L * 2654435761L % 16).as("shard"),
+                size(col("ws")).as("n_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("bigint").as("n_tokens"))
+        .withColumn("balance",
+          round(col("n_tokens").cast("double") * 16 /
+                sum(col("n_tokens")).over(Window.partitionBy()), 6))
+        .select(col("shard").cast("int").as("shard"), col("n_docs"),
+                col("n_tokens"), col("balance"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- exact-substring dedup (stride-1 n-gram windows, Lee et al.) ----
+    // Cross-document duplicated SPANS, not just duplicated disjoint
+    // passages (q107): every 16-token window at every start position is a
+    // key, so a duplicated run of any length >= 16 is detected at every
+    // offset, and `n_dup_tokens` is the union coverage of duplicated
+    // windows — the "fraction of this doc that is copied text" signal the
+    // suffix-array dedup of Lee et al. computes. Windows derive map-only
+    // from the staged token index (x16 row blowup is the method's
+    // inherent cost; at 100 TB the window key becomes xxhash64(win) with
+    // the same plan shape — the string key keeps all three entry paths
+    // hash-identical, the q101/q107 lesson). One shuffle on the window
+    // key; `fl` is persisted because both the per-doc window counts and
+    // the coverage union consume it.
+    Entry("q146_window_dedup",
+      s"""WITH ${Text.wordsCtesSql},
+        |w16 AS (SELECT doc_id, unnest(range(len(ws) - 15)) AS start, ws
+        |        FROM toks WHERE len(ws) >= 16),
+        |wins AS (SELECT doc_id, start,
+        |                array_to_string(list_slice(ws, start + 1, start + 16), ' ') AS win
+        |         FROM w16),
+        |fl AS (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY win) AS n FROM wins),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
+        |              SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup
+        |       FROM fl GROUP BY 1),
+        |cv AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_cov
+        |       FROM (SELECT doc_id, unnest(range(start, start + 16)) AS pos
+        |             FROM fl WHERE n > 1) GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tok,
+        |       CAST(COALESCE(pd.n_windows, 0) AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |       CAST(COALESCE(cv.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+        |       ROUND(CAST(COALESCE(cv.n_cov, 0) AS DOUBLE) / len(t.ws), 6) AS dup_ratio
+        |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        |            LEFT JOIN cv ON cv.doc_id = t.doc_id
+        |WHERE len(t.ws) > 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val t = TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
+      val fl = t.filter(size(col("ws")) >= 16)
+        .select(col("doc_id"),
+                posexplode(transform(sequence(lit(0), size(col("ws")) - 16),
+                  i => array_join(slice(col("ws"), i + 1, lit(16)), " "))))
+        .withColumnRenamed("pos", "start").withColumnRenamed("col", "win")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("win"))))
+        .persist()   // feeds pd (window counts) AND cv (coverage union)
+      val pd = fl.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+             sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup"))
+      val cv = fl.filter(col("n") > 1)
+        .select(col("doc_id"), explode(sequence(col("start"), col("start") + 15)).as("pos"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("pos")).as("n_cov"))
+      t.select(col("doc_id"), size(col("ws")).cast("int").as("n_tok"))
+        .join(pd, Seq("doc_id"), "left").join(cv, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+                coalesce(col("n_windows"), lit(0L)).cast("bigint").as("n_windows"),
+                coalesce(col("n_dup"), lit(0L)).cast("bigint").as("n_dup_windows"),
+                coalesce(col("n_cov"), lit(0L)).cast("bigint").as("n_dup_tokens"),
+                round(coalesce(col("n_cov"), lit(0L)).cast("double") / col("n_tok"), 6)
+                  .as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      // structural gaps: DuckDB list_slice is (begin, END) 1-based
+      // inclusive vs Spark slice (start, LENGTH); range() end-exclusive
+      // vs sequence() inclusive; array_to_string -> array_join
+      s"""WITH ${Dialect.duckToSpark(Text.wordsCtesSql)},
+        |w16 AS (SELECT doc_id, explode(sequence(0, size(ws) - 16)) AS start, ws
+        |        FROM toks WHERE size(ws) >= 16),
+        |wins AS (SELECT doc_id, start,
+        |                array_join(slice(ws, start + 1, 16), ' ') AS win
+        |         FROM w16),
+        |fl AS (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY win) AS n FROM wins),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
+        |              SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup
+        |       FROM fl GROUP BY 1),
+        |cv AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_cov
+        |       FROM (SELECT doc_id, explode(sequence(start, start + 15)) AS pos
+        |             FROM fl WHERE n > 1) GROUP BY 1)
+        |SELECT t.doc_id, CAST(size(t.ws) AS INT) AS n_tok,
+        |       CAST(COALESCE(pd.n_windows, 0) AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |       CAST(COALESCE(cv.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+        |       ROUND(CAST(COALESCE(cv.n_cov, 0) AS DOUBLE) / size(t.ws), 6) AS dup_ratio
+        |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        |            LEFT JOIN cv ON cv.doc_id = t.doc_id
+        |WHERE size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin)
   )
 }

@@ -783,6 +783,25 @@ object Text {
         .crossJoin(broadcast(tb)).crossJoin(broadcast(tu))
         .select(col("w1"), col("w2"), col("n_ab"), round(pmi, 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    },
+
+    // ---- approximate heavy hitters (Misra-Gries, bounded memory) ----
+    // The sketch twin of q63: top terms with at most k counters per map
+    // partition on the shuffle wire, for corpora whose DISTINCT-token
+    // universe is itself too large to shuffle (the exact terms agg moves
+    // one row per distinct token; a 100 TB web corpus has billions).
+    // Counter values are arrival-order-dependent => engine-specific =>
+    // bench-only, like the HLL/TDigest twins (q23/q24): HeavyHittersSpec
+    // asserts the Misra-Gries bound (est within n/(k+1) of true, every
+    // true-frequency > n/(k+1) token present) against the exact counts.
+    Entry.benchOnly("q149_heavy_hitters") { (s, d) =>
+      import s.implicits._
+      TokenIndex.words(s, d).select(col("w")).as[String]
+        .groupByKey(_ => 0)
+        .agg(graft.functions.MisraGries(16).toColumn)
+        .flatMap { case (_, hh) => hh }
+        .toDF("token", "est")
+        .orderBy(col("est").desc, col("token"))
     }
   )
 

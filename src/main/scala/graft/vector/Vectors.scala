@@ -181,8 +181,168 @@ object Vectors {
     // write-path work like the MinHash signatures.
     Entry.benchOnly("q62_ann_pq") { (s, d) =>
       annPq(T(s, d, "embeddings"), Seq(1, 2, 3), 5, index = Some(VectorIndex.pq(s, d)))
+    },
+
+    // Semantic dedup (SemDeDup): cluster-blocked embedding near-dup prune.
+    // Cell labels are k-means-derived => engine-specific => bench-only;
+    // SemDedupSpec pins pair precision (=1.0, exact cosine inside cells)
+    // and recall vs the exact all-pairs twin.
+    Entry.benchOnly("q148_semantic_dedup") { (s, d) =>
+      semanticDedup(T(s, d, "embeddings"))
     }
   )
+
+  /** Nearest-centroid assignment as a broadcast join against the (tiny)
+    * centroid table + max_by re-rank — NOT a per-row expression over
+    * nlist inlined literal vectors: that giant expression tree pays
+    * planning/codegen per Lloyd round (measured ~1.5-3 s/round at
+    * nlist=16), while this join's expression is small and stable, and at
+    * real nlist (~sqrt N) an inlined-literal expression is impossible
+    * anyway. Shared by the IVF probe path and semantic dedup. */
+  private def assignCells(rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
+    rows.crossJoin(centDf)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+              cosine(col("v"), col("cv")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
+           any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
+  }
+
+  /** Multi-probe assignment: each vector labeled with its `probes` nearest
+    * cells, ranked (rk = 0 is the primary cell — identical, including the
+    * (s, cell) tie-break, to [[assignCells]]). Soft blocking for the
+    * dedup path: a near-dup pair split by a cell boundary still meets in
+    * one vector's secondary cell. Same single hash agg as assignCells —
+    * the top-p pick is an array-sort of the nlist (s, cell) structs
+    * inside the aggregate, then one explode. */
+  private def assignCellsTop(rows: DataFrame, cents: Array[Array[Double]],
+                             probes: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
+    rows.crossJoin(centDf)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+              cosine(col("v"), col("cv")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(slice(reverse(array_sort(collect_list(struct(col("s"), col("cell"))))),
+                 1, probes).as("top"),
+           any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
+      .select(col("vec_id"), posexplode(col("top")), col("v"), col("nrm"))
+      .select(col("vec_id"), col("pos").cast("int").as("rk"),
+              col("col.cell").as("cell"), col("v"), col("nrm"))
+  }
+
+  /** Train the coarse quantizer on a BOUNDED sample (the standard IVF
+    * recipe): Lloyd rounds re-assign only the sample, so training is
+    * O(iters x trainCap) regardless of corpus size, and the full corpus is
+    * moved exactly once — by the caller's final assignment pass.
+    * Deterministic seed keeps centroids (and thus bench-only output)
+    * replay-stable. A k-means quantizer trained on a uniform ~100k sample
+    * is statistically indistinguishable from full-corpus training for
+    * nlist << sample. */
+  private def trainCoarse(e: DataFrame, nlist: Int, iters: Int,
+                          trainCap: Int): Array[Array[Double]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val n = e.count()
+    val train =
+      if (n <= trainCap) e
+      else e.sample(withReplacement = false,
+                    math.min(1.0, trainCap * 1.2 / n), seed = 42L).limit(trainCap)
+
+    // deterministic init: first nlist vectors by vec_id (TakeOrdered — no
+    // full collect; Lloyd rounds correct any init bias)
+    val cents: Array[Array[Double]] = e.orderBy("vec_id").select("v")
+      .limit(nlist).as[Seq[Double]].collect().map(_.toArray)
+
+    for (_ <- 0 until iters) {
+      // element-wise mean per cell: posexplode -> ONE (cell, pos) hash agg
+      // (map-side combinable); the nlist x dim result is the tiny
+      // driver-side collect
+      val next = assignCells(train, cents).select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      next.groupBy(_._1).foreach { case (cell, rows) =>
+        cents(cell) = rows.sortBy(_._2).map(_._3).toArray
+      }
+    }
+    cents
+  }
+
+  /** Train + multi-probe assign for the semantic-dedup blocking: the full
+    * corpus, labeled with its `probes` nearest cells (rk 0 = primary).
+    * Persisted: the pair join consumes it on both sides (and the summary
+    * a third time); callers own cleanup via `spark.catalog.clearCache()`
+    * (the Bench/Verify per-entry contract, as lshCandidates). */
+  private def semanticAssigned(emb: DataFrame, nlist: Int, iters: Int,
+                               trainCap: Int, probes: Int): DataFrame = {
+    val e = withNorm(emb)
+    val cents = trainCoarse(e, nlist, iters, trainCap)
+    assignCellsTop(e, cents, probes).persist()
+  }
+
+  /** Within-cell exact-cosine pairs (id_a < id_b, cos_r >= tau). A pair
+    * meeting in several shared cells reports once, under the smallest
+    * shared cell id (pure dedup — the cosine is identical wherever it
+    * meets). */
+  private def cellPairs(assigned: DataFrame, tau: Double): DataFrame =
+    assigned.as("a")
+      .join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+              col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+              (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("cell")).as("cell"), round(any_value(col("cos")), 6).as("cos_r"))
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos_r"))
+
+  /** SemDeDup-style semantic near-dup PAIRS: k-means cells as blocking
+    * buckets, exact cosine inside each cell only. The all-pairs join that
+    * is quadratic in the corpus becomes quadratic per CELL — the standard
+    * embedding-dedup recipe (cluster, then prune within clusters) — at
+    * the price of missing cross-cell pairs. Two mitigations are in play:
+    * multi-probe assignment (`probes` nearest cells per vector, so a
+    * boundary-split pair still meets when EITHER side's secondary cell is
+    * the other's cell) and the recall floor SemDedupSpec pins against the
+    * exact all-pairs twin. */
+  def semanticPairs(emb: DataFrame, nlist: Int = 8, tau: Double = 0.4,
+                    iters: Int = 3, trainCap: Int = 100000,
+                    probes: Int = 2): DataFrame =
+    cellPairs(semanticAssigned(emb, nlist, iters, trainCap, probes), tau)
+
+  /** SemDeDup summary: per-cell corpus size (PRIMARY assignment — sizes
+    * partition the corpus), near-dup pair count (pairs keyed by their
+    * min shared cell), and the prune outcome under the keep-lowest-id
+    * rule (a vector is dropped iff some lower-id vector shares a cell at
+    * cosine >= tau). The report is O(cells) rows; the heavy lifting is
+    * [[cellPairs]]. */
+  def semanticDedup(emb: DataFrame, nlist: Int = 8, tau: Double = 0.4,
+                    iters: Int = 3, trainCap: Int = 100000,
+                    probes: Int = 2): DataFrame = {
+    val assigned = semanticAssigned(emb, nlist, iters, trainCap, probes)
+    val pairs = cellPairs(assigned, tau)
+    val primary = assigned.filter(col("rk") === 0).select(col("vec_id"), col("cell"))
+    val perCell = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
+    // a dropped vector counts against ITS OWN (primary) cell, the same
+    // keying as n_vecs — so keep_ratio is a true per-cell survival rate
+    val drops = pairs.select(col("id_b")).distinct()
+      .join(primary, col("id_b") === col("vec_id"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    val sizes = primary.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    sizes.join(perCell, Seq("cell"), "left").join(drops, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+              coalesce(col("n_pairs"), lit(0L)).cast("bigint").as("n_pairs"),
+              coalesce(col("n_dropped"), lit(0L)).cast("bigint").as("n_dropped"),
+              round((col("n_vecs") - coalesce(col("n_dropped"), lit(0L)))
+                      .cast("double") / col("n_vecs"), 6).as("keep_ratio"))
+      .orderBy(col("cell"))
+  }
 
   /** IVF-flat (inner-product) ANN: a mini k-means coarse quantizer trained
     * by `iters` Lloyd rounds, then top-k search probing the `nprobe` cells
@@ -207,55 +367,8 @@ object Vectors {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    // nearest-centroid assignment as a broadcast join against the (tiny)
-    // centroid table + max_by re-rank — NOT a per-row expression over
-    // nlist inlined literal vectors: that giant expression tree pays
-    // planning/codegen per Lloyd round (measured ~1.5-3 s/round at
-    // nlist=16), while this join's expression is small and stable, and at
-    // real nlist (~sqrt N) an inlined-literal expression is impossible
-    // anyway.
-    def assign(rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-      val centDf = broadcast(
-        cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
-      rows.crossJoin(centDf)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-                cosine(col("v"), col("cv")).as("s"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
-             any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
-    }
-
-    // Train the coarse quantizer on a BOUNDED sample (the standard IVF
-    // recipe): Lloyd rounds re-assign only the sample, so training is
-    // O(iters x trainCap) regardless of corpus size, and the full corpus is
-    // moved exactly once — by the final assignment pass below. Deterministic
-    // seed keeps centroids (and thus bench-only output) replay-stable. A
-    // k-means quantizer trained on a uniform ~100k sample is statistically
-    // indistinguishable from full-corpus training for nlist << sample.
-    val n = e.count()
-    val train =
-      if (n <= trainCap) e
-      else e.sample(withReplacement = false,
-                    math.min(1.0, trainCap * 1.2 / n), seed = 42L).limit(trainCap)
-
-    // deterministic init: first nlist vectors by vec_id (TakeOrdered — no
-    // full collect; Lloyd rounds correct any init bias)
-    val cents: Array[Array[Double]] = e.orderBy("vec_id").select("v")
-      .limit(nlist).as[Seq[Double]].collect().map(_.toArray)
-
-    for (_ <- 0 until iters) {
-      // element-wise mean per cell: posexplode -> ONE (cell, pos) hash agg
-      // (map-side combinable); the nlist x dim result is the tiny
-      // driver-side collect
-      val next = assign(train, cents).select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-        .as[(Int, Int, Double)].collect()
-      next.groupBy(_._1).foreach { case (cell, rows) =>
-        cents(cell) = rows.sortBy(_._2).map(_._3).toArray
-      }
-    }
-
-    val assigned = assign(e, cents)
+    val cents = trainCoarse(e, nlist, iters, trainCap)
+    val assigned = assignCells(e, cents)
     val qrows = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       .collect()

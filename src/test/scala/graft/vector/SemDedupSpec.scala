@@ -1,0 +1,69 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+import graft.core.Tables
+
+/** q148 semantic dedup (SemDeDup shape) is bench-only — cell labels come
+  * from k-means, so no DuckDB oracle exists. The contract asserted here
+  * instead:
+  *  - PRECISION 1.0: every reported pair really sits at exact cosine >=
+  *    tau (the within-cell score IS the exact cosine, so any reported
+  *    pair must appear in the exact all-pairs twin).
+  *  - RECALL floor vs the exact all-pairs twin: cluster blocking misses
+  *    only cross-cell pairs; on this fixture the near-dup structure is
+  *    label-aligned and k-means cells track it. Floor pinned from
+  *    measurement (headroom below observed).
+  *  - The summary's accounting is internally consistent with the pairs.
+  */
+class SemDedupSpec extends GraftSuite {
+
+  private val tau = 0.4
+
+  private def exactPairs = {
+    val e = Tables(spark, sf01, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.vec.dot(col("v"), col("v"))))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+              (graft.functions.vec.dot(col("a.v"), col("b.v"))
+                / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("semantic pairs: precision 1.0 and recall >= 0.7 vs exact all-pairs") {
+    val exact = exactPairs
+    assert(exact.nonEmpty, "fixture must contain at least one near-dup pair")
+    val got = Vectors.semanticPairs(Tables(spark, sf01, "embeddings"), tau = tau)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val falsePos = got -- exact
+    assert(falsePos.isEmpty, s"pairs not in the exact twin: $falsePos")
+    // measured 0.83 at nlist=8/probes=2 (0.49 single-probe); floor with
+    // headroom below observed, same pinning style as the ANN recalls
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.7, s"cluster-blocked recall was $recall over ${exact.size} pairs")
+    spark.catalog.clearCache()
+  }
+
+  test("summary accounting matches the pair report") {
+    val emb = Tables(spark, sf01, "embeddings")
+    val pairs = Vectors.semanticPairs(emb, tau = tau).collect()
+    val summary = Vectors.semanticDedup(emb, tau = tau).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val n = emb.count()
+    assert(summary.values.map(_._1).sum === n, "cell sizes must partition the corpus")
+    assert(summary.values.map(_._2).sum === pairs.length.toLong,
+           "per-cell pair counts must sum to the pair report")
+    assert(summary.values.map(_._3).sum ===
+             pairs.map(_.getLong(2)).distinct.length.toLong,
+           "per-cell drops must sum to the distinct dropped vectors")
+    summary.foreach { case (cell, (nVecs, _, nDropped)) =>
+      assert(nDropped <= nVecs, s"cell $cell drops more vectors than it holds")
+    }
+    spark.catalog.clearCache()
+  }
+}
