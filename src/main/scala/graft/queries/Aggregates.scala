@@ -393,6 +393,58 @@ object Aggregates {
         .orderBy(col("day"))
     },
 
+    // ES derivative pipeline agg (+ the chained second derivative ES
+    // computes when a derivative feeds a derivative): first differences
+    // over the date-histogram's O(buckets) rows — lag(1) windows on
+    // bucket rows, never source rows (same posture as q106's serial_diff,
+    // which is this operator at lag 7).
+    Entry("q151_derivative",
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(n - lag(n, 1) OVER (ORDER BY day) AS BIGINT) AS deriv,
+        |  CAST((n - lag(n, 1) OVER (ORDER BY day))
+        |       - (lag(n, 1) OVER (ORDER BY day) - lag(n, 2) OVER (ORDER BY day))
+        |       AS BIGINT) AS deriv2
+        |FROM h ORDER BY day""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("day"))
+      val d1 = col("n") - lag(col("n"), 1).over(w)
+      val d2 = d1 - (lag(col("n"), 1).over(w) - lag(col("n"), 2).over(w))
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("day"), col("n"), d1.cast("bigint").as("deriv"),
+                d2.cast("bigint").as("deriv2"))
+        .orderBy(col("day"))
+    },
+
+    // ES extended_stats_bucket pipeline agg: the q111 moment family
+    // computed over the sibling histogram's BUCKET VALUES — a second
+    // tiny agg over O(buckets) rows collapsing to one row; source rows
+    // are touched once, by the histogram itself.
+    Entry("q152_extended_stats_bucket",
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS n_buckets, CAST(SUM(n) AS BIGINT) AS sum_n,
+        |  ROUND(AVG(n), 6) AS avg_n,
+        |  ROUND(var_pop(n), 6) AS var_n,
+        |  ROUND(stddev_pop(n), 6) AS std_n,
+        |  ROUND(AVG(n) + 2 * stddev_pop(n), 6) AS std_upper,
+        |  ROUND(AVG(n) - 2 * stddev_pop(n), 6) AS std_lower
+        |FROM h""".stripMargin) { (s, d) =>
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).cast("bigint").as("sum_n"),
+             round(avg(col("n")), 6).as("avg_n"),
+             round(var_pop(col("n")), 6).as("var_n"),
+             round(stddev_pop(col("n")), 6).as("std_n"),
+             round(avg(col("n")) + lit(2) * stddev_pop(col("n")), 6).as("std_upper"),
+             round(avg(col("n")) - lit(2) * stddev_pop(col("n")), 6).as("std_lower"))
+    },
+
     // ES extended_stats: one hash agg emitting the full moment family —
     // count/sum/avg/sum_of_squares/variance/std_deviation plus the
     // ±2σ std bounds ES reports. All partials are (sum, sum_sq, count)

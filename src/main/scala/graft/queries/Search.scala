@@ -448,6 +448,81 @@ object Search {
                   .as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
-    }
+    },
+
+    // ES `common` terms query (the ES 6.3 stopword-adaptive match): query
+    // terms split into low-frequency (required, AND) and high-frequency
+    // (scoring-only, OR) groups by their document frequency measured FROM
+    // THE CORPUS against cutoff_frequency 0.5 — no stopword list, the
+    // data decides. The df probe is one tiny agg over the staged posting
+    // rows (|terms| result rows, the tfidf corpus-stat posture); the
+    // classified terms fold back into the scan as array_contains
+    // literals, so the main pass is join-free and pushable. Score =
+    // 10 x rare-matches + common-matches, replay-stable.
+    Entry("q153_common_terms",
+      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |qt AS (SELECT unnest(['dup', 'data', 'stream']) AS w),
+        |df AS (SELECT qt.w, COUNT(DISTINCT wo.doc_id) AS df
+        |       FROM qt JOIN (SELECT doc_id, unnest(ws) AS w FROM toks) wo
+        |         ON wo.w = qt.w GROUP BY 1),
+        |cls AS (SELECT w, df < 0.5 * (SELECT n FROM n) AS is_rare FROM df),
+        |m AS (SELECT t.doc_id,
+        |        SUM(CASE WHEN c.is_rare AND list_contains(t.ws, c.w)
+        |                 THEN 1 ELSE 0 END) AS n_rare,
+        |        SUM(CASE WHEN NOT c.is_rare AND list_contains(t.ws, c.w)
+        |                 THEN 1 ELSE 0 END) AS n_common
+        |      FROM toks t CROSS JOIN cls c GROUP BY 1)
+        |SELECT doc_id, CAST(n_rare AS INT) AS n_rare,
+        |       CAST(n_common AS INT) AS n_common,
+        |       CAST(n_rare * 10 + n_common AS INT) AS score
+        |FROM m WHERE n_rare = (SELECT COUNT(*) FROM cls WHERE is_rare)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("dup", "data", "stream")
+      val toks = graft.text.TokenIndex.toks(s, d)
+      val n = toks.count()
+      // df probe: |terms| rows — the legitimate tiny collect (corpus-stat
+      // posture, as tfidfParts); classification happens here, not per row
+      val cls = graft.text.TokenIndex.words(s, d)
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1) < 0.5 * n)).toMap
+      val rare = terms.filter(t => cls.getOrElse(t, true))    // absent => df 0 => rare
+      val common = terms.filter(t => !cls.getOrElse(t, true))
+      def matches(ts: Seq[String]) =
+        ts.map(t => when(array_contains(col("ws"), t), 1).otherwise(0))
+          .foldLeft(lit(0))(_ + _)
+      toks
+        .select(col("doc_id"), matches(rare).cast("int").as("n_rare"),
+                matches(common).cast("int").as("n_common"))
+        .filter(col("n_rare") === rare.size)
+        .select(col("doc_id"), col("n_rare"), col("n_common"),
+                (col("n_rare") * 10 + col("n_common")).cast("int").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }.sqlTwin(
+      // structural gaps: DuckDB list-literal unnest + scalar subqueries in
+      // CASE arms -> Spark explode(array(...)) and a CROSS JOIN'd one-row
+      // total
+      s"""WITH toks AS (SELECT doc_id, ${Dialect.tokensSparkSql} AS ws
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |qt AS (SELECT explode(array('dup', 'data', 'stream')) AS w),
+        |df AS (SELECT qt.w, COUNT(DISTINCT wo.doc_id) AS df
+        |       FROM qt JOIN (SELECT doc_id, explode(ws) AS w FROM toks) wo
+        |         ON wo.w = qt.w GROUP BY 1),
+        |cls AS (SELECT w, df < 0.5 * (SELECT n FROM n) AS is_rare FROM df),
+        |m AS (SELECT t.doc_id,
+        |        SUM(CASE WHEN c.is_rare AND array_contains(t.ws, c.w)
+        |                 THEN 1 ELSE 0 END) AS n_rare,
+        |        SUM(CASE WHEN NOT c.is_rare AND array_contains(t.ws, c.w)
+        |                 THEN 1 ELSE 0 END) AS n_common
+        |      FROM toks t CROSS JOIN cls c GROUP BY 1)
+        |SELECT doc_id, CAST(n_rare AS INT) AS n_rare,
+        |       CAST(n_common AS INT) AS n_common,
+        |       CAST(n_rare * 10 + n_common AS INT) AS score
+        |FROM m WHERE n_rare = (SELECT COUNT(*) FROM cls WHERE is_rare)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
   )
 }

@@ -289,11 +289,32 @@ object Vectors {
   /** Within-cell exact-cosine pairs (id_a < id_b, cos_r >= tau). A pair
     * meeting in several shared cells reports once, under the smallest
     * shared cell id (pure dedup — the cosine is identical wherever it
-    * meets). */
-  private def cellPairs(assigned: DataFrame, tau: Double): DataFrame =
-    assigned.as("a")
-      .join(assigned.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+    * meets).
+    *
+    * Hot-cell guard (the LSH maxBucket analog): the pair join is
+    * quadratic PER CELL, so one degenerate cell — a boilerplate-dense
+    * region holding a large fraction of the corpus — would dominate the
+    * whole job. Cells past `maxCell` members are sub-split by a
+    * deterministic vec_id hash into ceil(m/maxCell) sub-cells, bounding
+    * per-join-key work at maxCell² while keeping ~1/s of the in-cell
+    * pairs per split factor s (unlike an LSH bucket, an oversized k-means
+    * cell is a dense REGION, not a near-identical clique — excluding it
+    * outright would silently drop legitimate pairs; the production knob
+    * for a persistently hot cell is a larger nlist). The oversized list
+    * is tiny (only cells past the cap), hence the broadcast join. */
+  private def cellPairs(assigned: DataFrame, tau: Double,
+                        maxCell: Int = 10000): DataFrame = {
+    val hot = assigned.groupBy(col("cell")).agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxCell)
+      .select(col("cell"), ((col("m") + maxCell - 1) / maxCell).cast("int").as("splits"))
+    val sub = assigned.join(broadcast(hot), Seq("cell"), "left")
+      .withColumn("sub",
+        when(col("splits").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("vec_id")), col("splits")).cast("int")))
+    sub.as("a")
+      .join(sub.as("b"),
+            col("a.cell") === col("b.cell") && col("a.sub") === col("b.sub")
+              && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cell").as("cell"),
               col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
               (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
@@ -301,6 +322,7 @@ object Vectors {
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("cell")).as("cell"), round(any_value(col("cos")), 6).as("cos_r"))
       .select(col("cell"), col("id_a"), col("id_b"), col("cos_r"))
+  }
 
   /** SemDeDup-style semantic near-dup PAIRS: k-means cells as blocking
     * buckets, exact cosine inside each cell only. The all-pairs join that
@@ -313,8 +335,8 @@ object Vectors {
     * exact all-pairs twin. */
   def semanticPairs(emb: DataFrame, nlist: Int = 8, tau: Double = 0.4,
                     iters: Int = 3, trainCap: Int = 100000,
-                    probes: Int = 2): DataFrame =
-    cellPairs(semanticAssigned(emb, nlist, iters, trainCap, probes), tau)
+                    probes: Int = 2, maxCell: Int = 10000): DataFrame =
+    cellPairs(semanticAssigned(emb, nlist, iters, trainCap, probes), tau, maxCell)
 
   /** SemDeDup summary: per-cell corpus size (PRIMARY assignment — sizes
     * partition the corpus), near-dup pair count (pairs keyed by their

@@ -66,4 +66,28 @@ class SemDedupSpec extends GraftSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("hot-cell guard keeps a planted dense cell sub-quadratic") {
+    import spark.implicits._
+    // plant 300 near-identical vectors: all land in one cell, whose
+    // unbounded pair join would emit C(300,2) = 44850 pairs
+    val dim = Tables(spark, sf01, "embeddings")
+      .select(org.apache.spark.sql.functions.size(col("embedding"))).first().getInt(0)
+    val base = Array.tabulate(dim)(i => 1.0f / (i + 1))
+    val planted = (0 until 300).map { i =>
+      (100000L + i, base.map(x => x * (1.0f + i * 1e-6f)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = Tables(spark, sf01, "embeddings")
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+
+    val capped = Vectors.semanticPairs(corpus, tau = tau, maxCell = 100)
+      .filter(col("id_a") >= 100000L).count()
+    // split factor s = ceil(m/maxCell) bounds in-cell pairs by
+    // s * C(ceil(m/s), 2); for m >= 300, cell also holds fixture vectors,
+    // so allow the loose but sub-quadratic budget of half the unbounded count
+    assert(capped > 0, "planted near-identical pairs must still be found")
+    assert(capped < 44850 / 2,
+           s"hot cell not capped: $capped pairs from the planted clique")
+    spark.catalog.clearCache()
+  }
 }
