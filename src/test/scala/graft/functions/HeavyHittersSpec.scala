@@ -41,4 +41,31 @@ class HeavyHittersSpec extends GraftSuite {
     val run2 = graft.SparkEntry.queries("q149_heavy_hitters")(spark, sf01).collect().toSeq
     assert(run1 === run2)
   }
+
+  // Property: the MG bound must survive ANY stream content and ANY
+  // partition/merge tree, not just the fixture corpus — random skewed
+  // streams chopped into random partitions, reduced per-partition and
+  // merged pairwise (the Aggregator execution shape).
+  test("Misra-Gries bound holds for random streams and merge trees") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val mg = MisraGries(8)
+    val genStream = Gen.listOfN(400,
+      Gen.frequency(6 -> Gen.oneOf("a", "b"), 3 -> Gen.oneOf("c", "d", "e"),
+                    1 -> Gen.choose(0, 200).map("t" + _)))
+    val genCuts = Gen.listOfN(3, Gen.choose(0, 400))
+    val prop = Prop.forAll(genStream, genCuts) { (ws, cuts) =>
+      val parts = (0 :: 400 :: cuts).distinct.sorted.sliding(2).toList
+        .map { case List(a, b) => ws.slice(a, b) }
+      val merged = parts.map(_.foldLeft(mg.zero)(mg.reduce)).reduce(mg.merge)
+      val est = mg.finish(merged).toMap
+      val exact = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val err = ws.size.toDouble / 9   // n/(k+1)
+      est.size <= 8 &&
+        est.forall { case (w, e) =>
+          e <= exact.getOrElse(w, 0L) && e >= exact.getOrElse(w, 0L) - err } &&
+        exact.forall { case (w, t) => t <= err || est.contains(w) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
