@@ -111,6 +111,30 @@ class PlanShapeSpec extends GraftSuite {
       s"the compiled query must be a pure scan+filter plan:\n$p")
   }
 
+  test("q153_common_terms: classified terms fold into a join-free scan + TakeOrdered") {
+    // the df probe runs eagerly at plan-build time (tiny corpus-stat agg);
+    // the RETURNED plan must be scan-shaped: no join, no window, top-k heap
+    val p = planOf("q153_common_terms")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"main pass must be join-free:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q150_field_value_factor: top-20 plans TakeOrderedAndProject") {
+    val p = planOf("q150_field_value_factor")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q145_shard_budget: the balance window runs over post-agg rows only") {
+    // Window above HashAggregate (O(shards) rows), never below it — a
+    // window under the agg would be a corpus-wide single-partition sort
+    val p = planOf("q145_shard_budget")
+    val win = p.indexOf("Window")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(win >= 0 && agg > win,
+      s"window must sit above the aggregation (tree prints top-down):\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
