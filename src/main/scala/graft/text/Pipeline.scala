@@ -527,6 +527,104 @@ object Pipeline {
         |       ROUND(CAST(COALESCE(cv.n_cov, 0) AS DOUBLE) / size(t.ws), 6) AS dup_ratio
         |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
         |            LEFT JOIN cv ON cv.doc_id = t.doc_id
-        |WHERE size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin)
+        |WHERE size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin),
+
+    // ---- end-to-end curation report (the pipeline's decision table) ----
+    // The artifact a curation pipeline actually materializes: one row per
+    // document with every drop rule's verdict — exact-dup (not the
+    // keep-min-id representative, q60's rule), near-dup (lower-id partner
+    // at Jaccard >= 0.2, q61's pairs), low quality (q96's flags),
+    // repetitive (q101's ratio > 0.2), contaminated (q102's probe
+    // overlap) — and the conjunction `keep`, so audits see WHY each
+    // document was dropped, not just that it was. Every signal reuses the
+    // exact derivation (and oracle CTE text) of its standalone query; the
+    // five signal tables join back to the corpus spine on doc_id, each
+    // one doc_id-keyed and orders of magnitude smaller than the corpus.
+    Entry("q154_curation_report",
+      s"""WITH ${Text.wordsCtesSql},
+        |${Text.shingle3CteSql(distinct = false)},
+        |sd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        |ed AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep
+        |       FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sd GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM sd x JOIN sd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT doc_b FROM inter
+        |       JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+        |q AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 25 THEN 1 ELSE 0 END AS len_ok,
+        |        CASE WHEN CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS DOUBLE)
+        |                  / len(ws) >= 0.03 THEN 1 ELSE 0 END AS stop_ok
+        |      FROM toks WHERE len(ws) > 0),
+        |r AS (SELECT doc_id,
+        |        1 - CAST(COUNT(DISTINCT sh) AS DOUBLE) / COUNT(*) AS rep_ratio
+        |      FROM sh GROUP BY 1),
+        |ct AS (SELECT DISTINCT doc_id FROM (
+        |         SELECT d.doc_id, p.doc_id AS pid, COUNT(*) AS c
+        |         FROM sd d JOIN sd p ON d.sh = p.sh AND p.doc_id <= 5 AND d.doc_id > 5
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2))
+        |SELECT q.doc_id,
+        |  CASE WHEN ed.doc_id <> ed.rep THEN 1 ELSE 0 END AS exact_dup,
+        |  CASE WHEN nd.doc_b IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+        |  CASE WHEN q.len_ok * q.stop_ok = 0 THEN 1 ELSE 0 END AS low_quality,
+        |  CASE WHEN COALESCE(r.rep_ratio, 0) > 0.2 THEN 1 ELSE 0 END AS repetitive,
+        |  CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+        |  CASE WHEN ed.doc_id = ed.rep AND nd.doc_b IS NULL
+        |            AND q.len_ok * q.stop_ok = 1
+        |            AND COALESCE(r.rep_ratio, 0) <= 0.2
+        |            AND ct.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM q JOIN ed ON ed.doc_id = q.doc_id
+        |       LEFT JOIN nd ON nd.doc_b = q.doc_id
+        |       LEFT JOIN r ON r.doc_id = q.doc_id
+        |       LEFT JOIN ct ON ct.doc_id = q.doc_id
+        |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      // spine + quality: per-row arithmetic off the staged token index
+      val q = TokenIndex.toks(s, d)
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          when(size(col("ws")) >= 25, 1).otherwise(0).as("len_ok"),
+          when(size(filter(col("ws"),
+                 w => w.isin("the", "a", "of", "and", "to", "is", "in"))).cast("double")
+                 / size(col("ws")) >= 0.03, 1).otherwise(0).as("stop_ok"))
+      // exact-dup rule: q60's keep-min-id representative
+      val ed = T(s, d, "documents").select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy(col("text"))).as("rep"))
+      // near-dup drops: the q61 pair derivation off the staged shingles
+      val shh = TokenIndex.shingles3(s, d)
+      val inter = shh.as("x").join(shh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val nd = Text.jaccardScored(shh, inter, 0.2).select(col("doc_b")).distinct()
+      // repetition: q101's duplicate-shingle ratio (string shingles)
+      val r = TokenIndex.toks(s, d)
+        .select(col("doc_id"),
+                explode(graft.functions.vec.wordShingles(col("ws"), 3)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg((lit(1) - countDistinct(col("sh")).cast("double") / count(lit(1)))
+               .as("rep_ratio"))
+      // contamination: q102's broadcast probe overlap (>= 2 shared shingles)
+      val probe = shh.filter(col("doc_id") <= 5).select(col("doc_id").as("pid"), col("h"))
+      val ct = shh.filter(col("doc_id") > 5).join(broadcast(probe), "h")
+        .groupBy(col("doc_id"), col("pid")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("doc_id")).distinct()
+      val keep = (col("exact_dup") + col("near_dup") + col("low_quality")
+                    + col("repetitive") + col("contaminated")) === 0
+      q.join(ed, "doc_id")
+        .join(nd.withColumn("is_nd", lit(1)), col("doc_id") === col("doc_b"), "left")
+        .join(r, Seq("doc_id"), "left")
+        .join(ct.withColumn("is_ct", lit(1)).withColumnRenamed("doc_id", "ct_id"),
+              col("doc_id") === col("ct_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("rep"), 1).otherwise(0).as("exact_dup"),
+          coalesce(col("is_nd"), lit(0)).as("near_dup"),
+          when(col("len_ok") * col("stop_ok") === 0, 1).otherwise(0).as("low_quality"),
+          when(coalesce(col("rep_ratio"), lit(0.0)) > 0.2, 1).otherwise(0).as("repetitive"),
+          coalesce(col("is_ct"), lit(0)).as("contaminated"))
+        .withColumn("keep", when(keep, 1).otherwise(0))
+        .orderBy(col("doc_id"))
+    }
   )
 }
