@@ -45,7 +45,18 @@ object VectorIndex {
     (cents, codes)
   }
 
+  /** The staged multi-probe cell-assignment table `(vec_id, rk, cell)`
+    * for the semantic-dedup blocking (Vectors.semanticDedup): cells are
+    * assigned when the vector is written — the dedup query joins labels
+    * to the norm projection and never trains. Same defaults as the live
+    * path (nlist 8, top-2 probes), so staged and live results agree
+    * (pinned by SemDedupSpec). */
+  def cells(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "embeddings", "ivfcells") {
+      Vectors.cellAssignments(Tables(s, dir, "embeddings"))
+    }
+
   /** Build all artifacts eagerly (Bench calls this in its untimed ingest
     * phase — index maintenance is write-path work, like TokenIndex). */
-  def ensure(s: SparkSession, dir: String): Unit = { pq(s, dir); () }
+  def ensure(s: SparkSession, dir: String): Unit = { pq(s, dir); cells(s, dir); () }
 }

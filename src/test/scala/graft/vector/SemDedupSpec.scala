@@ -67,6 +67,15 @@ class SemDedupSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("staged cell index reproduces the live-trained result exactly") {
+    val emb = Tables(spark, sf01, "embeddings")
+    val live = Vectors.semanticDedup(emb, tau = tau).collect().toSeq
+    val staged = Vectors.semanticDedup(emb, tau = tau,
+      index = Some(VectorIndex.cells(spark, sf01))).collect().toSeq
+    assert(live === staged)
+    spark.catalog.clearCache()
+  }
+
   test("hot-cell guard keeps a planted dense cell sub-quadratic") {
     import spark.implicits._
     // plant 300 near-identical vectors: all land in one cell, whose
