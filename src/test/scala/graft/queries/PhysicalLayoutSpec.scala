@@ -45,4 +45,41 @@ class PhysicalLayoutSpec extends GraftSuite {
       assert(df.collect().toSeq === broadcastResult)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("bucketed layout: both-side bucketed join plans with NO shuffle exchange") {
+    // SCALE.md's fact-fact join claim (lineitem ⋈ orders at 100 TB):
+    // bucketing both tables on the join key pre-removes the co-shuffle.
+    // Prove it: same-bucket-count saveAsTable on the key, broadcast off,
+    // and the join must read bucketed scans directly — zero Exchange.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("graft_bkt_lineitem")
+      Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("graft_bkt_orders")
+
+      val j = spark.table("graft_bkt_lineitem")
+        .join(spark.table("graft_bkt_orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+
+      // and the bucketed result matches the plain-parquet join
+      val plain = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(j.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    }
+  }
 }
