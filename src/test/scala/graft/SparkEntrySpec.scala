@@ -30,4 +30,23 @@ class SparkEntrySpec extends AnyFunSuite {
         assert(!sql.contains(fn), s"$name oracle uses Spark-only $fn"))
     }
   }
+
+  test("every batch entry executes on the degenerate sf0.001 corpus") {
+    // The correctness gate runs at sf0.01; this sweep pins the SMALLER
+    // scale, where degenerate populations live (sub-k percentile groups,
+    // lag(7) over 3 buckets, empty agg inputs — the q112 LN(0) class of
+    // bug). Zero rows is a legal answer; throwing is not. Streaming
+    // entries are excluded (each is a real multi-second writeStream run,
+    // exercised by Verify and their own specs).
+    val spark = SparkTestBase.spark
+    val streaming = graft.streaming.Streams.entries.map(_.name).toSet
+    val failures = SparkEntry.allEntries
+      .filterNot(e => streaming.contains(e.name))
+      .flatMap { e =>
+        try { SparkEntry.queries(e.name)(spark, SparkTestBase.sf).count(); None }
+        catch { case t: Throwable => Some(s"${e.name}: ${t.getMessage}") }
+        finally spark.catalog.clearCache()
+      }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
