@@ -18,6 +18,35 @@ object Pipeline {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  case class ChunkRow(doc_id: Long, chunk_id: Int, toks: Seq[String])
+  case class ChunkEmb(doc_id: Long, chunk_id: Int,
+                      e0: Double, e1: Double, e2: Double, e3: Double)
+
+  /** Stand-in for a real embedding-model binding (ONNX/JNI/GPU session):
+    * stateful per-partition handle + batch-in/batch-out API — the exact
+    * plumbing shape of Multimodal.FakeCodec. The "model" is a
+    * DETERMINISTIC FAKE (per-dimension hash folds over the chunk's
+    * tokens, L2-normalized) so the oracle replays it in SQL; swap
+    * `encodeBatch`'s body for the real forward pass and the Spark side is
+    * unchanged. */
+  object FakeEncoder {
+    final class Handle private[FakeEncoder] () {
+      private def tokenHash(w: String): Long =
+        w.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+      def encodeBatch(batch: Seq[ChunkRow]): Seq[ChunkEmb] =
+        batch.map { r =>
+          val s = Array.tabulate(4) { j =>
+            r.toks.map(w => (tokenHash(w) + j * 2654435761L) % 1000003L + 1).sum.toDouble
+          }
+          // raw doubles out; the query applies the shared ROUND(.,6) so
+          // rounding semantics stay the proven Spark/DuckDB pair
+          val nrm = math.sqrt(s.map(x => x * x).sum)
+          ChunkEmb(r.doc_id, r.chunk_id, s(0) / nrm, s(1) / nrm, s(2) / nrm, s(3) / nrm)
+        }
+    }
+    def open(): Handle = new Handle()
+  }
+
   /** Minimum-label propagation connected components over an undirected
     * edge list `(doc_a, doc_b)` — the clustering step of near-dup dedup
     * (each cluster keeps min doc_id as representative).
@@ -580,6 +609,89 @@ object Pipeline {
         |       LEFT JOIN r ON r.doc_id = q.doc_id
         |       LEFT JOIN ct ON ct.doc_id = q.doc_id
         |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      curationReport(s, d)
+    },
+
+    // ---- embedding-inference stage (chunk -> vector, batched binding) ----
+    // The produce-embeddings step between q141's chunking and the ANN
+    // index: per-partition model handle, fixed-size batches through a
+    // batch-in/batch-out encode API (the GPU/ONNX session shape —
+    // Multimodal.FakeCodec's pattern on the text side). The model is a
+    // deterministic fake (per-dim hash folds over chunk tokens, then
+    // L2-normalize) so the oracle replays the arithmetic exactly; the
+    // plumbing — chunk slicing off the staged token index, batch shape,
+    // partition-scoped handle — is the real deployment path.
+    Entry("q155_embed_stage",
+      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |c AS (SELECT doc_id, len(ws) AS n_tok, ws,
+        |        unnest(range(0, CASE WHEN len(ws) <= 32 THEN 1
+        |                             ELSE (len(ws) - 32 + 23) // 24 + 1 END)) AS ci
+        |      FROM toks WHERE len(ws) > 0),
+        |ck AS (SELECT doc_id, ci AS chunk_id,
+        |         unnest(list_slice(ws, ci * 24 + 1, LEAST(ci * 24 + 32, n_tok))) AS w
+        |       FROM c),
+        |hh AS (SELECT doc_id, chunk_id, ${Text.tokenHashSql} AS h FROM ck),
+        |sv AS (SELECT doc_id, chunk_id,
+        |         CAST(SUM((h + 0 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s0,
+        |         CAST(SUM((h + 1 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s1,
+        |         CAST(SUM((h + 2 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s2,
+        |         CAST(SUM((h + 3 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s3
+        |       FROM hh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  ROUND(s0 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e0,
+        |  ROUND(s1 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e1,
+        |  ROUND(s2 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e2,
+        |  ROUND(s3 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e3
+        |FROM sv ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val nChunks = when(size(col("ws")) <= 32, 1)
+        .otherwise((size(col("ws")) - 32 + 23) / 24 + 1)
+      val chunks = TokenIndex.toks(s, d)
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"), col("ws"),
+                explode(sequence(lit(0), nChunks.cast("int") - 1)).as("ci"))
+        .select(col("doc_id"), col("ci").cast("int").as("chunk_id"),
+                slice(col("ws"), col("ci") * 24 + 1,
+                      least(lit(32), size(col("ws")) - col("ci") * 24)).as("toks"))
+        .as[ChunkRow]
+      chunks.mapPartitions { rows =>
+        val model = FakeEncoder.open()   // per-partition session init
+        rows.grouped(64).flatMap(model.encodeBatch)
+      }.toDF()
+        .select(col("doc_id"), col("chunk_id"),
+                round(col("e0"), 6).as("e0"), round(col("e1"), 6).as("e1"),
+                round(col("e2"), 6).as("e2"), round(col("e3"), 6).as("e3"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }.sqlTwin(
+      // structural gaps: range() exclusivity, list_slice (begin,end) vs
+      // slice (start,LENGTH), and the token-hash fold via the registered
+      // kernel
+      s"""WITH toks AS (SELECT doc_id, ${Dialect.tokensSparkSql} AS ws FROM documents),
+        |c AS (SELECT doc_id, size(ws) AS n_tok, ws,
+        |        explode(sequence(0, CASE WHEN size(ws) <= 32 THEN 0
+        |                                 ELSE (size(ws) - 32 + 23) div 24 END)) AS ci
+        |      FROM toks WHERE size(ws) > 0),
+        |ck AS (SELECT doc_id, ci AS chunk_id,
+        |         explode(slice(ws, ci * 24 + 1, LEAST(32, n_tok - ci * 24))) AS w
+        |       FROM c),
+        |hh AS (SELECT doc_id, chunk_id, token_hash(w) AS h FROM ck),
+        |sv AS (SELECT doc_id, chunk_id,
+        |         CAST(SUM((h + 0 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s0,
+        |         CAST(SUM((h + 1 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s1,
+        |         CAST(SUM((h + 2 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s2,
+        |         CAST(SUM((h + 3 * 2654435761) % 1000003 + 1) AS DOUBLE) AS s3
+        |       FROM hh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  ROUND(s0 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e0,
+        |  ROUND(s1 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e1,
+        |  ROUND(s2 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e2,
+        |  ROUND(s3 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e3
+        |FROM sv ORDER BY doc_id, chunk_id""".stripMargin)
+  )
+
+  /** q154's implementation — the five drop rules joined to the corpus
+    * spine (see the entry's scaladoc above for the rule provenance). */
+  private def curationReport(s: SparkSession, d: String): DataFrame = {
       // spine + quality: per-row arithmetic off the staged token index
       val q = TokenIndex.toks(s, d)
         .filter(size(col("ws")) > 0)
@@ -625,6 +737,5 @@ object Pipeline {
           coalesce(col("is_ct"), lit(0)).as("contaminated"))
         .withColumn("keep", when(keep, 1).otherwise(0))
         .orderBy(col("doc_id"))
-    }
-  )
+  }
 }
