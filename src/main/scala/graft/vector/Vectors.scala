@@ -402,6 +402,10 @@ object Vectors {
     * Note: at fixture scale (2000 vectors) training dominates the wall
     * time and brute force wins; the inverted-file structure pays off when
     * cells hold millions of vectors each.
+    * The norm projection is persisted (training + final assignment + the
+    * probe join all consume it); callers own cleanup via
+    * `spark.catalog.clearCache()` — the Bench/Verify per-entry contract,
+    * as lshCandidates and semanticAssigned.
     */
   def annIvf(emb: DataFrame, queryIds: Seq[Int], k: Int,
              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3,
