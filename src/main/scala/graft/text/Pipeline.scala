@@ -47,6 +47,17 @@ object Pipeline {
     def open(): Handle = new Handle()
   }
 
+  /** One row per size-32/stride-24 chunk index: (doc_id, ws, ci) off the
+    * staged token index — the derivation shared by q141 (chunk geometry)
+    * and q155 (chunk token slices). Map-only: one explode, no shuffle. */
+  private def chunkIndex(s: SparkSession, d: String): DataFrame = {
+    val nChunks = when(size(col("ws")) <= 32, 1)
+      .otherwise((size(col("ws")) - 32 + 23) / 24 + 1)   // int div: ceil((n-32)/24)+1
+    TokenIndex.toks(s, d)
+      .select(col("doc_id"), col("ws"),
+              explode(sequence(lit(0), nChunks.cast("int") - 1)).as("ci"))
+  }
+
   /** Minimum-label propagation connected components over an undirected
     * edge list `(doc_a, doc_b)` — the clustering step of near-dup dedup
     * (each cluster keeps min doc_id as representative).
@@ -424,14 +435,10 @@ object Pipeline {
         |SELECT doc_id, CAST(ci AS INT) AS chunk_id, CAST(ci * 24 AS INT) AS start,
         |       CAST(LEAST(32, n_tok - ci * 24) AS INT) AS chunk_len
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
-      val nChunks = when(size(col("ws")) <= 32, 1)
-        .otherwise((size(col("ws")) - 32 + 23) / 24 + 1)   // int div: ceil((n-32)/24)+1
-      TokenIndex.toks(s, d)
-        .select(col("doc_id"), size(col("ws")).as("n_tok"),
-                explode(sequence(lit(0), nChunks.cast("int") - 1)).as("ci"))
+      chunkIndex(s, d)
         .select(col("doc_id"), col("ci").cast("int").as("chunk_id"),
                 (col("ci") * 24).cast("int").as("start"),
-                least(lit(32), col("n_tok") - col("ci") * 24).cast("int").as("chunk_len"))
+                least(lit(32), size(col("ws")) - col("ci") * 24).cast("int").as("chunk_len"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }.sqlTwin(
       // structural gap: DuckDB range(0, n) is end-EXCLUSIVE, Spark
@@ -644,12 +651,8 @@ object Pipeline {
         |  ROUND(s3 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e3
         |FROM sv ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val nChunks = when(size(col("ws")) <= 32, 1)
-        .otherwise((size(col("ws")) - 32 + 23) / 24 + 1)
-      val chunks = TokenIndex.toks(s, d)
+      val chunks = chunkIndex(s, d)
         .filter(size(col("ws")) > 0)
-        .select(col("doc_id"), col("ws"),
-                explode(sequence(lit(0), nChunks.cast("int") - 1)).as("ci"))
         .select(col("doc_id"), col("ci").cast("int").as("chunk_id"),
                 slice(col("ws"), col("ci") * 24 + 1,
                       least(lit(32), size(col("ws")) - col("ci") * 24)).as("toks"))
