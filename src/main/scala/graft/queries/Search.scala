@@ -426,11 +426,13 @@ object Search {
 
     // ES `function_score` / `field_value_factor` (the remaining ES 6.3
     // score-modifier family after q122's gaussian decay): score = weight
-    // x tf(term) x ln1p(factor x field). Per-row arithmetic folds into
-    // the scan — tf is a codegen'd HOF over the staged token array, no
-    // join, no window — and the page plans TakeOrderedAndProject. The
-    // sort key is the ROUNDED score (ties then doc_id) so the top-20
-    // boundary is replay-stable across engines at ulp differences.
+    // x tf(term) x ln1p(factor x field). The score arithmetic is per-row
+    // (tf = codegen'd HOF over the staged token array, no window); one
+    // doc_id equi-join fetches n_chars from the documents table — both
+    // sides doc_id-keyed, broadcast/co-partitioned at scale — and the
+    // page plans TakeOrderedAndProject. The sort key is the ROUNDED
+    // score (ties then doc_id) so the top-20 boundary is replay-stable
+    // across engines at ulp differences.
     Entry("q150_field_value_factor",
       s"""WITH m AS (SELECT doc_id, n_chars, ${graft.text.Text.tokensSql} AS ws
         |           FROM documents)
@@ -488,8 +490,11 @@ object Search {
         .filter(col("w").isin(terms: _*))
         .groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
         .collect().map(r => r.getString(0) -> (r.getLong(1) < 0.5 * n)).toMap
-      val rare = terms.filter(t => cls.getOrElse(t, true))    // absent => df 0 => rare
-      val common = terms.filter(t => !cls.getOrElse(t, true))
+      // a df-0 term is ABSENT from cls, exactly as the oracle's inner-join
+      // df CTE drops it — excluding it entirely (ES: a term matching
+      // nothing contributes nothing), never AND-requiring the impossible
+      val rare = terms.filter(t => cls.get(t).contains(true))
+      val common = terms.filter(t => cls.get(t).contains(false))
       def matches(ts: Seq[String]) =
         ts.map(t => when(array_contains(col("ws"), t), 1).otherwise(0))
           .foldLeft(lit(0))(_ + _)

@@ -31,8 +31,13 @@ object Pipeline {
     * unchanged. */
   object FakeEncoder {
     final class Handle private[FakeEncoder] () {
+      // ONE token-hash implementation engine-wide: the codegen'd kernel's
+      // static body (code-POINT fold) — a private re-implementation here
+      // would silently diverge from the kernel and both SQL oracles the
+      // day the analyzer admits non-BMP characters
       private def tokenHash(w: String): Long =
-        w.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+        graft.functions.TokenHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w))
       def encodeBatch(batch: Seq[ChunkRow]): Seq[ChunkEmb] =
         batch.map { r =>
           val s = Array.tabulate(4) { j =>

@@ -199,18 +199,12 @@ object Vectors {
     * nlist=16), while this join's expression is small and stable, and at
     * real nlist (~sqrt N) an inlined-literal expression is impossible
     * anyway. Shared by the IVF probe path and semantic dedup. */
-  private def assignCells(rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val spark = rows.sparkSession
-    import spark.implicits._
-    val centDf = broadcast(
-      cents.toSeq.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toDF("cell", "cv"))
-    rows.crossJoin(centDf)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-              cosine(col("v"), col("cv")).as("s"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
-           any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
-  }
+  private def assignCells(rows: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    // ONE copy of the centroid-scoring pipeline: the single-cell
+    // assignment IS the probes=1 projection (identical (s, cell)
+    // tie-break by construction, which SemDedupSpec's staged-vs-live
+    // equivalence depends on)
+    assignCellsTop(rows, cents, probes = 1).drop("rk")
 
   /** Multi-probe assignment: each vector labeled with its `probes` nearest
     * cells, ranked (rk = 0 is the primary cell — identical, including the
@@ -280,9 +274,15 @@ object Vectors {
     * vector is written). */
   def cellAssignments(emb: DataFrame, nlist: Int = 8, iters: Int = 3,
                       trainCap: Int = 100000, probes: Int = 2): DataFrame = {
-    val e = withNorm(emb)
-    val cents = trainCoarse(e, nlist, iters, trainCap)
-    assignCellsTop(e, cents, probes).select(col("vec_id"), col("rk"), col("cell"))
+    // persist through training (count + init collect + Lloyd rounds all
+    // consume the norm projection), then release: the returned assignment
+    // plan recomputes it exactly once when materialized — the "full
+    // corpus moved once" posture, with no cache blocks leaking past the
+    // call (the annIvf caller-cleanup contract is not needed here)
+    val e = withNorm(emb).persist()
+    val cents = try trainCoarse(e, nlist, iters, trainCap) finally e.unpersist()
+    assignCellsTop(withNorm(emb), cents, probes)
+      .select(col("vec_id"), col("rk"), col("cell"))
   }
 
   /** Train + multi-probe assign for the semantic-dedup blocking: the full
@@ -300,8 +300,9 @@ object Vectors {
       case Some(cells) => withNorm(emb).join(cells, "vec_id")
         .select(col("vec_id"), col("rk"), col("cell"), col("v"), col("nrm"))
       case None =>
-        val e = withNorm(emb)
-        assignCellsTop(e, trainCoarse(e, nlist, iters, trainCap), probes)
+        val e = withNorm(emb).persist()
+        val cents = try trainCoarse(e, nlist, iters, trainCap) finally e.unpersist()
+        assignCellsTop(withNorm(emb), cents, probes)
     }).persist()
 
   /** Within-cell exact-cosine pairs (id_a < id_b, cos_r >= tau). A pair
@@ -366,10 +367,10 @@ object Vectors {
     * [[cellPairs]]. */
   def semanticDedup(emb: DataFrame, nlist: Int = 8, tau: Double = 0.4,
                     iters: Int = 3, trainCap: Int = 100000,
-                    probes: Int = 2,
+                    probes: Int = 2, maxCell: Int = 10000,
                     index: Option[DataFrame] = None): DataFrame = {
     val assigned = semanticAssigned(emb, nlist, iters, trainCap, probes, index)
-    val pairs = cellPairs(assigned, tau)
+    val pairs = cellPairs(assigned, tau, maxCell)
     val primary = assigned.filter(col("rk") === 0).select(col("vec_id"), col("cell"))
     val perCell = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
     // a dropped vector counts against ITS OWN (primary) cell, the same
