@@ -398,6 +398,56 @@ object Streams {
         .orderBy(col("purchase_id"), col("click_id"))
     },
 
+    // FULL outer stream-stream join — q139 plus the symmetric right-side
+    // emission. Eviction horizons differ per side because the range
+    // condition is asymmetric: a purchase at pts matches clicks in
+    // [pts - 1h, pts], so its state dies when the watermark passes pts
+    // (`ts < w`); a click at cts matches purchases in [cts, cts + 1h], so
+    // its state must outlive the watermark by the range width
+    // (`ts + 1h < w`). The oracle replays both rules on the batch join.
+    // NULLS LAST pinned explicitly on both engines: Spark ASC defaults
+    // null-first, DuckDB null-last — the right-unmatched rows (NULL
+    // purchase_id) would otherwise sort to opposite ends.
+    Entry("q157_stream_stream_full_join",
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |wm AS (SELECT least(
+        |    (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000) FROM p),
+        |    (SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000) FROM c))
+        |  - INTERVAL '1 hour' AS w),
+        |j AS (SELECT p.purchase_id, c.click_id FROM p JOIN c
+        |      ON c.user_id = p.user_id
+        |      AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts)
+        |SELECT purchase_id, click_id FROM j
+        |UNION ALL
+        |SELECT purchase_id, CAST(NULL AS BIGINT) AS click_id FROM p
+        |WHERE purchase_id NOT IN (SELECT purchase_id FROM j)
+        |  AND ts < (SELECT w FROM wm)
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT) AS purchase_id, click_id FROM c
+        |WHERE click_id NOT IN (SELECT click_id FROM j)
+        |  AND ts + INTERVAL '1 hour' < (SELECT w FROM wm)
+        |ORDER BY purchase_id NULLS LAST, click_id NULLS LAST""".stripMargin) { (s, d) =>
+      val purchases = readStreamTable(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+                col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val clicks = readStreamTable(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+                col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("cu") === col("pu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("cts") <= col("pts"),
+        "full_outer")
+      runToMemory(joined.select(col("purchase_id"), col("click_id")), OutputMode.Append())
+        .orderBy(col("purchase_id").asc_nulls_last, col("click_id").asc_nulls_last)
+    },
+
     Entry("q58_stream_static_join",
       """SELECT c_mktsegment, COUNT(*) AS n FROM events
         |JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>

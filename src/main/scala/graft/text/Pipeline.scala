@@ -694,7 +694,57 @@ object Pipeline {
         |  ROUND(s1 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e1,
         |  ROUND(s2 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e2,
         |  ROUND(s3 / sqrt(s0*s0 + s1*s1 + s2*s2 + s3*s3), 6) AS e3
-        |FROM sv ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM sv ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ---- deterministic training shuffle (seeded, shardable) ----
+    // The order a training job reads its corpus in: a seeded pseudo-random
+    // permutation that is REPRODUCIBLE (same seed -> same epoch order,
+    // the property loss-curve debugging depends on) and SHARDABLE (each
+    // reader owns a shard, no coordination). shuffle key = md5(seed ||
+    // doc_id); shard = key-prefix bucket; within-shard order = key order.
+    // No global sort anywhere: one hash shuffle on `shard`, then a
+    // per-shard sort — at 100 TB shard count scales with the reader
+    // fleet and each shard sorts independently (writer-side this is
+    // exactly a sortWithinPartitions after repartition). The declared
+    // result pins the head of every shard's read order (row_number <= 3),
+    // which Spark plans with WindowGroupLimit: each map task keeps 3 rows
+    // per shard before the shuffle, so the full corpus never moves.
+    Entry("q156_det_shuffle",
+      """WITH k AS (SELECT doc_id,
+        |             md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS key
+        |           FROM documents),
+        |s AS (SELECT doc_id, key,
+        |        CAST(('0x' || substr(key, 1, 4)) AS INT) % 8 AS shard FROM k),
+        |r AS (SELECT shard, doc_id, key,
+        |        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key) AS rk
+        |      FROM s)
+        |SELECT CAST(shard AS INT) AS shard, CAST(rk AS INT) AS rk, doc_id, key
+        |FROM r WHERE rk <= 3 ORDER BY shard, rk""".stripMargin) { (s, d) =>
+      val keyed = T(s, d, "documents")
+        .select(col("doc_id"),
+                md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("key"))
+        .withColumn("shard",
+          (conv(substring(col("key"), 1, 4), 16, 10).cast("int") % 8).cast("int"))
+      keyed
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("key"))))
+        .filter(col("rk") <= 3)
+        .select(col("shard"), col("rk"), col("doc_id"), col("key"))
+        .orderBy(col("shard"), col("rk"))
+    }.sqlTwin(
+      // structural gap: hex-prefix bucketing — DuckDB casts '0x....'
+      // directly, Spark goes through conv(_, 16, 10)
+      """WITH k AS (SELECT doc_id,
+        |             md5(concat('epoch1:', CAST(doc_id AS STRING))) AS key
+        |           FROM documents),
+        |s AS (SELECT doc_id, key,
+        |        CAST(CAST(conv(substr(key, 1, 4), 16, 10) AS INT) % 8 AS INT) AS shard
+        |      FROM k),
+        |r AS (SELECT shard, doc_id, key,
+        |        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key) AS rk
+        |      FROM s)
+        |SELECT shard, CAST(rk AS INT) AS rk, doc_id, key
+        |FROM r WHERE rk <= 3 ORDER BY shard, rk""".stripMargin)
   )
 
   /** q154's implementation — the five drop rules joined to the corpus

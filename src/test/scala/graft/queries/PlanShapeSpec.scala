@@ -135,6 +135,16 @@ class PlanShapeSpec extends GraftSuite {
       s"window must sit above the aggregation (tree prints top-down):\n$p")
   }
 
+  test("q156_det_shuffle: shard-head rank prunes via WindowGroupLimit before the shuffle") {
+    // row_number <= 3 per shard must plan the rank-limit pushdown: each
+    // map task keeps 3 rows per shard ahead of the exchange, so the
+    // declared head query never moves the corpus. If this assert fires,
+    // the window expression stopped matching the optimizer's
+    // InferWindowGroupLimit pattern.
+    val p = planOf("q156_det_shuffle")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
