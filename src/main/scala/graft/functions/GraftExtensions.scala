@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** The engine's `SparkSessionExtensions` injection point (SURVEY.md §4.2):
   * registers the codegen'd kernels as SQL functions so the SQL entry path
-  * (SURVEY.md §3.4 entry C) reaches them too, and reserves the seam where
-  * later planner rules (e.g. rewriting an exact cosine top-k into an LSH
-  * candidate join) would be injected.
+  * (SURVEY.md §3.4 entry C) reaches them too, and injects the planner
+  * seam: [[graft.plans.ExpandAnnTopK]], the resolution rule that expands
+  * the [[graft.plans.AnnTopK]] logical operator into the conf-selected
+  * physical route (exact cosine top-k, IVF probe, or LSH candidates).
   *
   * Activated by `spark.sql.extensions=graft.functions.GraftExtensions`
   * (set in GraftSession.configure).
@@ -25,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
      })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the planner seam: AnnTopK is the whole-operator logical node whose
+    // physical route (exact / IVF / LSH) is a plan-time session decision
+    ext.injectResolutionRule(session => graft.plans.ExpandAnnTopK(session))
     ext.injectFunction(fn("vec_dot", classOf[VecDot], 2,
       args => VecDot(args(0), args(1))))
     ext.injectFunction(fn("vec_cosine", classOf[VecCosine], 2,
