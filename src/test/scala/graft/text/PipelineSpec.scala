@@ -41,4 +41,38 @@ class PipelineSpec extends GraftSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
                        20L -> 20L, 21L -> 20L))
   }
+
+  // q156's declared query pins only shard heads; the PROPERTIES of the
+  // shuffle — it is a permutation (every doc exactly once), dense ranks
+  // per shard, replayable from the seed, and a different seed actually
+  // re-orders — are what a training job depends on.
+  test("q156 epoch order is a seeded permutation: total, dense, replayable") {
+    def epoch(seed: String) = {
+      val keyed = graft.core.Tables(spark, sf, "documents")
+        .select(col("doc_id"),
+                md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("key"))
+        .withColumn("shard",
+          (conv(substring(col("key"), 1, 4), 16, 10).cast("int") % 8).cast("int"))
+      keyed.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("key"))))
+        .select(col("shard"), col("rk"), col("doc_id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    }
+    val nDocs = graft.core.Tables(spark, sf, "documents").count()
+    val e1 = epoch("epoch1")
+    // permutation: every doc exactly once
+    assert(e1.map(_._3).distinct.length.toLong == nDocs && e1.length.toLong == nDocs)
+    // dense ranks within each shard
+    e1.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"shard $shard ranks not dense")
+    }
+    // replayable: the same seed is bit-identical
+    assert(epoch("epoch1").sortBy(r => (r._1, r._2)).toSeq ==
+           e1.sortBy(r => (r._1, r._2)).toSeq)
+    // a new epoch seed actually re-orders (some doc changes position)
+    val e2 = epoch("epoch2").sortBy(r => (r._1, r._2))
+    assert(e2.map(_._3).toSeq != e1.sortBy(r => (r._1, r._2)).map(_._3).toSeq)
+  }
 }
