@@ -45,18 +45,37 @@ object VectorIndex {
     (cents, codes)
   }
 
+  /** The staged coarse-quantizer centroids (`ivfcents` — nlist rows,
+    * tiny): the query-side probe geometry. Without this artifact an
+    * IVF query would have to re-train to know where to probe. */
+  def ivfCents(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val df = Staging.staged(s, dir, "embeddings", "ivfcents") {
+      import s.implicits._
+      Vectors.trainCoarseQuantizer(Tables(s, dir, "embeddings"))
+        .zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("cell", "cv")
+    }
+    df.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+  }
+
   /** The staged multi-probe cell-assignment table `(vec_id, rk, cell)`
-    * for the semantic-dedup blocking (Vectors.semanticDedup): cells are
-    * assigned when the vector is written — the dedup query joins labels
-    * to the norm projection and never trains. Same defaults as the live
-    * path (nlist 8, top-2 probes), so staged and live results agree
-    * (pinned by SemDedupSpec). */
+    * for the semantic-dedup blocking (Vectors.semanticDedup) and the
+    * IVF-PQ probe cut: cells are assigned when the vector is written —
+    * queries join labels, never train. Built against the staged
+    * centroids with the live path's defaults (nlist 8, top-2 probes), so
+    * staged and live results agree (pinned by SemDedupSpec). */
   def cells(s: SparkSession, dir: String): DataFrame =
     Staging.staged(s, dir, "embeddings", "ivfcells") {
-      Vectors.cellAssignments(Tables(s, dir, "embeddings"))
+      Vectors.cellAssignmentsWith(Tables(s, dir, "embeddings"), ivfCents(s, dir))
     }
+
+  /** The staged (centroids, cell-assignments) pair — the coarse half of
+    * IVF-PQ. */
+  def ivf(s: SparkSession, dir: String): (Array[Array[Double]], DataFrame) =
+    (ivfCents(s, dir), cells(s, dir))
 
   /** Build all artifacts eagerly (Bench calls this in its untimed ingest
     * phase — index maintenance is write-path work, like TokenIndex). */
-  def ensure(s: SparkSession, dir: String): Unit = { pq(s, dir); cells(s, dir); () }
+  def ensure(s: SparkSession, dir: String): Unit = { pq(s, dir); ivf(s, dir); () }
 }

@@ -183,6 +183,14 @@ object Vectors {
       annPq(T(s, d, "embeddings"), Seq(1, 2, 3), 5, index = Some(VectorIndex.pq(s, d)))
     },
 
+    // ANN: IVF-PQ — the composed standing posture (probe cut x code
+    // compression); both halves staged at ingest; bench-only; recall and
+    // the all-cells==exact identity asserted in AnnRecallSpec.
+    Entry.benchOnly("q62_ann_ivfpq") { (s, d) =>
+      annIvfPq(T(s, d, "embeddings"), Seq(1, 2, 3), 5,
+               coarse = VectorIndex.ivf(s, d), pq = VectorIndex.pq(s, d))
+    },
+
     // Semantic dedup (SemDeDup): cluster-blocked embedding near-dup prune.
     // Cell labels are k-means-derived => engine-specific => bench-only;
     // SemDedupSpec pins pair precision (=1.0, exact cosine inside cells)
@@ -268,22 +276,33 @@ object Vectors {
     cents
   }
 
+  /** Train the coarse quantizer alone — the ingest-staged `ivfcents`
+    * artifact (VectorIndex.ivf): the centroid geometry is what the QUERY
+    * side needs to pick probe cells without re-training. Persists the
+    * norm projection through training (count + init collect + Lloyd
+    * rounds all consume it), then releases it — no cache blocks leak
+    * past the call. */
+  def trainCoarseQuantizer(emb: DataFrame, nlist: Int = 8, iters: Int = 3,
+                           trainCap: Int = 100000): Array[Array[Double]] = {
+    val e = withNorm(emb).persist()
+    try trainCoarse(e, nlist, iters, trainCap) finally e.unpersist()
+  }
+
+  /** Multi-probe assignment against GIVEN centroids (the staged-cents
+    * path: one corpus pass, no training). */
+  def cellAssignmentsWith(emb: DataFrame, cents: Array[Array[Double]],
+                          probes: Int = 2): DataFrame =
+    assignCellsTop(withNorm(emb), cents, probes)
+      .select(col("vec_id"), col("rk"), col("cell"))
+
   /** The narrow (vec_id, rk, cell) cell-assignment table — what
     * VectorIndex stages at ingest (cells are a write-path artifact like
     * the PQ codes; a deployment assigns each vector its cells when the
     * vector is written). */
   def cellAssignments(emb: DataFrame, nlist: Int = 8, iters: Int = 3,
-                      trainCap: Int = 100000, probes: Int = 2): DataFrame = {
-    // persist through training (count + init collect + Lloyd rounds all
-    // consume the norm projection), then release: the returned assignment
-    // plan recomputes it exactly once when materialized — the "full
-    // corpus moved once" posture, with no cache blocks leaking past the
-    // call (the annIvf caller-cleanup contract is not needed here)
-    val e = withNorm(emb).persist()
-    val cents = try trainCoarse(e, nlist, iters, trainCap) finally e.unpersist()
-    assignCellsTop(withNorm(emb), cents, probes)
-      .select(col("vec_id"), col("rk"), col("cell"))
-  }
+                      trainCap: Int = 100000, probes: Int = 2): DataFrame =
+    cellAssignmentsWith(emb, trainCoarseQuantizer(emb, nlist, iters, trainCap),
+                        probes)
 
   /** Train + multi-probe assign for the semantic-dedup blocking: the full
     * corpus, labeled with its `probes` nearest cells (rk 0 = primary).
@@ -422,15 +441,8 @@ object Vectors {
       .collect()
     // probe list per query: nprobe nearest centroids (driver math — tiny)
     val probes = qrows.flatMap { r =>
-      val qv = r.getSeq[Double](1).toArray
-      val qn = r.getDouble(2)
-      cents.zipWithIndex
-        .map { case (cv, i) =>
-          val d = cv.zip(qv).map { case (x, y) => x * y }.sum
-          (i, d / (math.sqrt(cv.map(x => x * x).sum) * qn))
-        }
-        .sortBy { case (i, s) => (-s, i) }.take(nprobe)
-        .map { case (cell, _) => (r.getLong(0), cell) }
+      probeCells(cents, r.getSeq[Double](1).toArray, r.getDouble(2), nprobe)
+        .map(cell => (r.getLong(0), cell))
     }.toSeq
     val probeDf = broadcast(probes.toDF("q_id", "cell"))
     val qDf = broadcast(qrows.toSeq.map(r =>
@@ -445,6 +457,16 @@ object Vectors {
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
   }
+
+  /** nprobe nearest cells for one query vector, ranked by centroid cosine
+    * (ties by cell id) — driver math over the tiny centroid array, shared
+    * by the IVF and IVF-PQ probe paths. */
+  private def probeCells(cents: Array[Array[Double]], qv: Array[Double],
+                         qn: Double, nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (cv, i) =>
+      val d = cv.zip(qv).map { case (x, y) => x * y }.sum
+      (i, d / (math.sqrt(cv.map(x => x * x).sum) * qn))
+    }.sortBy { case (i, s) => (-s, i) }.take(nprobe).map(_._1).toSeq
 
   /** Train the PQ codebook DRIVER-SIDE on a bounded deterministic sample:
     * the lowest-`trainCap` vec_ids (TakeOrdered — per-partition top-N, no
@@ -565,8 +587,21 @@ object Vectors {
       val c = pqTrain(emb, m, ks, iters, trainCap)
       (c, pqEncode(emb, c))
     }
-    val e = withNorm(emb)
+    adcTopK(withNorm(emb), codes, cents, queryIds, k, rerank, probeFilter = None)
+  }
 
+  /** The ADC scan + exact re-rank shared by PQ and IVF-PQ: codes ⋈
+    * broadcast lookup table, one sum per (q_id, vec_id) — the corpus pass
+    * never touches `v`; only the top-`rerank` candidates fetch their full
+    * vector. With `probeFilter` ((q_id, cell) pairs; `codes` must then
+    * carry a `cell` column) the scan is further restricted to each
+    * query's probed cells — the IVF-PQ composition. */
+  private def adcTopK(e: DataFrame, codes: DataFrame,
+                      cents: Array[Array[Array[Double]]],
+                      queryIds: Seq[Int], k: Int, rerank: Int,
+                      probeFilter: Option[DataFrame]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     // codebook geometry from the codebook itself, so a staged index with
     // different (m, ks) than the call-site defaults still scores correctly
     val (mm, kk, sub) = (cents.length, cents(0).length, cents(0)(0).length)
@@ -586,9 +621,14 @@ object Vectors {
       .toDF("q_id", "qv", "qnrm"))
 
     // ADC scan: codes ⋈ table, one sum per (q_id, vec_id) — never touches v
-    val wa = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
-    val cands = codes.join(tab, Seq("sub", "code"))
+    val scanned = codes.join(tab, Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
+    val probed = probeFilter match {
+      case Some(p) => scanned.join(broadcast(p), Seq("q_id", "cell"))
+      case None    => scanned
+    }
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
+    val cands = probed
       .groupBy(col("q_id"), col("vec_id"))
       // cosine ranking: divide by the stored corpus norm; the query norm
       // is constant within a q_id partition and cannot change the order
@@ -604,6 +644,34 @@ object Vectors {
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= k)
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Classic IVF-PQ (FAISS's IndexIVFPQ recipe, both halves staged at
+    * ingest): the coarse cells bound WHICH vectors each query scans
+    * (nprobe of nlist cells — the sub-linear cut), the PQ codes bound
+    * WHAT the scan reads per vector (m sub-codes, never `v`), and the
+    * exact re-rank at the end keeps the final page honest. At 100 TB
+    * this is the standing ANN posture: probe cut x 64x code compression
+    * multiply. Bench-only like the other ANN variants; recall and the
+    * all-cells==exact identity are pinned in AnnRecallSpec. */
+  def annIvfPq(emb: DataFrame, queryIds: Seq[Int], k: Int,
+               nprobe: Int = 2, rerank: Int = 50,
+               coarse: (Array[Array[Double]], DataFrame),
+               pq: (Array[Array[Array[Double]]], DataFrame)): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cents, cellsDf) = coarse
+    val (pqCents, codes) = pq
+    val e = withNorm(emb)
+    val qrows = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+    val probes = qrows.flatMap { r =>
+      probeCells(cents, r.getSeq[Double](1).toArray, r.getDouble(2), nprobe)
+        .map(cell => (r.getLong(0), cell))
+    }.toSeq
+    val primary = cellsDf.filter(col("rk") === 0).select(col("vec_id"), col("cell"))
+    adcTopK(e, codes.join(primary, "vec_id"), pqCents, queryIds, k, rerank,
+            probeFilter = Some(probes.toDF("q_id", "cell")))
   }
 
   /** Random-hyperplane LSH: 16 sign bits from fixed pseudo-random planes

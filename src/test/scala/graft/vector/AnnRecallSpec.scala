@@ -33,6 +33,29 @@ class AnnRecallSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("IVF-PQ: probing every cell with unbounded re-rank IS exact; nprobe=2 keeps recall") {
+    val emb = Tables(spark, sf01, "embeddings")
+    val qids = Seq(1, 2, 3)
+    val coarse = VectorIndex.ivf(spark, sf01)
+    val pq = VectorIndex.pq(spark, sf01)
+    val exact = Vectors.topK(emb, qids, 5).collect().toSeq
+
+    // identity: all 8 cells probed + re-rank wider than the corpus means
+    // the composition degenerates to exact search — row-for-row equal
+    val full = Vectors.annIvfPq(emb, qids, 5, nprobe = 8, rerank = 1000000,
+                                coarse = coarse, pq = pq).collect().toSeq
+    assert(full == exact, "IVF-PQ with every cell probed must equal exact top-k")
+
+    // the real operating point: 2 of 8 cells scanned per query
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Vectors.annIvfPq(emb, qids, 5, nprobe = 2, rerank = 50,
+                                  coarse = coarse, pq = pq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & approx).size.toDouble / exactSet.size
+    assert(recall >= 0.6, s"IVF-PQ recall@nprobe=2/8 was $recall")   // measured 0.8
+    spark.catalog.clearCache()
+  }
+
   test("sign-LSH recovers planted near-duplicates (its design regime)") {
     import spark.implicits._
     val emb = Tables(spark, sf01, "embeddings")
