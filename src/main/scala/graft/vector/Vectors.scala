@@ -186,7 +186,7 @@ object Vectors {
     // ANN: IVF-PQ — the composed standing posture (probe cut x code
     // compression); both halves staged at ingest; bench-only; recall and
     // the all-cells==exact identity asserted in AnnRecallSpec.
-    Entry.benchOnly("q62_ann_ivfpq") { (s, d) =>
+    Entry.benchOnly("q62_ann_ivf_pq") { (s, d) =>
       annIvfPq(T(s, d, "embeddings"), Seq(1, 2, 3), 5,
                coarse = VectorIndex.ivf(s, d), pq = VectorIndex.pq(s, d))
     },
