@@ -476,11 +476,8 @@ object Streams {
     Entry("q142_stream_neardup_ingest", graft.text.Text.neardupPairsOracleSql) { (s, d) =>
       val shStatic = graft.text.TokenIndex.shingles3(s, d)   // (doc_id, h)
       val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val arriving = readStreamTable(s, d, "documents")
-        .select(col("doc_id").as("new_id"),
-                explode(array_distinct(transform(
-                  graft.functions.vec.wordShingles(graft.text.Text.tokens(col("text")), 3),
-                  sh => xxhash64(sh)))).as("hn"))
+      val arriving = graft.text.Text.arrivingShingles(readStreamTable(s, d, "documents"))
+        .select(col("doc_id").as("new_id"), col("h").as("hn"))
       val counted = arriving
         .join(shStatic, col("hn") === col("h") && col("new_id") =!= col("doc_id"))
         .groupBy(least(col("new_id"), col("doc_id")).as("doc_a"),
@@ -507,6 +504,48 @@ object Streams {
       runToMemory(agg, OutputMode.Update())
         .groupBy(col("event_type")).agg(max(col("n")).as("n"))
         .orderBy(col("event_type"))
+    },
+
+    // Incremental index maintenance — "the index the write path
+    // maintains" (the claim every staged-index consumer rests on) as
+    // running machinery: arriving documents stream their per-doc distinct
+    // hashed 3-shingles (the q61/q90/q102 working set) into a parquet
+    // FILE SINK with a checkpoint — Spark's exactly-once append (offsets
+    // + the sink's file manifest commit atomically; a replayed batch
+    // overwrites its own manifest entry, never double-appends). Three
+    // disjoint arrival files force three genuinely incremental batches.
+    // The declared result reads the MAINTAINED index and reports per-doc
+    // shingle counts over the corpus spine — hash-checked against the
+    // batch-built derivation, so "index built incrementally at write
+    // time" and "index built in one batch pass" are pinned equal. Docs
+    // with < 3 tokens never enter the index (no shingles): the spine
+    // left-join restores them at count 0 on both sides.
+    Entry("q158_index_maintenance",
+      s"""WITH ${graft.text.Text.wordsCtesSql},
+        |${graft.text.Text.shingle3CteSql(distinct = true)},
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1)
+        |SELECT t.doc_id, CAST(COALESCE(c.n_shingles, 0) AS BIGINT) AS n_shingles
+        |FROM toks t LEFT JOIN cnt c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val src = stageSplit(s, d, "documents", "q158_index_maintenance",
+        Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1, col("doc_id") % 3 === 2))
+      val schema = s.read.parquet(src).schema
+      val arriving = graft.text.Text.arrivingShingles(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src))
+      val out = newStageDir("graft_idx_out")
+      val ckpt = newStageDir("graft_idx_ckpt")
+      graft.core.GraftSession.withShufflePartitions(s, 8) {
+        val q = arriving.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val counts = s.read.parquet(out)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      Tables(s, d, "documents").select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -815,6 +815,19 @@ object Text {
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .distinct()
 
+  /** The stream-side twin of [[hashedShingles]] for ARRIVING documents
+    * (q142's probe rows, q158's index-maintenance rows): same tokenize →
+    * 3-shingle → xxhash64 chain, but the per-doc distinct runs INSIDE the
+    * row (`array_distinct` before the explode) because a streaming source
+    * cannot global-distinct — equivalent, since a doc's shingles all live
+    * in its own array. Stateless and per-row: the map side of every
+    * write-path index maintainer. */
+  def arrivingShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        graft.functions.vec.wordShingles(tokens(col("text")), 3),
+        sh => xxhash64(sh)))).as("h"))
+
   /** Score candidate pairs by exact Jaccard over the hashed shingle sets
     * and keep those >= threshold — the verification tail shared by the
     * exact twin (all pairs) and the MinHash path (LSH candidates only). */
