@@ -45,13 +45,14 @@ case class AnnTopK(queryIds: Seq[Int], k: Int, child: LogicalPlan)
   * keep resolving against the expansion.
   *
   * The expansion builds the route through the public `Vectors` API on a
-  * DataFrame re-wrapped around the child plan; for `ivf` that means
-  * quantizer training (a bounded-sample driver k-means) runs during
-  * analysis of the declaring query — the staged-index path
-  * (`VectorIndex.cells`) is how a deployment avoids paying it per query.
-  * `ivf` also inherits annIvf's documented caller-cleanup contract
-  * (`spark.catalog.clearCache()` releases the norm projection it
-  * persists).
+  * DataFrame re-wrapped around the child plan. For `ivf`, set
+  * `spark.graft.ann.dir` to the corpus dir to probe the ingest-staged
+  * index (`VectorIndex.ivf` — the deployment shape: no training, no
+  * persist at declaration); without it the rule falls back to live
+  * training, which runs a bounded-sample k-means during analysis of the
+  * declaring query and inherits annIvf's documented caller-cleanup
+  * contract (`spark.catalog.clearCache()` releases the norm projection
+  * it persists).
   */
 case class ExpandAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -59,7 +60,18 @@ case class ExpandAnnTopK(spark: SparkSession) extends Rule[LogicalPlan] {
       val emb = GraftPlans.ofRows(spark, n.child)
       val route = spark.conf.get("spark.graft.ann.mode", "exact") match {
         case "exact" => graft.vector.Vectors.topK(emb, n.queryIds, n.k)
-        case "ivf"   => graft.vector.Vectors.annIvf(emb, n.queryIds, n.k)
+        case "ivf" =>
+          // with spark.graft.ann.dir naming the corpus dir, probe the
+          // ingest-staged index (VectorIndex.ivf: centroids + cell
+          // labels) — no training, no persist at declaration; without
+          // it, fall back to live training (annIvf's documented
+          // analysis-time cost + caller-cleanup contract)
+          spark.conf.getOption("spark.graft.ann.dir") match {
+            case Some(dir) => graft.vector.Vectors.annIvfStaged(
+              emb, n.queryIds, n.k,
+              coarse = graft.vector.VectorIndex.ivf(spark, dir))
+            case None => graft.vector.Vectors.annIvf(emb, n.queryIds, n.k)
+          }
         case "lsh"   => graft.vector.Vectors.annLsh(emb, n.queryIds, n.k)
         case other => throw new IllegalArgumentException(
           s"spark.graft.ann.mode must be exact|ivf|lsh, got '$other'")

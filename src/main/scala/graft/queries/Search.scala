@@ -501,7 +501,11 @@ object Search {
       toks
         .select(col("doc_id"), matches(rare).cast("int").as("n_rare"),
                 matches(common).cast("int").as("n_common"))
-        .filter(col("n_rare") === rare.size)
+        // every query term absent from the corpus => the oracle's cls CTE
+        // is empty and its CROSS JOIN yields zero rows; mirror that (no
+        // zero-score page) instead of letting n_rare === 0 match everything
+        .filter(if (rare.isEmpty && common.isEmpty) lit(false)
+                else col("n_rare") === rare.size)
         .select(col("doc_id"), col("n_rare"), col("n_common"),
                 (col("n_rare") * 10 + col("n_common")).cast("int").as("score"))
         .orderBy(col("score").desc, col("doc_id"))

@@ -76,6 +76,19 @@ object Pipeline {
     * large-star/small-star variant (Kiveris et al., "Connected Components
     * in MapReduce and Beyond") drops the round count to O(log^2 n) with
     * the same join primitive. */
+  /** The q156 seeded epoch order — ONE derivation for the entry and its
+    * property spec (a drift between them would leave the permutation /
+    * replayability guarantees testing a stale formula): shuffle key =
+    * md5(seed ':' doc_id), shard = hex-prefix bucket of the key,
+    * `rk` = within-shard key order. */
+  def epochOrder(docs: DataFrame, seed: String, shards: Int): DataFrame =
+    docs.select(col("doc_id"),
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("shard",
+        (conv(substring(col("key"), 1, 4), 16, 10).cast("int") % shards).cast("int"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("key"))))
+
   def clusterPairs(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val fwd = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
@@ -720,14 +733,7 @@ object Pipeline {
         |      FROM s)
         |SELECT CAST(shard AS INT) AS shard, CAST(rk AS INT) AS rk, doc_id, key
         |FROM r WHERE rk <= 3 ORDER BY shard, rk""".stripMargin) { (s, d) =>
-      val keyed = T(s, d, "documents")
-        .select(col("doc_id"),
-                md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("key"))
-        .withColumn("shard",
-          (conv(substring(col("key"), 1, 4), 16, 10).cast("int") % 8).cast("int"))
-      keyed
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("shard")).orderBy(col("key"))))
+      epochOrder(T(s, d, "documents"), "epoch1", 8)
         .filter(col("rk") <= 3)
         .select(col("shard"), col("rk"), col("doc_id"), col("key"))
         .orderBy(col("shard"), col("rk"))

@@ -45,7 +45,7 @@ object Vectors {
   /** Corpus projection with the L2 norm precomputed once per row: even
     * with the codegen'd kernel there is no reason to redo O(dim) work per
     * candidate pair when one pass per row suffices. */
-  private def withNorm(emb: DataFrame): DataFrame =
+  private[vector] def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
@@ -207,12 +207,18 @@ object Vectors {
     * nlist=16), while this join's expression is small and stable, and at
     * real nlist (~sqrt N) an inlined-literal expression is impossible
     * anyway. Shared by the IVF probe path and semantic dedup. */
-  private def assignCells(rows: DataFrame, cents: Array[Array[Double]]): DataFrame =
-    // ONE copy of the centroid-scoring pipeline: the single-cell
-    // assignment IS the probes=1 projection (identical (s, cell)
-    // tie-break by construction, which SemDedupSpec's staged-vs-live
-    // equivalence depends on)
-    assignCellsTop(rows, cents, probes = 1).drop("rk")
+  private[vector] def assignCells(rows: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    // Fast path for the hot single-cell case (every Lloyd round + the
+    // annIvf corpus assignment): a constant-space max_by aggregate, not
+    // the per-row collect_list/sort the multi-probe path needs. Both
+    // consume ONE cellScores pipeline, and both pick the lexicographic
+    // max of (s, cell) — max_by's struct order == array_sort's — so the
+    // tie-break is identical; AnnRecallSpec pins the row-for-row
+    // equivalence with assignCellsTop's rk 0.
+    cellScores(rows, cents)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("s"), col("cell"))).as("cell"),
+           any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"))
 
   /** Multi-probe assignment: each vector labeled with its `probes` nearest
     * cells, ranked (rk = 0 is the primary cell — identical, including the
@@ -221,8 +227,10 @@ object Vectors {
     * one vector's secondary cell. Same single hash agg as assignCells —
     * the top-p pick is an array-sort of the nlist (s, cell) structs
     * inside the aggregate, then one explode. */
-  private def assignCellsTop(rows: DataFrame, cents: Array[Array[Double]],
-                             probes: Int): DataFrame = {
+  /** The one centroid-scoring pipeline both assignment shapes consume:
+    * every (vector, cell) pair scored by cosine against the broadcast
+    * centroid table. */
+  private def cellScores(rows: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val centDf = broadcast(
@@ -230,6 +238,11 @@ object Vectors {
     rows.crossJoin(centDf)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
               cosine(col("v"), col("cv")).as("s"))
+  }
+
+  private[vector] def assignCellsTop(rows: DataFrame, cents: Array[Array[Double]],
+                                     probes: Int): DataFrame =
+    cellScores(rows, cents)
       .groupBy(col("vec_id"))
       .agg(slice(reverse(array_sort(collect_list(struct(col("s"), col("cell"))))),
                  1, probes).as("top"),
@@ -237,7 +250,6 @@ object Vectors {
       .select(col("vec_id"), posexplode(col("top")), col("v"), col("nrm"))
       .select(col("vec_id"), col("pos").cast("int").as("rk"),
               col("col.cell").as("cell"), col("v"), col("nrm"))
-  }
 
   /** Train the coarse quantizer on a BOUNDED sample (the standard IVF
     * recipe): Lloyd rounds re-assign only the sample, so training is
@@ -295,10 +307,12 @@ object Vectors {
     assignCellsTop(withNorm(emb), cents, probes)
       .select(col("vec_id"), col("rk"), col("cell"))
 
-  /** The narrow (vec_id, rk, cell) cell-assignment table — what
-    * VectorIndex stages at ingest (cells are a write-path artifact like
-    * the PQ codes; a deployment assigns each vector its cells when the
-    * vector is written). */
+  /** The narrow (vec_id, rk, cell) cell-assignment table. The engine's
+    * own paths go through the staged halves (`trainCoarseQuantizer` →
+    * VectorIndex.ivfCents, then [[cellAssignmentsWith]]); this one-call
+    * train-and-assign is kept DELIBERATELY as the library entry point for
+    * ad-hoc corpora with no staged index — it composes exactly those two
+    * halves, so it cannot drift from the staged path. */
   def cellAssignments(emb: DataFrame, nlist: Int = 8, iters: Int = 3,
                       trainCap: Int = 100000, probes: Int = 2): DataFrame =
     cellAssignmentsWith(emb, trainCoarseQuantizer(emb, nlist, iters, trainCap),
@@ -431,22 +445,39 @@ object Vectors {
              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3,
              trainCap: Int = 100000): DataFrame = {
     val e = withNorm(emb).persist()
-    val spark = emb.sparkSession
-    import spark.implicits._
-
     val cents = trainCoarse(e, nlist, iters, trainCap)
-    val assigned = assignCells(e, cents)
-    val qrows = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-      .collect()
+    ivfSearch(assignCells(e, cents), cents, queryIds, k, nprobe)
+  }
+
+  /** IVF search against a STAGED index (VectorIndex.ivf) — no training,
+    * no persist at query time: centroid geometry and cell labels are
+    * ingest artifacts; the query pays one label join plus the probed-cell
+    * scan. The deployment twin of [[annIvf]] and the route
+    * `ExpandAnnTopK` takes when `spark.graft.ann.dir` names the corpus. */
+  def annIvfStaged(emb: DataFrame, queryIds: Seq[Int], k: Int,
+                   nprobe: Int = 2,
+                   coarse: (Array[Array[Double]], DataFrame)): DataFrame = {
+    val (cents, cellsDf) = coarse
+    val assigned = withNorm(emb)
+      .join(cellsDf.filter(col("rk") === 0).select(col("vec_id"), col("cell")),
+            "vec_id")
+    ivfSearch(assigned, cents, queryIds, k, nprobe)
+  }
+
+  /** The probe + scan + top-k tail shared by the live and staged IVF
+    * paths. `assigned` = (vec_id, v, nrm, cell). */
+  private def ivfSearch(assigned: DataFrame, cents: Array[Array[Double]],
+                        queryIds: Seq[Int], k: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qrows = collectQueryRows(assigned, queryIds)
     // probe list per query: nprobe nearest centroids (driver math — tiny)
-    val probes = qrows.flatMap { r =>
-      probeCells(cents, r.getSeq[Double](1).toArray, r.getDouble(2), nprobe)
-        .map(cell => (r.getLong(0), cell))
+    val probes = qrows.flatMap { case (qid, qv, qn) =>
+      probeCells(cents, qv, qn, nprobe).map(cell => (qid, cell))
     }.toSeq
     val probeDf = broadcast(probes.toDF("q_id", "cell"))
-    val qDf = broadcast(qrows.toSeq.map(r =>
-      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toDF("q_id", "qv", "qnrm"))
+    val qDf = broadcast(qrows.toSeq.map { case (qid, qv, qn) => (qid, qv.toSeq, qn) }
+      .toDF("q_id", "qv", "qnrm"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))
     assigned.join(probeDf, "cell").join(qDf, "q_id")
@@ -587,8 +618,19 @@ object Vectors {
       val c = pqTrain(emb, m, ks, iters, trainCap)
       (c, pqEncode(emb, c))
     }
-    adcTopK(withNorm(emb), codes, cents, queryIds, k, rerank, probeFilter = None)
+    val e = withNorm(emb)
+    adcTopK(e, codes, cents, collectQueryRows(e, queryIds), k, rerank,
+            probeFilter = None)
   }
+
+  /** The (id, vector, norm) rows for a query-id set — ONE driver collect,
+    * shared by every consumer of a call (probe ranking, the ADC table,
+    * the re-rank join constants). */
+  private def collectQueryRows(e: DataFrame,
+                               queryIds: Seq[Int]): Array[(Long, Array[Double], Double)] =
+    e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
 
   /** The ADC scan + exact re-rank shared by PQ and IVF-PQ: codes ⋈
     * broadcast lookup table, one sum per (q_id, vec_id) — the corpus pass
@@ -598,7 +640,8 @@ object Vectors {
     * query's probed cells — the IVF-PQ composition. */
   private def adcTopK(e: DataFrame, codes: DataFrame,
                       cents: Array[Array[Array[Double]]],
-                      queryIds: Seq[Int], k: Int, rerank: Int,
+                      qrows: Array[(Long, Array[Double], Double)],
+                      k: Int, rerank: Int,
                       probeFilter: Option[DataFrame]): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -608,9 +651,6 @@ object Vectors {
 
     // ADC lookup table per query: (q_id, sub, code) -> partial dot, plus
     // the query norms — all driver math over the tiny codebook
-    val qrows = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("v"), col("nrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     val tab = broadcast(
       (for ((qid, qv, _) <- qrows.toSeq; s <- 0 until mm; c <- 0 until kk)
         yield (qid, s, c,
@@ -663,14 +703,13 @@ object Vectors {
     val (cents, cellsDf) = coarse
     val (pqCents, codes) = pq
     val e = withNorm(emb)
-    val qrows = e.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("v"), col("nrm")).collect()
-    val probes = qrows.flatMap { r =>
-      probeCells(cents, r.getSeq[Double](1).toArray, r.getDouble(2), nprobe)
-        .map(cell => (r.getLong(0), cell))
+    // one driver collect serves both the probe ranking and the ADC table
+    val qrows = collectQueryRows(e, queryIds)
+    val probes = qrows.flatMap { case (qid, qv, qn) =>
+      probeCells(cents, qv, qn, nprobe).map(cell => (qid, cell))
     }.toSeq
     val primary = cellsDf.filter(col("rk") === 0).select(col("vec_id"), col("cell"))
-    adcTopK(e, codes.join(primary, "vec_id"), pqCents, queryIds, k, rerank,
+    adcTopK(e, codes.join(primary, "vec_id"), pqCents, qrows, k, rerank,
             probeFilter = Some(probes.toDF("q_id", "cell")))
   }
 

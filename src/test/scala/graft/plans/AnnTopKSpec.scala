@@ -50,6 +50,17 @@ class AnnTopKSpec extends GraftSuite {
     }
   }
 
+  test("ivf mode with spark.graft.ann.dir probes the staged index (no training)") {
+    val emb = Tables(spark, sf01, "embeddings")
+    spark.conf.set("spark.graft.ann.dir", sf01)
+    try withMode("ivf") {
+      val rows = AnnTopK(emb, Seq(1, 2, 3), 5).collect()
+      assert(rows.length == 15)
+      assert(rows.map(r => (r.getLong(0), r.getInt(3))).toSet ==
+        (for (q <- 1 to 3; r <- 1 to 5) yield (q.toLong, r)).toSet)
+    } finally spark.conf.unset("spark.graft.ann.dir")
+  }
+
   test("lsh mode plans and runs under the same declaration") {
     val emb = Tables(spark, sf01, "embeddings")
     withMode("lsh") {

@@ -47,18 +47,10 @@ class PipelineSpec extends GraftSuite {
   // per shard, replayable from the seed, and a different seed actually
   // re-orders — are what a training job depends on.
   test("q156 epoch order is a seeded permutation: total, dense, replayable") {
-    def epoch(seed: String) = {
-      val keyed = graft.core.Tables(spark, sf, "documents")
-        .select(col("doc_id"),
-                md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("key"))
-        .withColumn("shard",
-          (conv(substring(col("key"), 1, 4), 16, 10).cast("int") % 8).cast("int"))
-      keyed.withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("shard")).orderBy(col("key"))))
+    def epoch(seed: String) =
+      Pipeline.epochOrder(graft.core.Tables(spark, sf, "documents"), seed, 8)
         .select(col("shard"), col("rk"), col("doc_id"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    }
     val nDocs = graft.core.Tables(spark, sf, "documents").count()
     val e1 = epoch("epoch1")
     // permutation: every doc exactly once

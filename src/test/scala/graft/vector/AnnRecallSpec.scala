@@ -33,6 +33,22 @@ class AnnRecallSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("assignCells fast path == assignCellsTop rank-0, including tie-breaks") {
+    // the single-cell max_by aggregate and the multi-probe sort both pick
+    // the lexicographic max of (s, cell); a drift here silently breaks
+    // Lloyd training and the staged-vs-live cell equality
+    val rows = Vectors.withNorm(Tables(spark, sf01, "embeddings"))
+    val cents = Vectors.trainCoarseQuantizer(Tables(spark, sf01, "embeddings"), nlist = 8)
+    val fast = Vectors.assignCells(rows, cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val rk0 = Vectors.assignCellsTop(rows, cents, probes = 2)
+      .filter(col("rk") === 0).select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(fast == rk0)
+    spark.catalog.clearCache()
+  }
+
   test("IVF-PQ: probing every cell with unbounded re-rank IS exact; nprobe=2 keeps recall") {
     val emb = Tables(spark, sf01, "embeddings")
     val qids = Seq(1, 2, 3)
