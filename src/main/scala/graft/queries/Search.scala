@@ -362,6 +362,73 @@ object Search {
         .orderBy(col("term"), col("dist"), col("df").desc, col("suggestion"))
     },
 
+    // ES phrase suggester — q136's per-term candidates lifted to PHRASE
+    // scoring with the q118 bigram LM: per position, the top-3
+    // edit-distance-2 vocabulary candidates by frequency; every candidate
+    // pair scored by add-1-smoothed ln p(w1) + ln p(w2 | w1) — context can
+    // overrule raw term frequency. Corpus-side
+    // work is two hash aggs (unigrams, bigrams) over the staged token
+    // index; candidate sets are O(1) rows, and the bigram lookup
+    // SEMI-filters the corpus bigram table through the broadcast 9-pair
+    // key set first, so the left join is broadcast-hash on the tiny
+    // matched slice — the full bigram table never shuffles.
+    Entry("q159_phrase_suggester",
+      s"""WITH ${graft.text.Text.wordsCtesSql},
+        |uni AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM words) AS t,
+        |               (SELECT COUNT(*) FROM uni) AS v),
+        |big AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+        |        FROM words a JOIN words b
+        |          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+        |c1 AS (SELECT w AS s1, c AS cu1,
+        |         ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+        |       FROM uni WHERE levenshtein('sow', w) <= 2),
+        |c2 AS (SELECT w AS s2, c AS cu2,
+        |         ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+        |       FROM uni WHERE levenshtein('pat', w) <= 2),
+        |ph AS (SELECT s1, s2, cu1,
+        |         ROUND(ln((cu1 + 1.0) / (t + v)) +
+        |               ln((COALESCE(c12, 0) + 1.0) / (cu1 + v)), 6) AS score
+        |       FROM c1 CROSS JOIN c2
+        |       LEFT JOIN big ON big.w1 = s1 AND big.w2 = s2
+        |       CROSS JOIN tot
+        |       WHERE c1.rn <= 3 AND c2.rn <= 3)
+        |SELECT s1, s2, score FROM ph
+        |ORDER BY score DESC, s1, s2 LIMIT 5""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val words = graft.text.TokenIndex.words(s, d)
+      val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // corpus stats: two tiny driver scalars (the q153/tfidfParts posture)
+      val t = words.count()
+      val v = uni.count()
+      val big = graft.text.TokenIndex.toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+                      element_at(col("ws"), i + 2).as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      def cands(term: String, sCol: String, cCol: String) = {
+        val w = Window.orderBy(col("c").desc, col("w"))
+        uni.filter(levenshtein(lit(term), col("w")) <= 2)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("w").as(sCol), col("c").as(cCol))
+      }
+      val pairs = cands("sow", "s1", "cu1").crossJoin(cands("pat", "s2", "cu2"))
+      val bigSlice = big.join(broadcast(pairs.select(col("s1"), col("s2"))),
+        col("w1") === col("s1") && col("w2") === col("s2"))
+        .select(col("w1"), col("w2"), col("c12"))
+      pairs.join(broadcast(bigSlice),
+          col("s1") === col("w1") && col("s2") === col("w2"), "left")
+        .select(col("s1"), col("s2"), col("cu1"),
+                round(log((col("cu1") + 1.0) / (t + v)) +
+                      log((coalesce(col("c12"), lit(0L)) + 1.0) / (col("cu1") + v)),
+                      6).as("score"))
+        .select(col("s1"), col("s2"), col("score"))
+        .orderBy(col("score").desc, col("s1"), col("s2"))
+        .limit(5)
+    },
+
     // ES percolate: REVERSE search — queries are stored data, documents
     // are probes. The registered query table (tiny) broadcasts; the
     // corpus streams through map-side, each doc evaluated against every
