@@ -429,6 +429,39 @@ object Search {
         .limit(5)
     },
 
+    // ES completion suggester with contexts — the third 6.3 suggester
+    // (term=q136, phrase=q159). ES builds an index-time FST over declared
+    // suggestion inputs and serves prefix lookups filtered by a context
+    // category; the staged token index is our FST analog, `lang` the
+    // context, weight = in-context doc frequency. The prefix filter lands
+    // on the index SCAN, before the (context, word) agg — so the only
+    // shuffle moves the matched slice, O(|V| x contexts) rows at most, and
+    // the per-context top-3 window runs over that tiny aggregate. The
+    // corpus itself never shuffles, which is what makes the lookup
+    // serve-time-cheap at 100 TB (the weight table is maintainable
+    // incrementally exactly like q158's shingle index).
+    Entry("q160_completion_suggester",
+      s"""WITH toks AS (SELECT doc_id, lang, ${graft.text.Text.tokensSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, lang, unnest(ws) AS w FROM toks),
+        |sugg AS (SELECT lang, w AS suggestion, COUNT(DISTINCT doc_id) AS weight
+        |         FROM words WHERE w LIKE 's%' GROUP BY 1, 2),
+        |r AS (SELECT lang, suggestion, weight,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY weight DESC, suggestion) AS rn
+        |      FROM sugg)
+        |SELECT lang, suggestion, weight FROM r WHERE rn <= 3
+        |ORDER BY lang, weight DESC, suggestion""".stripMargin) { (s, d) =>
+      val sugg = graft.text.TokenIndex.words(s, d)
+        .filter(col("w").startsWith("s"))
+        .groupBy(col("lang"), col("w"))
+        .agg(count_distinct(col("doc_id")).as("weight"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("weight").desc, col("w"))
+      sugg.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("lang"), col("w").as("suggestion"), col("weight"))
+        .orderBy(col("lang"), col("weight").desc, col("suggestion"))
+    },
+
     // ES percolate: REVERSE search — queries are stored data, documents
     // are probes. The registered query table (tiny) broadcasts; the
     // corpus streams through map-side, each doc evaluated against every

@@ -750,8 +750,123 @@ object Pipeline {
         |        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key) AS rk
         |      FROM s)
         |SELECT shard, CAST(rk AS INT) AS rk, doc_id, key
-        |FROM r WHERE rk <= 3 ORDER BY shard, rk""".stripMargin)
+        |FROM r WHERE rk <= 3 ORDER BY shard, rk""".stripMargin),
+
+    // BPE tokenizer training (the merge-table learner). The corpus-scale
+    // work is ONE word-frequency agg over the staged token index — BPE
+    // trains on the weighted surface-form vocabulary, never the raw
+    // corpus — so at 100 TB the per-round working set is the ~10M-row
+    // vocab table, not the petabyte. Each of the k rounds is one
+    // pair-count hash agg, a 1-row argmax collect (the IVF-centroid
+    // posture: the driver holds only the chosen rule), and a greedy
+    // leftmost re-segmentation via the aggregate() fold — 'a b' -> 'ab'
+    // once per non-overlapping occurrence, the reference BPE semantics.
+    // Rounds never rescan the corpus: the segmented vocab is persisted,
+    // each round derives from the previous (materialize-then-unpersist,
+    // nothing leaks past the entry).
+    Entry("q161_bpe_merges", bpeOracleSql) { (s, d) => bpeMerges(s, d) }
+      .sqlTwin(bpeTwinSql)
   )
+
+  // def, not val: referenced from `entries`' initializer above — a val
+  // would still be 0 (JVM default) at that point in the object init order
+  private def bpeRounds = 4
+
+  /** One BPE round over the segmented vocab `s{r-1}` -> `s{r}`:
+    * adjacent-pair weighted counts, the argmax rule `b{r}`, and the
+    * re-segmentation. The fold builds a unit-separator-delimited string —
+    * a merge fires only when the accumulator's WHOLE last symbol equals
+    * the rule's left side (the separator prefix makes the suffix test
+    * exact), which is what keeps 'xa b' from merging under rule (a, b). */
+  private def bpeRoundDuck(r: Int): String = {
+    val p = s"s${r - 1}"
+    s"""p$r AS (SELECT a, b, SUM(f) AS cnt FROM (
+       |    SELECT f, unnest(list_slice(s, 1, len(s) - 1)) AS a,
+       |           unnest(list_slice(s, 2, len(s))) AS b
+       |    FROM $p WHERE len(s) >= 2) GROUP BY 1, 2),
+       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$r AS (SELECT w, f,
+       |    list_filter(string_split(list_reduce(list_prepend('', s),
+       |      (acc, x) -> CASE WHEN ends_with(acc, chr(31) || b$r.a) AND x = b$r.b
+       |                  THEN acc || b$r.b ELSE acc || chr(31) || x END), chr(31)),
+       |      t -> t <> '') AS s
+       |    FROM $p CROSS JOIN b$r)""".stripMargin
+  }
+
+  private def bpeRoundSpark(r: Int): String = {
+    val p = s"s${r - 1}"
+    s"""p$r AS (SELECT p.a AS a, p.b AS b, SUM(f) AS cnt FROM (
+       |    SELECT f, explode(transform(sequence(1, size(s) - 1),
+       |      i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))) AS p
+       |    FROM $p WHERE size(s) >= 2) GROUP BY 1, 2),
+       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |s$r AS (SELECT w, f,
+       |    filter(split(aggregate(s, '',
+       |      (acc, x) -> CASE WHEN endswith(acc, concat(char(31), b$r.a)) AND x = b$r.b
+       |                  THEN concat(acc, b$r.b) ELSE concat(acc, char(31), x) END),
+       |      char(31)), t -> t <> '') AS s
+       |    FROM $p CROSS JOIN b$r)""".stripMargin
+  }
+
+  private def bpeOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+       |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+       |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
+       |s0 AS (SELECT w, f, string_split(w, '') AS s FROM wf),
+       |${(1 to bpeRounds).map(bpeRoundDuck).mkString(",\n")}
+       |${(1 to bpeRounds).map(r =>
+           s"SELECT CAST($r AS INT) AS rnk, a AS left_sym, b AS right_sym, " +
+           s"a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+         .mkString("\n UNION ALL ")}
+       | ORDER BY rnk""".stripMargin
+
+  private def bpeTwinSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '),
+       |           w -> w <> '') AS ws FROM documents),
+       |words AS (SELECT explode(ws) AS w FROM toks),
+       |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
+       |s0 AS (SELECT w, f, filter(split(w, ''), t -> t <> '') AS s FROM wf),
+       |${(1 to bpeRounds).map(bpeRoundSpark).mkString(",\n")}
+       |${(1 to bpeRounds).map(r =>
+           s"SELECT CAST($r AS INT) AS rnk, a AS left_sym, b AS right_sym, " +
+           s"concat(a, b) AS merged, cnt FROM b$r")
+         .mkString("\n UNION ALL ")}
+       | ORDER BY rnk""".stripMargin
+
+  /** q161's implementation. Driver state is k 1-row rules; everything
+    * corpus- or vocab-sized stays distributed. */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wf = TokenIndex.words(s, d).groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var syms = wf.select(col("w"), col("f"),
+      expr("filter(split(w, ''), t -> t <> '')").as("s")).persist()
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to bpeRounds) {
+      val pairs = syms.filter(size(col("s")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(s) - 1), " +
+            "i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))")).as("p"))
+        .select(col("f"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      rules += ((r, a, b, a + b, cnt))
+      if (r < bpeRounds) {
+        // symbols are [a-z0-9]+ by the analyzer, safe to inline in expr
+        val next = syms.withColumn("s", expr(
+          s"filter(split(aggregate(s, '', (acc, x) -> " +
+            s"CASE WHEN endswith(acc, concat(char(31), '$a')) AND x = '$b' " +
+            s"THEN concat(acc, '$b') ELSE concat(acc, char(31), x) END), " +
+            s"char(31)), t -> t <> '')")).persist()
+        next.count() // materialize before releasing the parent's blocks
+        syms.unpersist()
+        syms = next
+      } else syms.unpersist()
+    }
+    rules.result().toDF("rnk", "left_sym", "right_sym", "merged", "cnt")
+      .orderBy(col("rnk"))
+  }
 
   /** q154's implementation — the five drop rules joined to the corpus
     * spine (see the entry's scaladoc above for the rule provenance). */
