@@ -250,6 +250,117 @@ object Metrics {
                 round(col("m_f") - col("m_o"), 6).as("mean_diff"),
                 round((col("m_f") - col("m_o")) /
                   sqrt(col("v_f") / col("n_f") + col("v_o") / col("n_o")), 6).as("t_stat"))
-    }
+    },
+
+    // ES moving_avg MODELS beyond q35's `simple`: linear (weight t),
+    // ewma (exponential, seed = first value), holt (double exponential /
+    // linear trend, textbook seeding l1=x1, b1=x2-x1, one-step forecast
+    // l+b) — ES 6.3's moving_avg model family minus the seasonal
+    // holt_winters (no seasonal fixture signal). Linear and ewma are
+    // CLOSED FORMS over the collected 7-day frame (one indexed-lambda
+    // weighted sum per row); holt's coupled recursion is unrolled into
+    // 6 generated per-row steps (the frame is fixed-size, so the unroll
+    // is static). Scale: everything after the daily pre-agg runs over
+    // O(days) rows — the window, the folds, and the unroll never touch
+    // source rows, the established pipeline-agg posture.
+    Entry("q164_moving_models", movingModelsOracleSql) { (s, d) =>
+      movingModels(s, d)
+    }.sqlTwin(movingModelsTwinSql)
   )
+
+  /** Holt step t over accumulator columns (l, b): ES moving_avg holt
+    * defaults alpha=0.3, beta=0.1. `m >= t` guards frames shorter than
+    * the unroll depth (warm-up rows): the state simply stops advancing,
+    * so (l, b) is the step-m state for every frame length. `bnew` inlines
+    * `lnew` (references only l/b/arr columns), keeping each step a
+    * single projection. */
+  private def holtStep(t: Int, xt: String): (String, String) = {
+    val lnew = s"CASE WHEN m >= $t THEN 0.3 * $xt + 0.7 * (l + b) ELSE l END"
+    val bnew = s"CASE WHEN m >= $t THEN 0.1 * (($lnew) - l) + 0.9 * b ELSE b END"
+    (lnew, bnew)
+  }
+
+  private def movingModelsOracleSql: String = {
+    val steps = (2 to 7).map { t =>
+      val (l, b) = holtStep(t, s"arr[$t]")
+      s"g$t AS (SELECT day, n, arr, m, ($l) AS l, ($b) AS b FROM g${t - 1})"
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |base AS (SELECT day, n,
+       |    list(CAST(n AS DOUBLE)) OVER (ORDER BY day
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr FROM h),
+       |g1 AS (SELECT day, n, arr, len(arr) AS m, arr[1] AS l,
+       |    CASE WHEN len(arr) >= 2 THEN arr[2] - arr[1] ELSE CAST(0 AS DOUBLE) END AS b
+       |  FROM base),
+       |$steps
+       |SELECT day, n,
+       |  ROUND(list_sum(arr) / m, 6) AS mavg7,
+       |  ROUND(list_sum(list_transform(arr, (x, i) -> x * i)) / (m * (m + 1) / 2), 6) AS lwma7,
+       |  ROUND(list_sum(list_transform(arr, (x, i) ->
+       |    CASE WHEN i = 1 THEN x * power(0.7, m - 1)
+       |         ELSE 0.3 * power(0.7, m - i) * x END)), 6) AS ewma7,
+       |  ROUND(l + b, 6) AS holt7
+       |FROM g7 ORDER BY day""".stripMargin
+  }
+
+  private def movingModelsTwinSql: String = {
+    val steps = (2 to 7).map { t =>
+      val (l, b) = holtStep(t, s"element_at(arr, $t)")
+      s"g$t AS (SELECT day, n, arr, m, ($l) AS l, ($b) AS b FROM g${t - 1})"
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |base AS (SELECT day, n,
+       |    collect_list(CAST(n AS DOUBLE)) OVER (ORDER BY day
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr FROM h),
+       |g1 AS (SELECT day, n, arr, size(arr) AS m, element_at(arr, 1) AS l,
+       |    CASE WHEN size(arr) >= 2 THEN element_at(arr, 2) - element_at(arr, 1)
+       |         ELSE CAST(0 AS DOUBLE) END AS b
+       |  FROM base),
+       |$steps
+       |SELECT day, n,
+       |  ROUND(aggregate(arr, 0D, (acc, x) -> acc + x) / m, 6) AS mavg7,
+       |  ROUND(aggregate(transform(arr, (x, i) -> x * (i + 1)), 0D,
+       |        (acc, x) -> acc + x) / (m * (m + 1) / 2), 6) AS lwma7,
+       |  ROUND(aggregate(transform(arr, (x, i) ->
+       |    CASE WHEN i = 0 THEN x * power(0.7, m - 1)
+       |         ELSE 0.3 * power(0.7, m - 1 - i) * x END), 0D,
+       |        (acc, x) -> acc + x), 6) AS ewma7,
+       |  ROUND(l + b, 6) AS holt7
+       |FROM g7 ORDER BY day""".stripMargin
+  }
+
+  /** q164's implementation: daily pre-agg, framed collect, closed-form
+    * weighted sums for linear/ewma, and the unrolled holt chain as six
+    * chained projections (Catalyst collapses them into one). */
+  private def movingModels(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    var df = T(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("arr", collect_list(col("n").cast("double")).over(w))
+      .withColumn("m", size(col("arr")))
+      .withColumn("l", expr("element_at(arr, 1)"))
+      .withColumn("b", expr(
+        "CASE WHEN m >= 2 THEN element_at(arr, 2) - element_at(arr, 1) " +
+          "ELSE CAST(0 AS DOUBLE) END"))
+    for (t <- 2 to 7) {
+      val (lnew, bnew) = holtStep(t, s"element_at(arr, $t)")
+      df = df.withColumn("l_n", expr(lnew)).withColumn("b_n", expr(bnew))
+        .drop("l", "b").withColumnRenamed("l_n", "l").withColumnRenamed("b_n", "b")
+    }
+    df.select(col("day"), col("n"),
+      round(expr("aggregate(arr, 0D, (acc, x) -> acc + x) / m"), 6).as("mavg7"),
+      round(expr("aggregate(transform(arr, (x, i) -> x * (i + 1)), 0D, " +
+        "(acc, x) -> acc + x) / (m * (m + 1) / 2)"), 6).as("lwma7"),
+      round(expr("aggregate(transform(arr, (x, i) -> " +
+        "CASE WHEN i = 0 THEN x * power(0.7, m - 1) " +
+        "ELSE 0.3 * power(0.7, m - 1 - i) * x END), 0D, " +
+        "(acc, x) -> acc + x)"), 6).as("ewma7"),
+      round(col("l") + col("b"), 6).as("holt7"))
+      .orderBy(col("day"))
+  }
 }
