@@ -235,6 +235,29 @@ object Relational {
       out.groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ES sliced scroll: a full-table export split into n disjoint slices a
+    // client consumes in parallel (slice i of n = hash(id) % n == i). The
+    // slice function is a deterministic multiplicative hash (Knuth's
+    // 2654435761) computed identically in both engines — NOT Spark's
+    // murmur3 `hash()`, which DuckDB can't replay. The result proves the
+    // slicing is a partition of the table (per-slice row counts + an
+    // order-insensitive checksum): at 100 TB each slice is an independent
+    // pushed-down scan (`WHERE slice_of(id) = i` folds into the row filter),
+    // so n export clients never coordinate — the exact ES sliced-scroll
+    // contract. Products stay in int64: max orderkey (~6M at sf1) times
+    // the multiplier is ~1.6e16, well under 2^63.
+    Entry("q168_sliced_scan",
+      """SELECT CAST((l_orderkey * 2654435761) % 4 AS INT) AS slice,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS checksum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      T(s, d, "lineitem")
+        .groupBy(((col("l_orderkey") * lit(2654435761L)) % 4).cast("int").as("slice"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_orderkey") * col("l_linenumber")).cast("bigint").as("checksum"))
+        .orderBy(col("slice"))
     }
   )
 }

@@ -632,6 +632,102 @@ object Search {
         |       CAST(n_common AS INT) AS n_common,
         |       CAST(n_rare * 10 + n_common AS INT) AS score
         |FROM m WHERE n_rare = (SELECT COUNT(*) FROM cls WHERE is_rare)
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+
+    // ES span_first: the inner span ('spark' as a span_term) must END
+    // within the first `end`=5 positions of the field — i.e. a 0-based
+    // token position < 5. Served from the ingest-staged token index
+    // (positions recovered by posexplode, never re-analyzed); the position
+    // bound is a plain residual filter on the posting rows, so the plan is
+    // scan + filter + one hash agg on doc_id — no joins, fully pushable.
+    Entry("q165_span_first",
+      s"""WITH ${graft.text.Text.wordsCtesSql}
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS first_pos
+        |FROM words WHERE w = 'spark' AND pos < 5
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .filter(col("w") === "spark" && col("pos") < 5)
+        .groupBy(col("doc_id")).agg(min(col("pos")).cast("int").as("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ES span_not: occurrences of the include span ('data') that do NOT
+    // overlap the exclude span (the phrase "data stream" — i.e. 'data'
+    // immediately followed by 'stream'). Shape: posting rows for the
+    // include term ANTI-joined against the exclude term's rows at pos+1 —
+    // both sides shuffle on doc_id only (position is a residual), exactly
+    // the q74 phrase-join shuffle with the join flipped to left_anti. The
+    // count of surviving positions per doc is ES's span occurrence count.
+    Entry("q166_span_not",
+      s"""WITH ${graft.text.Text.wordsCtesSql}
+        |SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS INT) AS n_standalone
+        |FROM words a
+        |LEFT JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  AND b.w = 'stream'
+        |WHERE a.w = 'data' AND b.doc_id IS NULL
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      words.as("a").filter(col("a.w") === "data")
+        .join(words.as("b").filter(col("b.w") === "stream"),
+          col("b.doc_id") === col("a.doc_id") && col("b.pos") === col("a.pos") + 1,
+          "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_standalone"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ES post_filter: aggregations are computed over the QUERY scope
+    // (match 'spark'); the post_filter (source='src1') narrows only the
+    // hits. One result table renders both: per-lang facet_docs counts the
+    // query scope, post_hits counts the post-filtered subset — a single
+    // conditional aggregation, so the engine never runs the query twice
+    // (ES evaluates post_filter after aggs on the same matched set too).
+    // Match set served from the token index; doc metadata joined back on
+    // doc_id (the matched-id side is the output of an index lookup — at
+    // scale both sides shuffle on doc_id, AQE broadcasts if tiny).
+    Entry("q167_post_filter",
+      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws
+        |           FROM documents),
+        |m AS (SELECT d.doc_id, d.lang, d.source FROM documents d
+        |      JOIN toks t ON t.doc_id = d.doc_id
+        |      WHERE list_contains(t.ws, 'spark'))
+        |SELECT lang, COUNT(*) AS facet_docs,
+        |       COUNT(CASE WHEN source = 'src1' THEN 1 END) AS post_hits
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val matched = graft.text.TokenIndex.toks(s, d)
+        .filter(array_contains(col("ws"), "spark")).select(col("doc_id"))
+      T(s, d, "documents").select(col("doc_id"), col("lang"), col("source"))
+        .join(matched, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("facet_docs"),
+             count(when(col("source") === "src1", 1)).as("post_hits"))
+        .orderBy(col("lang"))
+    },
+
+    // ES _termvectors API (term statistics for one stored document):
+    // per-term frequency and the ordered position list, exactly what the
+    // index stores per posting. Positions render as a comma-joined string
+    // (a stable scalar encoding — the driver's hash compare canonicalizes
+    // scalars, not nested arrays). Single-document scope: the doc_id
+    // filter prunes the posting scan before the per-term agg.
+    Entry("q172_term_vectors",
+      s"""WITH ${graft.text.Text.wordsCtesSql}
+        |SELECT w AS term, CAST(COUNT(*) AS INT) AS freq,
+        |       array_to_string(list_sort(list(CAST(pos AS INT))), ',') AS positions
+        |FROM words WHERE doc_id = 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.text.TokenIndex.toks(s, d)
+        .filter(col("doc_id") === 1)
+        .select(posexplode(col("ws")).as(Seq("pos", "w")))
+        .groupBy(col("w").as("term"))
+        .agg(count(lit(1)).cast("int").as("freq"),
+             array_join(sort_array(collect_list(col("pos").cast("int"))), ",")
+               .as("positions"))
+        .orderBy(col("term"))
+    }.sqlTwin(
+      s"""WITH ${Dialect.duckToSpark(graft.text.Text.wordsCtesSql)}
+        |SELECT w AS term, CAST(COUNT(*) AS INT) AS freq,
+        |       array_join(sort_array(collect_list(CAST(pos AS INT))), ',') AS positions
+        |FROM words WHERE doc_id = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

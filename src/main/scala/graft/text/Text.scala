@@ -802,7 +802,67 @@ object Text {
         .flatMap { case (_, hh) => hh }
         .toDF("token", "est")
         .orderBy(col("est").desc, col("token"))
-    }
+    },
+
+    // ES significant_text (6.3): significant_terms over free text with
+    // filter_duplicate_text=true — exact-duplicate documents are collapsed
+    // to one representative (min doc_id per text, q60's keying) BEFORE
+    // frequency counting, so boilerplate/mirror pages can't inflate a
+    // term's foreground share (the agg's documented purpose). Scoring is
+    // q82's lift on the deduped corpus: the dedup is one groupBy(text)
+    // keeping a doc_id set, then the token index is FILTERED to survivors
+    // by a doc_id semi join — the text corpus is never re-analyzed and
+    // full text strings shuffle once (the dedup agg), never in the
+    // scoring joins.
+    Entry("q171_significant_text",
+      s"""WITH dd AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        |docs AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |         JOIN dd ON dd.doc_id = d.doc_id),
+        |words AS (SELECT DISTINCT doc_id, lang, unnest($tokensSql) AS w FROM docs),
+        |fg AS (SELECT w, COUNT(*) AS fgc FROM words WHERE lang = 'en' GROUP BY 1),
+        |bg AS (SELECT w, COUNT(*) AS bgc FROM words GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS nfg,
+        |             COUNT(DISTINCT doc_id) AS nbg FROM words)
+        |SELECT w AS term, CAST(fgc AS BIGINT) AS fg_docs,
+        |  ROUND((CAST(fgc AS DOUBLE) / (SELECT nfg FROM n)) /
+        |        (CAST(bgc AS DOUBLE) / (SELECT nbg FROM n)), 6) AS lift
+        |FROM fg JOIN bg USING (w) WHERE fgc >= 3
+        |ORDER BY lift DESC, term LIMIT 15""".stripMargin) { (s, d) =>
+      val survivors = T(s, d, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val words = TokenIndex.toks(s, d)
+        .join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), explode(array_distinct(col("ws"))).as("w"))
+        .persist()   // feeds fg, bg, and the two corpus counts (as q82)
+      val counts = words
+        .agg(countDistinct(when(col("lang") === "en", col("doc_id"))),
+             countDistinct(col("doc_id"))).collect()(0)
+      val (nfg, nbg) = (counts.getLong(0), counts.getLong(1))
+      val fg = words.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("fgc"))
+      val bg = words.groupBy(col("w")).agg(count(lit(1)).as("bgc"))
+      bg.join(broadcast(fg.filter(col("fgc") >= 3)), "w")
+        .select(col("w").as("term"), col("fgc").cast("bigint").as("fg_docs"),
+                round((col("fgc").cast("double") / nfg) /
+                      (col("bgc").cast("double") / nbg), 6).as("lift"))
+        .orderBy(col("lift").desc, col("term")).limit(15)
+    }.sqlTwin(
+      // structural gap: generator under SELECT DISTINCT (q82's twin)
+      s"""WITH dd AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        |docs AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |         JOIN dd ON dd.doc_id = d.doc_id),
+        |words AS (SELECT DISTINCT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang, explode(${graft.queries.Dialect.tokensSparkSql}) AS w
+        |        FROM docs)),
+        |fg AS (SELECT w, COUNT(*) AS fgc FROM words WHERE lang = 'en' GROUP BY 1),
+        |bg AS (SELECT w, COUNT(*) AS bgc FROM words GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS nfg,
+        |             COUNT(DISTINCT doc_id) AS nbg FROM words)
+        |SELECT w AS term, CAST(fgc AS BIGINT) AS fg_docs,
+        |  ROUND((CAST(fgc AS DOUBLE) / (SELECT nfg FROM n)) /
+        |        (CAST(bgc AS DOUBLE) / (SELECT nbg FROM n)), 6) AS lift
+        |FROM fg JOIN bg USING (w) WHERE fgc >= 3
+        |ORDER BY lift DESC, term LIMIT 15""".stripMargin)
   )
 
   /** Hashed distinct shingles per doc: `(doc_id, h)` from a `(doc_id, ws)`

@@ -197,7 +197,121 @@ object Vectors {
     // and recall vs the exact all-pairs twin.
     Entry.benchOnly("q148_semantic_dedup") { (s, d) =>
       semanticDedup(T(s, d, "embeddings"), index = Some(VectorIndex.cells(s, d)))
-    }
+    },
+
+    // Per-vector symmetric int8 quantization — the storage posture for a
+    // 100 TB embedding corpus (4x smaller scans than float32; the codes
+    // feed ADC-style rescoring like PQ, but with per-vector fidelity).
+    // scale = max|x| / 127, codes = round(x / scale); the result audits
+    // the quantizer per label slice: mean scale and mean round-trip RMSE.
+    // Everything is per-row codegen'd HOF arithmetic (transform/aggregate)
+    // + one hash agg — no joins, no shuffles beyond the group-by. The
+    // reconstruction sum folds sequentially (aggregate HOF) and the oracle
+    // replays the identical left fold (list_reduce), so the doubles agree
+    // bit-for-bit before the final 6-dp round.
+    Entry("q169_int8_quantize",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, label, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |      FROM e),
+        |err AS (SELECT label, scale,
+        |          sqrt(list_reduce(
+        |            list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(v, x -> pow(x - round(x / scale) * scale, 2))),
+        |            (a, b) -> a + b) / len(v)) AS rmse
+        |        FROM s)
+        |SELECT label, ROUND(AVG(scale), 6) AS avg_scale,
+        |       ROUND(AVG(rmse), 6) AS avg_rmse, CAST(COUNT(*) AS INT) AS n
+        |FROM err GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val v = asDouble(col("embedding"))
+      T(s, d, "embeddings")
+        .select(col("label"), v.as("v"),
+                (array_max(transform(v, x => abs(x))) / lit(127.0)).as("scale"))
+        .select(col("label"),
+                sqrt(aggregate(col("v"), lit(0.0), (acc, x) =>
+                  acc + pow(x - round(x / col("scale")) * col("scale"), 2))
+                  / size(col("v"))).as("rmse"),
+                col("scale"))
+        .groupBy(col("label"))
+        .agg(round(avg(col("scale")), 6).as("avg_scale"),
+             round(avg(col("rmse")), 6).as("avg_rmse"),
+             count(lit(1)).cast("int").as("n"))
+        .orderBy(col("label"))
+    }.sqlTwin(
+      // structural gap: DuckDB's list_reduce seed rides as a prepended
+      // element; Spark's aggregate takes the seed directly
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, label, v,
+        |        array_max(transform(v, x -> abs(x))) / 127.0 AS scale
+        |      FROM e),
+        |err AS (SELECT label, scale,
+        |          sqrt(aggregate(v, CAST(0.0 AS DOUBLE),
+        |            (a, x) -> a + pow(x - round(x / scale) * scale, 2)) / size(v)) AS rmse
+        |        FROM s)
+        |SELECT label, ROUND(AVG(scale), 6) AS avg_scale,
+        |       ROUND(AVG(rmse), 6) AS avg_rmse, CAST(COUNT(*) AS INT) AS n
+        |FROM err GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // kNN label vote — the quality-classifier-by-neighbors primitive
+    // (label a document by the majority label of its k nearest
+    // embeddings). Reuses the bounded top-k aggregator (k-sized buffers
+    // ride the shuffle, q62's scale shape), then one O(queries x k) vote
+    // agg; tie on votes resolves to the smallest label (deterministic).
+    // At scale the exact top-k stage swaps for the staged IVF/PQ route —
+    // the vote layer is identical.
+    Entry("q170_knn_label",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+        |c AS (SELECT q_id, e.vec_id, e.label,
+        |        ROUND(list_cosine_similarity(v, qv), 6) AS cos_r
+        |      FROM e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |r AS (SELECT q_id, label,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn
+        |      FROM c),
+        |v AS (SELECT q_id, label, COUNT(*) AS votes FROM r WHERE rn <= 5
+        |      GROUP BY 1, 2),
+        |p AS (SELECT q_id, label, votes,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn2
+        |      FROM v)
+        |SELECT q_id, label AS pred_label, CAST(votes AS INT) AS votes
+        |FROM p WHERE rn2 = 1 ORDER BY q_id""".stripMargin) { (s, d) =>
+      val emb = T(s, d, "embeddings")
+      val neighbors = topK(emb, Seq(1, 2, 3), 5)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("label"))
+      neighbors.groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn2", row_number().over(w))
+        .filter(col("rn2") === 1)
+        .select(col("q_id"), col("label").as("pred_label"),
+                col("votes").cast("int").as("votes"))
+        .orderBy(col("q_id"))
+    }.sqlTwin(
+      // structural gap: list_cosine_similarity — the SQL path goes through
+      // the registered vec_dot kernel with precomputed norms (q62's twin)
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+        |                  sqrt(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                               CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM e
+        |      WHERE vec_id IN (1, 2, 3)),
+        |c AS (SELECT q_id, e.vec_id, e.label,
+        |        ROUND(vec_dot(v, qv) / (nrm * qnrm), 6) AS cos_r
+        |      FROM e JOIN q ON e.vec_id <> q_id),
+        |r AS (SELECT q_id, label,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn
+        |      FROM c),
+        |v AS (SELECT q_id, label, COUNT(*) AS votes FROM r WHERE rn <= 5
+        |      GROUP BY 1, 2),
+        |p AS (SELECT q_id, label, votes,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn2
+        |      FROM v)
+        |SELECT q_id, label AS pred_label, CAST(votes AS INT) AS votes
+        |FROM p WHERE rn2 = 1 ORDER BY q_id""".stripMargin)
   )
 
   /** Nearest-centroid assignment as a broadcast join against the (tiny)
