@@ -265,7 +265,49 @@ object Metrics {
     // source rows, the established pipeline-agg posture.
     Entry("q164_moving_models", movingModelsOracleSql) { (s, d) =>
       movingModels(s, d)
-    }.sqlTwin(movingModelsTwinSql)
+    }.sqlTwin(movingModelsTwinSql),
+
+    // The ES SIBLING pipeline-agg family over one date_histogram:
+    // min_bucket / max_bucket / avg_bucket / sum_bucket / stats_bucket
+    // (the bucket count) computed over the per-day avg(value) metric,
+    // plus a bucket_selector (keep buckets whose metric beats the
+    // sibling avg — ES's script `params.avg > params.overall`). One
+    // result table renders all of it: the sibling row is a single-row
+    // aggregate over O(buckets) rows cross-joined back (Catalyst
+    // broadcasts the 1-row side), and the selector is an ordinary filter
+    // against that broadcast scalar — the histogram's source scan runs
+    // once, and nothing after it touches source rows. Metric values are
+    // rounded BEFORE the sibling fold on both sides, so the two engines
+    // fold identical 6-dp doubles.
+    Entry("q175_sibling_buckets",
+      """WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |             COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+        |           FROM events GROUP BY 1),
+        |sib AS (SELECT ROUND(MIN(avg_value), 6) AS min_bucket,
+        |               ROUND(MAX(avg_value), 6) AS max_bucket,
+        |               ROUND(AVG(avg_value), 6) AS avg_bucket,
+        |               ROUND(SUM(avg_value), 6) AS sum_bucket,
+        |               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        |        FROM b)
+        |SELECT day, CAST(n AS BIGINT) AS n, avg_value,
+        |       min_bucket, max_bucket, avg_bucket, sum_bucket, n_buckets
+        |FROM b CROSS JOIN sib WHERE avg_value > avg_bucket
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val b = T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+      val sib = b.agg(round(min(col("avg_value")), 6).as("min_bucket"),
+                      round(max(col("avg_value")), 6).as("max_bucket"),
+                      round(avg(col("avg_value")), 6).as("avg_bucket"),
+                      round(sum(col("avg_value")), 6).as("sum_bucket"),
+                      count(lit(1)).cast("bigint").as("n_buckets"))
+      b.crossJoin(broadcast(sib))
+        .filter(col("avg_value") > col("avg_bucket"))
+        .select(col("day"), col("n").cast("bigint").as("n"), col("avg_value"),
+                col("min_bucket"), col("max_bucket"), col("avg_bucket"),
+                col("sum_bucket"), col("n_buckets"))
+        .orderBy(col("day"))
+    }
   )
 
   /** Holt step t over accumulator columns (l, b): ES moving_avg holt

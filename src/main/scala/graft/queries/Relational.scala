@@ -258,6 +258,77 @@ object Relational {
         .agg(count(lit(1)).as("n"),
              sum(col("l_orderkey") * col("l_linenumber")).cast("bigint").as("checksum"))
         .orderBy(col("slice"))
+    },
+
+    // ES _mget: fetch a BATCH of documents by id, results in REQUEST
+    // order (the ids array's order, duplicates included — the mget
+    // contract; position 1..n is the response index). The request rides
+    // as a literal inline table joined on doc_id: at 100 TB the id list
+    // broadcasts and the probe is an id-pushed scan (PushedFilters via
+    // the join's dynamic filter / a literal isin), never a full pass per
+    // id. VALUES is dialect-shared, so one SQL serves both engines.
+    Entry("q176_mget",
+      """SELECT t.i, d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+        |FROM (VALUES (1, 7), (2, 3), (3, 11), (4, 3)) AS t(i, id)
+        |JOIN documents d ON d.doc_id = t.id
+        |ORDER BY t.i""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val req = Seq((1, 7L), (2, 3L), (3, 11L), (4, 3L)).toDF("i", "id")
+      T(s, d, "documents")
+        .join(broadcast(req), col("doc_id") === col("id"))
+        .select(col("i"), col("doc_id"), col("lang"), col("source"),
+                col("n_chars").cast("bigint").as("n_chars"))
+        .orderBy(col("i"))
+    },
+
+    // ES _msearch: several independent searches in one request, each
+    // response block tagged by its request index. Two sub-searches over
+    // documents (a term query and a metadata filter), each with its own
+    // deterministic top-5, UNION ALL'd with a search_idx discriminator —
+    // in Spark each arm stays an independent pushed-down scan + local
+    // top-k (TakeOrdered), and the union is plan-level concatenation,
+    // not a join; arms prune to their own columns/predicates exactly as
+    // separate requests would.
+    Entry("q178_msearch",
+      s"""WITH s1 AS (SELECT 1 AS search_idx, doc_id, lang
+        |            FROM documents
+        |            WHERE list_contains(${graft.text.Text.tokensSql}, 'spark')
+        |            ORDER BY doc_id LIMIT 5),
+        |s2 AS (SELECT 2 AS search_idx, doc_id, lang FROM documents
+        |       WHERE lang = 'de' AND n_chars >= 200 ORDER BY doc_id LIMIT 5)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY search_idx, doc_id""".stripMargin) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val s1 = docs
+        .filter(array_contains(graft.text.Text.tokens(col("text")), "spark"))
+        .select(lit(1).as("search_idx"), col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")).limit(5)
+      val s2 = docs.filter(col("lang") === "de" && col("n_chars") >= 200)
+        .select(lit(2).as("search_idx"), col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")).limit(5)
+      s1.unionAll(s2).orderBy(col("search_idx"), col("doc_id"))
+    },
+
+    // ES _delete_by_query: every document matching the query is deleted;
+    // the response reports per-slice deleted counts and the post-delete
+    // index state. Rendered as the audit table a deployment would emit:
+    // per-lang docs_before / deleted / docs_after from ONE conditional
+    // aggregation (the source scans once — never a second anti-join
+    // pass). Write-path posture at scale: the matched ids become
+    // tombstone rows through the SAME bucketed merge the CDC path uses
+    // (q57/q158's index maintenance) — O(changed buckets) I/O, not a
+    // table rewrite; this entry is the read-side contract of that batch.
+    Entry("q177_delete_by_query",
+      """SELECT lang, COUNT(*) AS docs_before,
+        |  COUNT(CASE WHEN source = 'src2' AND n_chars < 500 THEN 1 END) AS deleted,
+        |  COUNT(CASE WHEN NOT (source = 'src2' AND n_chars < 500) THEN 1 END) AS docs_after
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hit = col("source") === "src2" && col("n_chars") < 500
+      T(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_before"),
+             count(when(hit, 1)).as("deleted"),
+             count(when(!hit, 1)).as("docs_after"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -728,6 +728,100 @@ object Search {
       s"""WITH ${Dialect.duckToSpark(graft.text.Text.wordsCtesSql)}
         |SELECT w AS term, CAST(COUNT(*) AS INT) AS freq,
         |       array_join(sort_array(collect_list(CAST(pos AS INT))), ',') AS positions
-        |FROM words WHERE doc_id = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM words WHERE doc_id = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ES _rank_eval API (6.2+): offline ranking-quality metrics over rated
+    // search results — precision@k, MRR (reciprocal_rank), DCG@k — one row
+    // per evaluated query. Queries are three single-term searches ranked
+    // by term frequency (tf DESC, doc_id — a deterministic relevance
+    // order); the rating set marks lang='en' documents relevant (a
+    // deterministic judgment list, standing in for ES's per-request
+    // `ratings` array). Shape: posting rows for the 3 terms → one hash
+    // agg → per-query window rank (PARTITION BY term — never a global
+    // window) → conditional agg. The candidate sets are term-pruned at
+    // the scan, so the window input is O(matching docs), not the corpus;
+    // MRR folds as max(1/rank of a relevant hit) ≡ 1/first-relevant-rank.
+    Entry("q173_rank_eval",
+      s"""WITH toks AS (SELECT doc_id, lang, ${graft.text.Text.tokensSql} AS ws
+        |           FROM documents),
+        |words AS (SELECT doc_id, lang, unnest(ws) AS w FROM toks),
+        |tf AS (SELECT w, doc_id, lang, COUNT(*) AS tf FROM words
+        |       WHERE w IN ('data', 'stream', 'spark') GROUP BY 1, 2, 3),
+        |r AS (SELECT w, doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+        |        row_number() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rank
+        |      FROM tf)
+        |SELECT w AS query_term,
+        |  ROUND(SUM(CASE WHEN rank <= 5 THEN rel END) / CAST(5.0 AS DOUBLE), 6) AS p_at_5,
+        |  ROUND(MAX(CASE WHEN rel = 1 THEN CAST(1.0 AS DOUBLE) / rank END), 6) AS rr,
+        |  ROUND(SUM(CASE WHEN rank <= 5 THEN rel / log2(rank + 1.0) END), 6) AS dcg_5
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val tf = graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+        .filter(col("w").isin("data", "stream", "spark"))
+        .groupBy(col("w"), col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("w")).orderBy(col("tf").desc, col("doc_id"))
+      tf.withColumn("rank", row_number().over(w))
+        .withColumn("rel", when(col("lang") === "en", 1).otherwise(0))
+        .groupBy(col("w").as("query_term"))
+        .agg(round(sum(when(col("rank") <= 5, col("rel"))) / 5.0, 6).as("p_at_5"),
+             round(max(when(col("rel") === 1, lit(1.0) / col("rank"))), 6).as("rr"),
+             round(sum(when(col("rank") <= 5,
+               col("rel") / log2(col("rank") + 1.0))), 6).as("dcg_5"))
+        .orderBy(col("query_term"))
+    },
+
+    // ES _explain API: the per-term score decomposition for ONE (query,
+    // document) pair — the flattened explanation tree ES renders as nested
+    // "description/value" nodes, here one row per query term with the
+    // BM25 components (tf, df, dl, idf, tf-norm) and their product, the
+    // exact scorer q64_bm25 sums. Same two-pass corpus-stats shape as
+    // q64 (N/avgdl/dl are tiny driver scalars — standard two-pass, never
+    // a row collect); df still counts over the WHOLE corpus (the index
+    // statistic ES explains against), while tf prunes to the one doc at
+    // the scan.
+    Entry("q174_explain",
+      s"""WITH toks AS (SELECT doc_id, ${graft.text.Text.tokensSql} AS ws FROM documents),
+        |dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+        |tf AS (SELECT w, COUNT(*) AS tf FROM words
+        |       WHERE doc_id = 1 AND w IN ('data', 'stream') GROUP BY 1),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words
+        |       WHERE w IN ('data', 'stream') GROUP BY 1),
+        |parts AS (SELECT tf.w AS term, tf, df,
+        |            (SELECT dl FROM dl WHERE doc_id = 1) AS dl,
+        |            (SELECT n FROM stats) AS n,
+        |            (SELECT avgdl FROM stats) AS avgdl
+        |          FROM tf JOIN df ON df.w = tf.w)
+        |SELECT term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+        |  CAST(dl AS INT) AS dl,
+        |  ROUND(ln(1 + (n - df + 0.5) / (df + 0.5)), 6) AS idf,
+        |  ROUND(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS tf_norm,
+        |  ROUND(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+        |        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS weight
+        |FROM parts ORDER BY term""".stripMargin) { (s, d) =>
+      val toks = graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), size(col("ws")).as("dl"),
+                filter(col("ws"), w => w.isin("data", "stream")).as("qws"))
+        .persist()   // feeds corpus stats, doc stats, tf, and df — one scan
+      val Array(nDocs, avgdl) = toks.agg(count(lit(1)).cast("double"), avg(col("dl")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      val dl1 = toks.filter(col("doc_id") === 1).select(col("dl")).collect()(0).getInt(0)
+      val tf = toks.filter(col("doc_id") === 1)
+        .select(explode(col("qws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      val df = toks.select(explode(array_distinct(col("qws"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+      val tfNorm = col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * lit(dl1.toDouble) / lit(avgdl)))
+      tf.join(broadcast(df), "w")
+        .select(col("w").as("term"), col("tf").cast("int").as("tf"),
+                col("df").cast("int").as("df"), lit(dl1).as("dl"),
+                round(idf, 6).as("idf"), round(tfNorm, 6).as("tf_norm"),
+                round(idf * tfNorm, 6).as("weight"))
+        .orderBy(col("term"))
+    }
   )
 }

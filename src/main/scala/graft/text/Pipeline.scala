@@ -809,7 +809,45 @@ object Pipeline {
           |  CASE WHEN COALESCE(h.n, 0) >= $blocklistDropAt THEN NULL
           |       ELSE md5(regexp_replace(d.text, '\\\\b(${blocklist.mkString("|")})\\\\b', '[#]')) END AS redacted_md5
           |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
-          |ORDER BY d.doc_id""".stripMargin)
+          |ORDER BY d.doc_id""".stripMargin),
+
+    // Temperature-scaled mixture weights — the multilingual/multi-source
+    // sampling-rate computation (the "alpha sampling" of mT5/XLM-R,
+    // CommonCrawl mixing): per-lang token share p_i, upweighted as
+    // q_i ∝ p_i^alpha (alpha=0.5 flattens the head, boosts the tail),
+    // normalized, and rendered as each lang's token allocation of a 1M
+    // budget plus the implied epochs over its own tokens (allocation /
+    // available — >1 means the tail lang repeats). Two tiny hash aggs
+    // after the token-count scan; the normalizing sum is a single-row
+    // sibling aggregate cross-joined back (broadcast), so nothing after
+    // the first agg touches source rows. Shares are rounded to 9 dp
+    // before the power fold so both engines raise identical doubles.
+    Entry("q179_mix_weights",
+      s"""WITH toks AS (SELECT doc_id, lang, ${Text.tokensSql} AS ws FROM documents),
+        |n AS (SELECT lang, CAST(SUM(len(ws)) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(n_tok) AS t FROM n),
+        |p AS (SELECT lang, n_tok, ROUND(CAST(n_tok AS DOUBLE) / (SELECT t FROM tot), 9) AS share FROM n),
+        |q AS (SELECT lang, n_tok, share, pow(share, 0.5) AS q FROM p),
+        |z AS (SELECT SUM(q) AS z FROM q)
+        |SELECT lang, n_tok, share,
+        |  ROUND(q / (SELECT z FROM z), 6) AS weight,
+        |  CAST(ROUND(1000000 * q / (SELECT z FROM z), 0) AS BIGINT) AS alloc_tok,
+        |  ROUND(1000000 * q / (SELECT z FROM z) / n_tok, 6) AS epochs
+        |FROM q ORDER BY lang""".stripMargin) { (s, d) =>
+      val n = TokenIndex.toks(s, d)
+        .groupBy(col("lang")).agg(sum(size(col("ws"))).cast("bigint").as("n_tok"))
+      val tot = n.agg(sum(col("n_tok")).as("t"))
+      val q = n.crossJoin(broadcast(tot))
+        .withColumn("share", round(col("n_tok").cast("double") / col("t"), 9))
+        .withColumn("q", pow(col("share"), 0.5))
+      val z = q.agg(sum(col("q")).as("z"))
+      q.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_tok"), col("share"),
+                round(col("q") / col("z"), 6).as("weight"),
+                round(lit(1000000) * col("q") / col("z"), 0).cast("bigint").as("alloc_tok"),
+                round(lit(1000000) * col("q") / col("z") / col("n_tok"), 6).as("epochs"))
+        .orderBy(col("lang"))
+    }
   )
 
   /** The C4-style blocked-term dictionary (terms chosen to exist in the
