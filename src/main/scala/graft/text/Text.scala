@@ -133,12 +133,7 @@ object Text {
       // persisted blocks leak past the entry. The intersection joins on
       // the shingle's 64-bit hash — 8-byte shuffle keys instead of
       // strings; collision odds ~n^2/2^64 are immaterial.
-      val sh = TokenIndex.shingles3(s, d)
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      jaccardScored(sh, inter, 0.2)
+      exactNeardupPairs(s, d)
     },
 
     // MinHash + banded LSH (the 100 TB path: candidates from band-bucket
@@ -862,7 +857,46 @@ object Text {
         |  ROUND((CAST(fgc AS DOUBLE) / (SELECT nfg FROM n)) /
         |        (CAST(bgc AS DOUBLE) / (SELECT nbg FROM n)), 6) AS lift
         |FROM fg JOIN bg USING (w) WHERE fgc >= 3
-        |ORDER BY lift DESC, term LIMIT 15""".stripMargin)
+        |ORDER BY lift DESC, term LIMIT 15""".stripMargin),
+
+    // Cross-source duplication matrix — the curation question BEHIND the
+    // pair report: which sources copy from which (mirror sites, scraped
+    // re-posts, licensing leaks). q61's exact near-dup pairs (the shared
+    // derivation, verbatim) join the corpus spine for each side's source;
+    // the (least, greatest) normalization folds the matrix to its upper
+    // triangle so A->B and B->A land in one cell. Pair volume, not the
+    // corpus, is what the matrix agg touches — the joins are doc_id-keyed
+    // against a 2-column projection of documents, and per-pair jac is
+    // rounded BEFORE the avg fold so both engines average identical
+    // doubles.
+    Entry("q180_dup_source_matrix",
+      s"""WITH $wordsCtesSql,
+        |${shingle3CteSql(distinct = true)},
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b,
+        |            ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jac
+        |          FROM inter JOIN sz sa ON sa.doc_id = doc_a
+        |                     JOIN sz sb ON sb.doc_id = doc_b
+        |          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2),
+        |m AS (SELECT least(da.source, db.source) AS src_a,
+        |             greatest(da.source, db.source) AS src_b, jac
+        |      FROM pairs JOIN documents da ON da.doc_id = pairs.doc_a
+        |                 JOIN documents db ON db.doc_id = pairs.doc_b)
+        |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       ROUND(AVG(jac), 6) AS avg_jac
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val src = T(s, d, "documents").select(col("doc_id"), col("source"))
+      exactNeardupPairs(s, d)
+        .join(src.as("da"), col("da.doc_id") === col("doc_a"))
+        .join(src.as("db"), col("db.doc_id") === col("doc_b"))
+        .groupBy(least(col("da.source"), col("db.source")).as("src_a"),
+                 greatest(col("da.source"), col("db.source")).as("src_b"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+             round(avg(col("jac")), 6).as("avg_jac"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
   )
 
   /** Hashed distinct shingles per doc: `(doc_id, h)` from a `(doc_id, ws)`
@@ -887,6 +921,23 @@ object Text {
       explode(array_distinct(transform(
         graft.functions.vec.wordShingles(tokens(col("text")), 3),
         sh => xxhash64(sh)))).as("h"))
+
+  /** The exact near-dup pair report (doc_a, doc_b, jac >= 0.2) off the
+    * ingest-staged shingle table — q61's derivation, shared verbatim by
+    * the cross-source duplication matrix (q180). sh's three consumers
+    * (sizes + both join sides) each re-scan a small staged parquet
+    * instead of re-running shingle+distinct, and no persisted blocks
+    * leak past the entry. The intersection joins on the shingle's 64-bit
+    * hash — 8-byte shuffle keys instead of strings; collision odds
+    * ~n^2/2^64 are immaterial. */
+  def exactNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = TokenIndex.shingles3(s, d)
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardScored(sh, inter, 0.2)
+  }
 
   /** Score candidate pairs by exact Jaccard over the hashed shingle sets
     * and keep those >= threshold — the verification tail shared by the
