@@ -822,6 +822,43 @@ object Search {
                 round(idf, 6).as("idf"), round(tfNorm, 6).as("tf_norm"),
                 round(idf * tfNorm, 6).as("weight"))
         .orderBy(col("term"))
-    }
+    },
+
+    // ES match_phrase_prefix — the search-as-you-type query: all terms
+    // but the last match as a phrase, the last term matches as a PREFIX
+    // at the next position ('data str' matches "data stream", "data
+    // strategy", ...). Same doc_id-keyed posting join as q74's phrase
+    // (position is a residual), with the prefix side's predicate a
+    // pushable LIKE 'str%' on the posting rows. ES caps the prefix
+    // expansion at max_expansions (default 50) as an index-walk bound
+    // — the posting-scan form has no term walk to bound, the LIKE
+    // prunes at the scan. Matched prefix terms are reported per doc
+    // (distinct, sorted) — the expansion set ES would have matched.
+    Entry("q181_match_phrase_prefix",
+      s"""WITH ${graft.text.Text.wordsCtesSql}
+        |SELECT a.doc_id AS doc_id,
+        |       array_to_string(list_sort(list(DISTINCT b.w)), ',') AS expansions
+        |FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  AND b.w LIKE 'str%'
+        |WHERE a.w = 'data'
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      words.as("a").filter(col("a.w") === "data")
+        .join(words.as("b").filter(col("b.w").like("str%")),
+          col("b.doc_id") === col("a.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(array_join(sort_array(collect_set(col("b.w"))), ",").as("expansions"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      s"""WITH ${Dialect.duckToSpark(graft.text.Text.wordsCtesSql)}
+        |SELECT a.doc_id AS doc_id,
+        |       array_join(sort_array(collect_set(b.w)), ',') AS expansions
+        |FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  AND b.w LIKE 'str%'
+        |WHERE a.w = 'data'
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin)
   )
 }
