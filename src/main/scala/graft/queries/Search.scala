@@ -859,6 +859,37 @@ object Search {
         |JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |  AND b.w LIKE 'str%'
         |WHERE a.w = 'data'
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // ES _analyze API: run the analyzer on a literal string and return
+    // the token stream with positions and character offsets — the
+    // debugging endpoint that proves what the index actually stores.
+    // Both engines analyze the SAME literal with the engine's shared
+    // analyzer chain, and offsets are recovered against the NORMALIZED
+    // text (lowercased, separators collapsed to single spaces — the
+    // analyzer's canonical form, stated in the result so offsets are
+    // well-defined cross-engine). Pure literal evaluation: the plan is
+    // a one-row project + generator, no table scan at all. Offsets are
+    // FIRST-occurrence of the token in the normalized text (a repeated
+    // token reports its first hit; `position` disambiguates the stream).
+    Entry("q182_analyze",
+      s"""WITH t AS (SELECT 'Spark-Streams: a Data stream engine!' AS text),
+        |toks AS (SELECT ${graft.text.Text.tokensSql} AS ws,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM t),
+        |w AS (SELECT norm, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)
+        |SELECT CAST(pos AS INT) AS position, w AS token,
+        |  CAST(strpos(norm, w) - 1 AS INT) AS start_offset,
+        |  CAST(strpos(norm, w) - 1 + length(w) AS INT) AS end_offset
+        |FROM w ORDER BY 1""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      s.range(1).select(lit("Spark-Streams: a Data stream engine!").as("text"))
+        .select(graft.text.Text.tokens(col("text")).as("ws"), norm.as("norm"))
+        .select(col("norm"), posexplode(col("ws")).as(Seq("position", "token")))
+        .select(col("position").cast("int").as("position"), col("token"),
+                (instr(col("norm"), col("token")) - 1).cast("int").as("start_offset"),
+                (instr(col("norm"), col("token")) - 1 + length(col("token")))
+                  .cast("int").as("end_offset"))
+        .orderBy(col("position"))
+    }
   )
 }
