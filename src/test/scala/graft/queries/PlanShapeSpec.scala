@@ -145,6 +145,24 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("q173_rank_eval: ranking window is partitioned by query term, never global") {
+    // PARTITION BY w keeps each evaluated query's candidate ranking an
+    // independent partition — a global (empty-partition-spec) window
+    // would funnel every candidate through one task at scale.
+    val p = planOf("q173_rank_eval")
+    val win = p.indexOf("Window")
+    assert(win >= 0, s"expected a window operator:\n$p")
+    val spec = p.substring(win, math.min(p.length, win + 400))
+    assert(!spec.contains("windowspecdefinition(") ||
+           spec.contains("windowspecdefinition(w#"),
+      s"ranking window must partition by the query term:\n$spec")
+  }
+
+  test("q182_analyze: literal analysis plans no table scan") {
+    val p = planOf("q182_analyze")
+    assert(!p.toLowerCase.contains("parquet"), s"_analyze must not scan a table:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
