@@ -546,6 +546,60 @@ object Streams {
         .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
         .orderBy(col("doc_id"))
+    },
+
+    // ES X-Pack rollup job (introduced in 6.3 — the reference's exact ES
+    // line): a continuous background job pre-aggregates a time-series
+    // index into compact per-bucket summary docs; queries over rolled-up
+    // data MERGE the summaries (counts/sums add, mins/maxes fold, avg =
+    // merged sum / merged count — ES stores sum+count for exactly this
+    // reason). Running machinery, not a simulation: each arriving
+    // micro-batch writes its PARTIAL (day, event_type) aggregate into
+    // its own batch=<id> partition — a replayed batch overwrites only
+    // its own partition, so the foreachBatch append is idempotent
+    // (exactly-once without a stateful store: the rollup's additivity
+    // makes per-batch partials sufficient, no cross-batch state). Three
+    // disjoint arrival files force three genuinely incremental batches.
+    // The declared result queries the MAINTAINED rollup — merge-fold
+    // semantics hash-checked against DuckDB aggregating the RAW events,
+    // pinning "rollup then merge" == "aggregate the source". At 100 TB
+    // the query scans O(buckets x batches) summary rows, never raw
+    // events — the entire point of the rollup index.
+    Entry("q183_rollup_job",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_v,
+        |  ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v,
+        |  ROUND(SUM(value) / COUNT(*), 6) AS avg_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val src = stageSplit(s, d, "events", "q183_rollup_job",
+        Seq(col("event_id") % 3 === 0, col("event_id") % 3 === 1,
+            col("event_id") % 3 === 2))
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val out = newStageDir("graft_rollup_out")
+      val ckpt = newStageDir("graft_rollup_ckpt")
+      graft.core.GraftSession.withShufflePartitions(s, 8) {
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+                          col("event_type"))
+              .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+                   min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).cast("bigint").as("n"),
+             round(sum(col("sum_v")), 4).as("sum_v"),
+             round(min(col("min_v")), 6).as("min_v"),
+             round(max(col("max_v")), 6).as("max_v"),
+             round(sum(col("sum_v")) / sum(col("n")), 6).as("avg_v"))
+        .orderBy(col("day"), col("event_type"))
     }
   )
 }
