@@ -890,6 +890,61 @@ object Search {
                 (instr(col("norm"), col("token")) - 1 + length(col("token")))
                   .cast("int").as("end_offset"))
         .orderBy(col("position"))
-    }
+    },
+
+    // ES wildcard query: `*` (any run) / `?` (one char) patterns on a
+    // keyword field, compiled to ONE pushable LIKE by [[wildcardToLike]]
+    // (literal %/_ in the pattern are escaped first, so data containing
+    // SQL wildcard chars can't false-match — the part ES's own
+    // term-automaton never has to think about). The compiled predicate
+    // is an ordinary scan filter; ES warns leading-* patterns walk the
+    // whole term dictionary — here every pattern is a full-column scan
+    // predicate anyway (columnar min/max skipping still applies to
+    // anchored prefixes via the LIKE's leading literal).
+    Entry("q184_wildcard",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_name LIKE '%s_ow%' OR p_name LIKE 'p_o%'
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      T(s, d, "part")
+        .filter(col("p_name").like(wildcardToLike("*s?ow*")) ||
+                col("p_name").like(wildcardToLike("p?o*")))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ES span_near with in_order=true — the ORDERED proximity span
+    // (q97's phrase_slop is the unordered twin): 'data' must precede
+    // 'stream' with at most `slop`=2 intervening positions. Same
+    // doc_id-keyed posting join, the order constraint is one more
+    // residual on the position band.
+    Entry("q185_span_near_ordered",
+      s"""WITH ${graft.text.Text.wordsCtesSql}
+        |SELECT DISTINCT a.doc_id AS doc_id FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id
+        |  AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+        |WHERE a.w = 'data' AND b.w = 'stream'
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      words.as("a").filter(col("a.w") === "data")
+        .join(words.as("b").filter(col("b.w") === "stream"),
+          col("b.doc_id") === col("a.doc_id") &&
+            col("b.pos") > col("a.pos") && col("b.pos") - col("a.pos") - 1 <= 2)
+        .select(col("a.doc_id").as("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      // structural gap: pre-DISTINCT alias in ORDER BY (q97's twin shape)
+      s"""WITH ${Dialect.duckToSpark(graft.text.Text.wordsCtesSql)},
+        |m AS (SELECT DISTINCT a.doc_id FROM words a
+        |      JOIN words b ON b.doc_id = a.doc_id
+        |        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+        |      WHERE a.w = 'data' AND b.w = 'stream')
+        |SELECT doc_id FROM m ORDER BY doc_id""".stripMargin)
   )
+
+  /** ES wildcard → SQL LIKE: escape literal `%`/`_`, then `*` → `%` and
+    * `?` → `_`. Spark and DuckDB both default to `\` as the LIKE escape. */
+  def wildcardToLike(pattern: String): String =
+    pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace('*', '%').replace('?', '_')
 }

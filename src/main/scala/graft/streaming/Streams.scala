@@ -574,32 +574,47 @@ object Streams {
       val src = stageSplit(s, d, "events", "q183_rollup_job",
         Seq(col("event_id") % 3 === 0, col("event_id") % 3 === 1,
             col("event_id") % 3 === 2))
-      val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
       val out = newStageDir("graft_rollup_out")
-      val ckpt = newStageDir("graft_rollup_ckpt")
-      graft.core.GraftSession.withShufflePartitions(s, 8) {
-        val q = stream.writeStream.trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
-                          col("event_type"))
-              .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
-                   min(col("value")).as("min_v"), max(col("value")).as("max_v"))
-              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-            ()
-          }.start()
-        q.awaitTermination()
-      }
-      s.read.parquet(out)
-        .groupBy(col("day"), col("event_type"))
-        .agg(sum(col("n")).cast("bigint").as("n"),
-             round(sum(col("sum_v")), 4).as("sum_v"),
-             round(min(col("min_v")), 6).as("min_v"),
-             round(max(col("max_v")), 6).as("max_v"),
-             round(sum(col("sum_v")) / sum(col("n")), 6).as("avg_v"))
-        .orderBy(col("day"), col("event_type"))
+      rollupDrain(s, src, out)
+      rollupMerge(s, out)
     }
   )
+
+  /** q183's job body: drain `src`, writing each micro-batch's PARTIAL
+    * (day, event_type) aggregate into its own `batch=<id>` partition
+    * under `out`. Fresh checkpoint per call — re-running over the same
+    * arrivals (the lost-checkpoint worst case) re-derives the same batch
+    * ids from the same ordered files and overwrites only its own
+    * partitions, which is the idempotence RollupReplaySpec pins. */
+  private[streaming] def rollupDrain(s: SparkSession, src: String, out: String): Unit = {
+    val ckpt = newStageDir("graft_rollup_ckpt")
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.core.GraftSession.withShufflePartitions(s, 8) {
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+                        col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+                 min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+  }
+
+  /** The rollup-query merge fold: counts/sums add, mins/maxes fold,
+    * avg = merged sum / merged count (why ES rollup stores sum+count). */
+  private[streaming] def rollupMerge(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).cast("bigint").as("n"),
+           round(sum(col("sum_v")), 4).as("sum_v"),
+           round(min(col("min_v")), 6).as("min_v"),
+           round(max(col("max_v")), 6).as("max_v"),
+           round(sum(col("sum_v")) / sum(col("n")), 6).as("avg_v"))
+      .orderBy(col("day"), col("event_type"))
 }

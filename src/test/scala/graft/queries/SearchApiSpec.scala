@@ -86,6 +86,12 @@ class SearchApiSpec extends GraftSuite {
     assert(matrix == pairs, s"matrix $matrix != pairs $pairs")
   }
 
+  test("wildcardToLike escapes literal SQL wildcards before translating") {
+    assert(Search.wildcardToLike("*s?ow*") == "%s_ow%")
+    assert(Search.wildcardToLike("50%_off*") == "50\\%\\_off%")
+    assert(Search.wildcardToLike("a\\b?") == "a\\\\b_")
+  }
+
   test("q168 slices partition the table") {
     val n = graft.core.Tables(spark, sf, "lineitem").count()
     val rows = graft.SparkEntry.queries("q168_sliced_scan")(spark, sf).collect()
