@@ -939,7 +939,59 @@ object Search {
         |      JOIN words b ON b.doc_id = a.doc_id
         |        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
         |      WHERE a.w = 'data' AND b.w = 'stream')
-        |SELECT doc_id FROM m ORDER BY doc_id""".stripMargin)
+        |SELECT doc_id FROM m ORDER BY doc_id""".stripMargin),
+
+    // ES span_or: the union of several term spans, counted per doc (a
+    // span clause other span queries compose over — its occurrence count
+    // is the observable). One posting-scan filter on the term set + one
+    // doc_id hash agg: the IN list is a pushable predicate, no joins —
+    // the same shape as q06/q11 but at the POSITION level (occurrences,
+    // not just membership).
+    Entry("q186_span_or",
+      s"""WITH ${graft.text.Text.wordsCtesSql}
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+        |       CAST(COUNT(DISTINCT w) AS INT) AS n_terms
+        |FROM words WHERE w IN ('stream', 'batch')
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .filter(col("w").isin("stream", "batch"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_spans"),
+             countDistinct(col("w")).cast("int").as("n_terms"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ES span_containing: matches of the BIG span that CONTAIN a match
+    // of the LITTLE span. Big = span_near('data', 'engine', slop 3,
+    // ordered) — a position range [a.pos, b.pos]; little = the term
+    // 'stream' whose position must fall strictly inside. Three posting
+    // sets, all joined on doc_id ONLY (every position predicate is a
+    // residual on that one shuffle key — the whole span family rides a
+    // single co-partitioning); count of containing big-spans per doc.
+    Entry("q187_span_containing",
+      s"""WITH ${graft.text.Text.wordsCtesSql}
+        |SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS INT) AS n_containing
+        |FROM words a
+        |JOIN words b ON b.doc_id = a.doc_id
+        |  AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3 AND b.w = 'engine'
+        |JOIN words c ON c.doc_id = a.doc_id
+        |  AND c.pos > a.pos AND c.pos < b.pos AND c.w = 'stream'
+        |WHERE a.w = 'data'
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = graft.text.TokenIndex.toks(s, d)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      words.as("a").filter(col("a.w") === "data")
+        .join(words.as("b").filter(col("b.w") === "engine"),
+          col("b.doc_id") === col("a.doc_id") &&
+            col("b.pos") > col("a.pos") && col("b.pos") - col("a.pos") - 1 <= 3)
+        .join(words.as("c").filter(col("c.w") === "stream"),
+          col("c.doc_id") === col("a.doc_id") &&
+            col("c.pos") > col("a.pos") && col("c.pos") < col("b.pos"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_containing"))
+        .orderBy(col("doc_id"))
+    }
   )
 
   /** ES wildcard → SQL LIKE: escape literal `%`/`_`, then `*` → `%` and
