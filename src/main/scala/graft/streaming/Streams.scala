@@ -617,4 +617,69 @@ object Streams {
            round(max(col("max_v")), 6).as("max_v"),
            round(sum(col("sum_v")) / sum(col("n")), 6).as("avg_v"))
       .orderBy(col("day"), col("event_type"))
+
+  /** Rollup compaction — the partition-maintenance step a long-running
+    * job needs so query cost stays O(buckets), not O(buckets x batches):
+    * fold every batch partition at id < `upTo` into ONE compacted
+    * partition holding their additively-merged partials (same raw
+    * columns, so [[rollupMerge]] reads compacted and live partitions
+    * identically; the compacted partition reuses the highest folded id).
+    *
+    * Crash safety is the standard write-ahead-rename protocol, pinned by
+    * RollupReplaySpec: the fold lands FULLY in a dot-hidden staging dir
+    * first (invisible to partition discovery; Spark's _SUCCESS marker is
+    * the completed-write bit), inputs are deleted only after that, and
+    * [[rollupRecover]] — run at every compaction entry — finishes or
+    * discards a crashed attempt: staging WITH _SUCCESS re-drives the
+    * deletes+rename (ids <= the staged target are by construction all
+    * inputs of that fold), staging without is dropped untouched-inputs
+    * intact. One compaction instance at a time, readers quiesced during
+    * the commit window — the job-level serialization ES's rollup task
+    * assumes. Min/max fold losslessly; n adds exactly; sum adds in
+    * double, the same associativity tolerance the merge already accepts. */
+  private[streaming] def rollupCompact(s: SparkSession, out: String, upTo: Long): Unit = {
+    rollupRecover(out)
+    compactWrite(s, out, upTo).foreach(compactCommit(out, _))
+  }
+
+  private def stagedDirOf(out: String): Option[java.io.File] =
+    Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .find(_.getName.startsWith(".compact_tmp_batch="))
+
+  /** Phase 1: fold all batch ids < upTo into `.compact_tmp_batch=<max>`.
+    * Returns the target id; None when there is nothing to compact. */
+  private[streaming] def compactWrite(s: SparkSession, out: String, upTo: Long): Option[Long] = {
+    val batches = Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).filter(_ < upTo).sorted
+    if (batches.length < 2) None
+    else {
+      val folded = s.read.parquet(batches.map(b => s"$out/batch=$b"): _*)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+             min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      folded.coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/.compact_tmp_batch=${batches.last}")
+      Some(batches.last)
+    }
+  }
+
+  /** Phase 2: delete the fold's inputs (every id <= target), then rename
+    * the staged dir into place as `batch=<target>`. */
+  private[streaming] def compactCommit(out: String, target: Long): Unit = {
+    Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName.stripPrefix("batch=").toLong <= target)
+      .foreach(graft.core.Fs.deleteRecursively)
+    Files.move(Paths.get(s"$out/.compact_tmp_batch=$target"),
+               Paths.get(s"$out/batch=$target"))
+  }
+
+  /** Finish or discard a crashed compaction (see [[rollupCompact]]). */
+  private[streaming] def rollupRecover(out: String): Unit =
+    stagedDirOf(out).foreach { staged =>
+      val target = staged.getName.stripPrefix(".compact_tmp_batch=").toLong
+      if (new java.io.File(staged, "_SUCCESS").exists()) compactCommit(out, target)
+      else graft.core.Fs.deleteRecursively(staged)
+    }
 }
