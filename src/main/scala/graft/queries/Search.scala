@@ -865,32 +865,53 @@ object Search {
     // the token stream with positions and character offsets — the
     // debugging endpoint that proves what the index actually stores.
     // Both engines analyze the SAME literal with the engine's shared
-    // analyzer chain, and offsets are recovered against the NORMALIZED
-    // text (lowercased, separators collapsed to single spaces — the
-    // analyzer's canonical form, stated in the result so offsets are
-    // well-defined cross-engine). Pure literal evaluation: the plan is
-    // a one-row project + generator, no table scan at all. Offsets are
-    // FIRST-occurrence of the token in the normalized text (a repeated
-    // token reports its first hit; `position` disambiguates the stream).
+    // analyzer chain; offsets address the NORMALIZED text (lowercased,
+    // separators collapsed to single spaces — the analyzer's canonical
+    // form, so offsets are well-defined cross-engine) and are derived
+    // POSITIONALLY — token i starts at (sum of earlier token lengths)
+    // + i separators — never by substring search, which would mislocate
+    // a token that happens to be a substring of an earlier one ('a'
+    // inside 'spark', 'stream' inside 'streams'). Pure literal
+    // evaluation: a one-row project + generator, no table scan at all.
     Entry("q182_analyze",
       s"""WITH t AS (SELECT 'Spark-Streams: a Data stream engine!' AS text),
-        |toks AS (SELECT ${graft.text.Text.tokensSql} AS ws,
-        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM t),
-        |w AS (SELECT norm, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)
+        |toks AS (SELECT ${graft.text.Text.tokensSql} AS ws FROM t),
+        |w AS (SELECT ws, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks),
+        |o AS (SELECT w, pos,
+        |        pos + list_reduce(list_prepend(0,
+        |          list_transform(ws[1:pos], t -> length(t))), (a, b) -> a + b) AS so
+        |      FROM w)
         |SELECT CAST(pos AS INT) AS position, w AS token,
-        |  CAST(strpos(norm, w) - 1 AS INT) AS start_offset,
-        |  CAST(strpos(norm, w) - 1 + length(w) AS INT) AS end_offset
-        |FROM w ORDER BY 1""".stripMargin) { (s, d) =>
-      val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        |  CAST(so AS INT) AS start_offset,
+        |  CAST(so + length(w) AS INT) AS end_offset
+        |FROM o ORDER BY 1""".stripMargin) { (s, d) =>
       s.range(1).select(lit("Spark-Streams: a Data stream engine!").as("text"))
-        .select(graft.text.Text.tokens(col("text")).as("ws"), norm.as("norm"))
-        .select(col("norm"), posexplode(col("ws")).as(Seq("position", "token")))
+        .select(graft.text.Text.tokens(col("text")).as("ws"))
+        .select(col("ws"), posexplode(col("ws")).as(Seq("position", "token")))
+        .select(col("position"), col("token"),
+                (col("position") + aggregate(
+                  transform(slice(col("ws"), lit(1), col("position")), t => length(t)),
+                  lit(0), (a, x) => a + x)).as("so"))
         .select(col("position").cast("int").as("position"), col("token"),
-                (instr(col("norm"), col("token")) - 1).cast("int").as("start_offset"),
-                (instr(col("norm"), col("token")) - 1 + length(col("token")))
-                  .cast("int").as("end_offset"))
+                col("so").cast("int").as("start_offset"),
+                (col("so") + length(col("token"))).cast("int").as("end_offset"))
         .orderBy(col("position"))
-    },
+    }.sqlTwin(
+      // structural gap: DuckDB's list_reduce seed rides as a prepended
+      // element and slicing is bracket syntax; Spark's aggregate takes
+      // the seed directly over slice()
+      """WITH t AS (SELECT 'Spark-Streams: a Data stream engine!' AS text),
+        |toks AS (SELECT filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '),
+        |                       w -> w <> '') AS ws FROM t),
+        |w AS (SELECT ws, posexplode(ws) AS (pos, w) FROM toks),
+        |o AS (SELECT w, pos,
+        |        pos + aggregate(transform(slice(ws, 1, pos), t -> length(t)),
+        |                        0, (a, x) -> a + x) AS so
+        |      FROM w)
+        |SELECT CAST(pos AS INT) AS position, w AS token,
+        |  CAST(so AS INT) AS start_offset,
+        |  CAST(so + length(w) AS INT) AS end_offset
+        |FROM o ORDER BY 1""".stripMargin),
 
     // ES wildcard query: `*` (any run) / `?` (one char) patterns on a
     // keyword field, compiled to ONE pushable LIKE by [[wildcardToLike]]
@@ -968,17 +989,21 @@ object Search {
     // 'stream' whose position must fall strictly inside. Three posting
     // sets, all joined on doc_id ONLY (every position predicate is a
     // residual on that one shuffle key — the whole span family rides a
-    // single co-partitioning); count of containing big-spans per doc.
+    // single co-partitioning). ES emits each qualifying BIG span once,
+    // however many little matches it contains — so the little join is
+    // an existence test: DISTINCT (doc, big-span) before the count,
+    // never a count of (big, little) join triples.
     Entry("q187_span_containing",
-      s"""WITH ${graft.text.Text.wordsCtesSql}
-        |SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS INT) AS n_containing
-        |FROM words a
-        |JOIN words b ON b.doc_id = a.doc_id
-        |  AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3 AND b.w = 'engine'
-        |JOIN words c ON c.doc_id = a.doc_id
-        |  AND c.pos > a.pos AND c.pos < b.pos AND c.w = 'stream'
-        |WHERE a.w = 'data'
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH ${graft.text.Text.wordsCtesSql},
+        |spans AS (SELECT DISTINCT a.doc_id AS doc_id, a.pos AS ap, b.pos AS bp
+        |          FROM words a
+        |          JOIN words b ON b.doc_id = a.doc_id
+        |            AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3 AND b.w = 'engine'
+        |          JOIN words c ON c.doc_id = a.doc_id
+        |            AND c.pos > a.pos AND c.pos < b.pos AND c.w = 'stream'
+        |          WHERE a.w = 'data')
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_containing
+        |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
       val words = graft.text.TokenIndex.toks(s, d)
         .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
       words.as("a").filter(col("a.w") === "data")
@@ -987,16 +1012,38 @@ object Search {
             col("b.pos") > col("a.pos") && col("b.pos") - col("a.pos") - 1 <= 3)
         .join(words.as("c").filter(col("c.w") === "stream"),
           col("c.doc_id") === col("a.doc_id") &&
-            col("c.pos") > col("a.pos") && col("c.pos") < col("b.pos"))
-        .groupBy(col("a.doc_id").as("doc_id"))
+            col("c.pos") > col("a.pos") && col("c.pos") < col("b.pos"),
+          "left_semi")
+        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("ap"), col("b.pos").as("bp"))
+        .distinct()
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("int").as("n_containing"))
         .orderBy(col("doc_id"))
     }
   )
 
-  /** ES wildcard → SQL LIKE: escape literal `%`/`_`, then `*` → `%` and
-    * `?` → `_`. Spark and DuckDB both default to `\` as the LIKE escape. */
-  def wildcardToLike(pattern: String): String =
-    pattern.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-      .replace('*', '%').replace('?', '_')
+  /** ES wildcard → SQL LIKE: `*` → `%`, `?` → `_`, literal `%`/`_` in
+    * the pattern get LIKE-escaped, and ES's own escape (`\*` = literal
+    * asterisk, `\?`, `\\`) is honored — the escaped char passes through
+    * as a literal (itself LIKE-escaped when it is `%`, `_` or `\`).
+    * Spark and DuckDB both default to `\` as the LIKE escape. */
+  def wildcardToLike(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def literal(c: Char): Unit = {
+      if (c == '%' || c == '_' || c == '\\') sb.append('\\')
+      sb.append(c)
+    }
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length => literal(pattern.charAt(i + 1)); i += 1
+        case '\\' => literal('\\')   // dangling trailing escape: literal backslash
+        case '*' => sb.append('%')
+        case '?' => sb.append('_')
+        case c => literal(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

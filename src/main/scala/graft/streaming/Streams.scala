@@ -42,7 +42,7 @@ object Streams {
     * TIMESTAMP(NANOS) parquet to micros, which the streaming file source
     * requires. Modification times order the files => deterministic batches
     * under maxFilesPerTrigger=1. */
-  private def writeOrderedFile(df: DataFrame, tmp: String, i: Int): Unit = {
+  private[streaming] def writeOrderedFile(df: DataFrame, tmp: String, i: Int): Unit = {
     val sub = s"$tmp/stage$i"
     df.coalesce(1).write.mode("overwrite").parquet(sub)
     val f = new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).head

@@ -18,19 +18,11 @@ import graft.core.Tables
   * doubled counts — the failure a naive append sink would produce). */
 class RollupReplaySpec extends GraftSuite {
 
-  private def writeFile(df: DataFrame, dir: String, i: Int): Unit = {
-    val sub = s"$dir/stage$i"
-    df.coalesce(1).write.mode("overwrite").parquet(sub)
-    val f = new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).head
-    val dst = java.nio.file.Paths.get(s"$dir/part-$i.parquet")
-    java.nio.file.Files.move(f.toPath, dst)
-    dst.toFile.setLastModified(1700000000000L + i * 60000L)
-  }
 
   test("full replay into the same rollup dir changes nothing") {
     val events = Tables(spark, sf, "events")
     val src = Files.createTempDirectory("graft_rollup_replay_src").toString
-    (0 to 2).foreach(i => writeFile(events.filter(col("event_id") % 3 === i), src, i))
+    (0 to 2).foreach(i => Streams.writeOrderedFile(events.filter(col("event_id") % 3 === i), src, i))
     val out = Files.createTempDirectory("graft_rollup_replay_out").toString
 
     Streams.rollupDrain(spark, src, out)
@@ -52,7 +44,7 @@ class RollupReplaySpec extends GraftSuite {
   private def drained(): (String, Seq[org.apache.spark.sql.Row]) = {
     val events = Tables(spark, sf, "events")
     val src = Files.createTempDirectory("graft_compact_src").toString
-    (0 to 2).foreach(i => writeFile(events.filter(col("event_id") % 3 === i), src, i))
+    (0 to 2).foreach(i => Streams.writeOrderedFile(events.filter(col("event_id") % 3 === i), src, i))
     val out = Files.createTempDirectory("graft_compact_out").toString
     Streams.rollupDrain(spark, src, out)
     (out, Streams.rollupMerge(spark, out).collect().toSeq)

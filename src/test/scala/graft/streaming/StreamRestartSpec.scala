@@ -20,14 +20,6 @@ import graft.sync.DocSync
   * table must equal the one-shot batch fold of the whole log. */
 class StreamRestartSpec extends GraftSuite {
 
-  private def writeFile(df: DataFrame, dir: String, i: Int): Unit = {
-    val sub = s"$dir/stage$i"
-    df.coalesce(1).write.mode("overwrite").parquet(sub)
-    val f = new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet")).head
-    val dst = java.nio.file.Paths.get(s"$dir/part-$i.parquet")
-    java.nio.file.Files.move(f.toPath, dst)
-    dst.toFile.setLastModified(1700000000000L + i * 60000L)
-  }
 
   test("stream resumes from checkpoint; final state == one-shot batch fold") {
     val events = Tables(spark, sf, "events")
@@ -48,12 +40,12 @@ class StreamRestartSpec extends GraftSuite {
     // phase 1: only a temporal prefix of the log exists (seq = event_id;
     // a change-log stream arrives in order — prefix, not arbitrary split)
     val mid = 500
-    writeFile(ChangeLog.fromEvents(events.filter(col("event_id") < mid)), src, 0)
+    Streams.writeOrderedFile(ChangeLog.fromEvents(events.filter(col("event_id") < mid)), src, 0)
     runOnce()
     val versionsAfter1 = new java.io.File(state).listFiles().count(_.getName.startsWith("v"))
 
     // phase 2 ("restart"): the rest of the log arrives; same checkpoint
-    writeFile(ChangeLog.fromEvents(events.filter(col("event_id") >= mid)), src, 1)
+    Streams.writeOrderedFile(ChangeLog.fromEvents(events.filter(col("event_id") >= mid)), src, 1)
     val docs2 = runOnce()
     val got = DocSync.flattenDocs(docs2).collect().toSeq
     assert(got === expected)
