@@ -15,14 +15,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Every registry key yields EXACTLY one status row — "ok" or the error
+    // string. Two rounds proved that a crashed entry could silently vanish
+    // from the driver's correctness report (no parquet dir → no row); the
+    // manifest makes absence impossible to miss: report keys that don't
+    // cover the registry are a harness bug by definition, and the final
+    // assertion fails the whole run loudly if the accounting ever drifts.
+    val selected = SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1))
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    selected.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        status(name) = "ok"
+      } catch { case e: Throwable =>
+        status(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: ${status(name)}")
       }
       finally spark.catalog.clearCache()  // drop per-query persisted intermediates
     }
+    require(status.keySet == selected.keySet,
+      s"verify accounting drift: missing rows for ${selected.keySet -- status.keySet}")
+    val failed = status.collect { case (k, v) if v != "ok" => k }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${status.size} entries FAILED: ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +53,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
     spark.stop()
   }
 }

@@ -26,12 +26,18 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    // Driver fixtures carry parquet TIMESTAMP(NANOS) (events.ts), which the
-    // Spark reader rejects outright; read as epoch-nanos LongType and let
-    // Tables restore TimestampType at microsecond precision (the max Spark
-    // supports — oracle canonicalization is µs too, so this is lossless
-    // w.r.t. the hash contract).
+    // Driver fixtures have carried events.ts as parquet TIMESTAMP(NANOS)
+    // (rejected outright by the reader unless surfaced as epoch-nanos
+    // LongType via the legacy conf) and, since the round-8 regeneration, as
+    // tz-naive timestamp[us]. Pin BOTH reader behaviors so either fixture
+    // generation loads deterministically: nanos → LongType (Tables floors
+    // to µs), tz-naive µs → TimestampType directly (inferTimestampNTZ off;
+    // in the UTC session the wall clock is identical to DuckDB's naive
+    // read, so the hash contract is unaffected). Tables.normalizeTimestamps
+    // additionally folds TIMESTAMP_NTZ if a caller session re-enables the
+    // inference.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     .config("spark.ui.enabled", "false")

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated test tables (TESTDATA.md).
   *
@@ -11,28 +11,54 @@ import org.apache.spark.sql.types.LongType
   * one seam where that changes (a `spark.read.parquet` on a directory is
   * the same call).
   *
-  * Timestamp normalization: the driver writes `events.ts` as parquet
-  * TIMESTAMP(NANOS), which Spark cannot represent (TimestampType is µs).
-  * With `spark.sql.legacy.parquet.nanosAsLong` the scan surfaces epoch
-  * nanos as LongType; the loader restores TimestampType by flooring to
-  * microseconds — identical to what the oracle side's canonicalizer does
-  * (strftime %f truncation), so hash comparisons stay exact.
+  * Timestamp normalization: the fixture generator has shipped `events.ts`
+  * in two different physical shapes across rounds — parquet
+  * TIMESTAMP(NANOS) (surfaced as epoch-nanos LongType under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and tz-naive `timestamp[us]`
+  * (surfaced as TIMESTAMP_NTZ when `parquet.inferTimestampNTZ` is on).
+  * The engine's contract is a single canonical type: µs-precision
+  * [[TimestampType]] in the UTC session, which matches the DuckDB oracle's
+  * naive-timestamp wall clock exactly. [[normalizeTimestamps]] folds every
+  * known physical shape into that type, and [[apply]] fails with a NAMED
+  * error if a declared timestamp column survives in any other type — so
+  * the next silent fixture regeneration dies at load with a diagnosis
+  * instead of a ClassCastException three stages downstream.
   */
 object Tables {
   val tpch = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val extension = Seq("events", "documents", "embeddings")
   val all: Seq[String] = tpch ++ extension
 
-  /** Columns read as raw epoch-nanos longs under the legacy conf. */
-  private val nanosCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+  /** Columns that must surface as TimestampType, whatever the fixture's
+    * current physical encoding. A LongType here is interpreted as epoch
+    * NANOS (the legacy-conf read of parquet TIMESTAMP(NANOS)). */
+  private val tsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
-      acc.schema.find(f => f.name == c && f.dataType == LongType) match {
-        case Some(_) => acc.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-        case None    => acc
+  /** Fold any known timestamp encoding of `name`'s declared ts columns into
+    * µs TimestampType. NTZ→Timestamp is a plain cast: in a UTC session the
+    * wall-clock fields are preserved verbatim, which is the oracle contract
+    * (DuckDB reads the same parquet as naive timestamps). */
+  private[core] def normalizeTimestamps(df: DataFrame, name: String): DataFrame =
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+      acc.schema.find(_.name == c).map(_.dataType) match {
+        case Some(LongType) => // epoch nanos under the legacy conf: floor to µs
+          acc.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case Some(TimestampNTZType) => // tz-naive micros: same wall clock in UTC
+          acc.withColumn(c, col(c).cast(TimestampType))
+        case _ => acc
       }
     }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"), name)
+    // Fixture-drift tripwire: a new physical encoding must fail HERE, named.
+    tsCols.getOrElse(name, Nil).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == TimestampType,
+        s"fixture drift: $name.$c is $dt after normalization (expected TimestampType) — " +
+          s"the driver regenerated $dir/$name.parquet with an encoding Tables.normalizeTimestamps " +
+          "does not handle; extend it (graft/core/Tables.scala)")
+    }
+    df
   }
 }

@@ -89,10 +89,17 @@ object Streams {
   private def stageQ55(s: SparkSession, d: String): String =
     stageSplit(s, d, "events", "q55_watermark_3way", {
       val events = Tables(s, d, "events")
-      val wm1 = events.filter(col("event_id") % 2 === 0)
-        .agg(max(col("ts")) - expr("INTERVAL 1 HOUR")).collect()(0).getTimestamp(0)
+      // Extract the watermark scalar as epoch micros (a plain Long), not a
+      // java.sql.Timestamp: the JVM-side row type of a timestamp column
+      // depends on the reader's TZ inference (Timestamp vs LocalDateTime),
+      // and a getTimestamp here cast-crashed two whole bench rounds when
+      // the fixture encoding changed. A Long is encoding-proof.
+      val wmMicros = events.filter(col("event_id") % 2 === 0)
+        .agg(unix_micros(max(col("ts")).cast("timestamp") - expr("INTERVAL 1 HOUR")))
+        .collect()(0).getLong(0)
       val even = col("event_id") % 2 === 0
-      val windowOpen = date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY") > lit(wm1)
+      val windowOpen = (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).cast("timestamp") >
+        timestamp_micros(lit(wmMicros))
       Seq(even, !even && windowOpen, !even && !windowOpen)
     })
 

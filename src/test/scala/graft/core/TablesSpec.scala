@@ -1,14 +1,15 @@
 package graft.core
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.GraftSuite
 
-/** The fixture loader's one tricky seam: the driver writes `events.ts` as
-  * parquet TIMESTAMP(NANOS), which Spark's reader cannot represent. The
-  * session reads it as epoch-nanos long (legacy conf) and Tables restores
-  * µs TimestampType. Everything downstream assumes this worked. */
+/** The fixture loader's one tricky seam: the driver has shipped `events.ts`
+  * as parquet TIMESTAMP(NANOS) (→ epoch-nanos LongType under the legacy
+  * conf) in some rounds and tz-naive timestamp[us] in others. Tables must
+  * fold EITHER encoding into µs TimestampType, and fail with a named error
+  * on anything else. Everything downstream assumes this worked. */
 class TablesSpec extends GraftSuite {
 
   test("all fixture tables load with plausible relative sizes") {
@@ -22,12 +23,18 @@ class TablesSpec extends GraftSuite {
   test("events.ts is restored to TimestampType at microsecond precision") {
     val events = Tables(spark, sf, "events")
     assert(events.schema("ts").dataType == TimestampType)
-    // raw nanos (legacy read) floor-div 1000 must equal our micros exactly
+    // Whatever the current fixture encoding, the loader's micros must equal
+    // the micros derived independently from the raw read.
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    assert(raw.schema("ts").dataType == LongType, "fixture no longer nanos — update Tables")
+    val rawMicros = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000") // legacy nanos read
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case dt               => fail(s"unexpected raw encoding $dt — extend this test with Tables")
+    }
     val viaLoader = events.select(unix_micros(col("ts"))).as[Long](spark.implicits.newLongEncoder)
       .collect().sorted
-    val viaRaw = raw.select(expr("ts div 1000")).as[Long](spark.implicits.newLongEncoder)
+    val viaRaw = raw.select(rawMicros.cast("long")).as[Long](spark.implicits.newLongEncoder)
       .collect().sorted
     assert(viaLoader === viaRaw)
   }
@@ -37,5 +44,28 @@ class TablesSpec extends GraftSuite {
       .agg(min(col("ts")).cast("string"), max(col("ts")).cast("string")).collect()(0)
     assert(r.getString(0).startsWith("2024-"), s"min ts ${r.getString(0)}")
     assert(r.getString(1).startsWith("2024-"), s"max ts ${r.getString(1)}")
+  }
+
+  test("normalizeTimestamps folds both known encodings; tripwire names new ones") {
+    import spark.implicits._
+    // NTZ encoding (the round-8 fixture regeneration): cast survives with
+    // identical wall clock in the UTC session.
+    val ntz = Seq("2024-03-01 12:34:56.789012").toDF("s")
+      .select(expr("cast(s as timestamp_ntz)").as("ts"))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val fromNtz = Tables.normalizeTimestamps(ntz, "events")
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    // Epoch-nanos LongType encoding (the original fixture): floored to µs.
+    val micros = fromNtz.select(unix_micros(col("ts"))).as[Long].head()
+    val nanos = Seq(micros * 1000L + 999L).toDF("ts") // sub-µs residue must floor away
+    val fromNanos = Tables.normalizeTimestamps(nanos, "events")
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    assert(fromNanos.select(unix_micros(col("ts"))).as[Long].head() == micros)
+    // Identical instants either way.
+    assert(fromNtz.select(col("ts").cast("string")).as[String].head() ==
+      fromNanos.select(col("ts").cast("string")).as[String].head())
+    // A non-ts table passes through untouched.
+    val other = Seq(1).toDF("x")
+    assert(Tables.normalizeTimestamps(other, "nation").schema == other.schema)
   }
 }
