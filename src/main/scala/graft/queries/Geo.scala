@@ -79,6 +79,36 @@ object Geo {
 
   private val ghPrecision = 3
 
+  /** Ray-cast (even-odd) point-in-polygon as ONE arithmetic SQL fragment
+    * shared verbatim by both engines: for each edge, a crossing test
+    * `(y1 > lat) <> (y2 > lat) AND lon < x-intercept`, summed and taken
+    * mod 2. Unrolled edges are plain CASE/compare/divide arithmetic —
+    * fully inside whole-stage codegen and pushable to the scan once
+    * lat/lon are real columns (the q88 bbox posture). Both engines
+    * evaluate the identical IEEE-double expression, so cross-engine
+    * equality is exact by construction, boundary points included. For
+    * polygons too large to unroll (hundreds of vertices) the scale path is
+    * a custom codegen'd Expression holding the vertex array, same test.
+    * Vertices must avoid horizontal edges (y1 == y2 divides by zero);
+    * [[polygon]] below keeps all latitudes distinct. */
+  def pointInPolygonSql(latCol: String, lonCol: String,
+                        poly: Seq[(Double, Double)]): String = {
+    require(poly.size >= 3, "polygon needs >= 3 vertices")
+    poly.indices.map { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.size)
+      require(y1 != y2, s"horizontal edge at vertex $i (ray-cast div-by-zero)")
+      s"(CASE WHEN (($y1 > $latCol) <> ($y2 > $latCol)) AND " +
+        s"($lonCol < ($x2 - $x1) * ($latCol - $y1) / ($y2 - $y1) + $x1) THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ") % 2 = 1")
+  }
+
+  /** q189's query polygon: an irregular (convexity not assumed — the
+    * ray-cast handles concave rings too) pentagon over the synthesized
+    * coordinate space, (lat, lon) pairs, all latitudes distinct. */
+  val polygon: Seq[(Double, Double)] = Seq(
+    (5.01, 30.02), (55.03, 20.01), (60.07, 80.04), (30.05, 120.06), (-10.03, 70.08))
+
   val entries: Seq[Entry] = Seq(
 
     // ES geo_distance: customers within 2000 km of the query point. The
@@ -148,6 +178,20 @@ object Geo {
              round(min(col("lon")), 6).as("left_lon"),
              round(max(col("lon")), 6).as("right_lon"))
         .orderBy(col("seg"))
+    },
+
+    // ES geo_polygon: customers inside an arbitrary polygon ring — the one
+    // 6.3 geo filter beyond distance/bbox/grid. Same scan + pushable-filter
+    // shape as q88; the predicate is the unrolled ray-cast fragment.
+    Entry("q189_geo_polygon",
+      s"""WITH g AS (SELECT c_custkey, $latSql AS lat, $lonSql AS lon FROM customer)
+        |SELECT c_custkey, lat, lon FROM g
+        |WHERE ${pointInPolygonSql("lat", "lon", polygon)}
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T(s, d, "customer")
+        .select(col("c_custkey"), expr(latSql).as("lat"), expr(lonSql).as("lon"))
+        .filter(expr(pointInPolygonSql("lat", "lon", polygon)))
+        .orderBy(col("c_custkey"))
     },
 
     // ES geohash_grid: bucket count per geohash cell (precision 3).

@@ -329,6 +329,91 @@ object Relational {
              count(when(hit, 1)).as("deleted"),
              count(when(!hit, 1)).as("docs_after"))
         .orderBy(col("lang"))
+    },
+
+    // ES parent-child family (join datatype / `has_child` + `inner_hits`,
+    // ES 6.3 query DSL). Parent = customer, children = that customer's
+    // orders. `has_child(filter)` returns PARENTS with >= 1 matching
+    // child; `inner_hits(size=1)` attaches the best-scoring child (here:
+    // highest o_totalprice, orderkey tie-break — deterministic). Shape at
+    // 100 TB: ONE window pass over the filtered child table partitioned by
+    // the parent key (rank + per-parent count in the same pass — no
+    // self-join), then a key-co-located join to parents; both shuffles are
+    // on the same key, and the child filter is pushed to the scan. This is
+    // the standard "children live with their parent's routing shard" ES
+    // layout expressed as co-partitioning.
+    Entry("q188_has_child",
+      """WITH hits AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_custkey) AS n_hits
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+        |)
+        |SELECT c_custkey, c_name, CAST(n_hits AS BIGINT) AS n_hits,
+        |       o_orderkey AS top_order, o_totalprice AS top_price
+        |FROM customer JOIN hits ON o_custkey = c_custkey
+        |WHERE rn = 1 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byParent = Window.partitionBy(col("o_custkey"))
+      val hits = T(s, d, "orders")
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 150000)
+        .withColumn("rn", row_number().over(
+          byParent.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .withColumn("n_hits", count(lit(1)).over(byParent))
+        .filter(col("rn") === 1)
+      T(s, d, "customer")
+        .join(hits, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+                col("n_hits").cast("bigint").as("n_hits"),
+                col("o_orderkey").as("top_order"),
+                col("o_totalprice").as("top_price"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ES `has_parent`: children whose PARENT matches a filter. The parent
+    // side after its filter is small relative to the child table, so it
+    // broadcasts and the child scan stays shuffle-free — at 100 TB this is
+    // the only viable plan (children outnumber parents ~10:1 here, far
+    // more in a real corpus). Semi join = ES's "return child hits, parent
+    // fields not projected" contract.
+    Entry("q188_has_parent",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val parents = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      T(s, d, "orders")
+        .join(broadcast(parents), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ES `nested` query: documents carrying an ARRAY of sub-objects, where
+    // the predicate must match within ONE element (not across elements —
+    // the whole point of nested vs object mapping). Orders are materialized
+    // as nested docs (order + array<struct> of line items) and the query is
+    // an `exists()` higher-order predicate over the array, so both nested
+    // conditions are tested against the SAME element. The nested build is
+    // one collect_list aggregation on the child key, co-keyed with the
+    // parent join — at 100 TB this is exactly the denormalized-document
+    // materialization an ES indexer performs at write time, done once and
+    // amortized across queries (the reference's ES does the same: nested
+    // docs are built at index time, queried many times).
+    Entry("q188_nested",
+      """SELECT o_orderkey FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 49 AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val nestedDocs = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+      T(s, d, "orders")
+        .join(nestedDocs, col("l_orderkey") === col("o_orderkey"))
+        .filter(exists(col("items"),
+          it => it("l_quantity") > 49 && it("l_returnflag") === "R"))
+        .select(col("o_orderkey"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

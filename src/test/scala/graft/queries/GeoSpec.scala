@@ -40,4 +40,37 @@ class GeoSpec extends GraftSuite {
         s"custkey=${r.getLong(0)} lat=${r.getDouble(1)} lon=${r.getDouble(2)}")
     }
   }
+
+  /** Independent even-odd reference (java.awt-free): same crossing rule,
+    * implemented in Scala instead of generated SQL. */
+  private def inPoly(lat: Double, lon: Double, poly: Seq[(Double, Double)]): Boolean =
+    poly.indices.count { i =>
+      val (y1, x1) = poly(i)
+      val (y2, x2) = poly((i + 1) % poly.size)
+      ((y1 > lat) != (y2 > lat)) && (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)
+    } % 2 == 1
+
+  test("ray-cast SQL matches a reference implementation, concave ring included") {
+    import spark.implicits._
+    // A concave quadrilateral (arrowhead): the notch at (20, 60) puts points
+    // "between the wings" OUTSIDE even though they are inside the hull —
+    // exactly what a winding-unaware bbox or hull test would get wrong.
+    val concave = Seq((0.01, 20.02), (40.03, 50.04), (0.05, 80.06), (20.07, 60.08))
+    val pts = for (lat <- -5 to 45; lon <- 15 to 85) yield (lat + 0.5, lon + 0.5)
+    val got = pts.toDF("lat", "lon")
+      .select(col("lat"), col("lon"),
+        expr(Geo.pointInPolygonSql("lat", "lon", concave)).as("in"))
+      .collect()
+    var inside = 0
+    got.foreach { r =>
+      val want = inPoly(r.getDouble(0), r.getDouble(1), concave)
+      if (want) inside += 1
+      assert(r.getBoolean(2) === want, s"(${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+    assert(inside > 100, s"degenerate test grid: only $inside inside points")
+    // Horizontal edges are rejected at generation time, not at runtime.
+    intercept[IllegalArgumentException] {
+      Geo.pointInPolygonSql("lat", "lon", Seq((1.0, 0.0), (1.0, 5.0), (3.0, 2.0)))
+    }
+  }
 }
