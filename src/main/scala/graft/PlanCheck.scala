@@ -1,0 +1,16 @@
+package graft
+/** Scratch diagnostic main (not part of the library surface). */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.GraftSession.local(16)
+    val e = SparkEntry.allEntries.find(_.name == args(0)).get
+    val df = e.fn(spark, args(1))
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => println("EXCH: " + l.trim.take(200)))
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"${args(0)} ${args(1)}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -468,34 +468,57 @@ object Streams {
     // Ingest-time near-dup detection: each ARRIVING document probes the
     // corpus shingle index (the staged TokenIndex.shingles3 — at a
     // deployment, the index the write path maintains) for existing docs
-    // sharing 3-shingles, and per-pair intersection counts accumulate as
-    // streaming state. The per-row analysis chain (tokenize -> shingle ->
-    // hash -> distinct) is the stateless map side; the stream-static join
-    // on the 64-bit shingle hash is the index lookup; the pair-count agg
-    // runs in Complete mode (counts are monotone across batches). Every
-    // unordered pair is discovered from BOTH endpoints across the replay
-    // (doc X's arrival counts (X,Y) fully against the static index, Y's
-    // arrival counts it again), so the drained count is exactly 2x the
-    // intersection — halved before the Jaccard gate. Result must equal
-    // the batch all-pairs twin (q61's oracle, shared text). The banded
-    // MinHash route stays bench-only (q61_minhash_lsh): banding recall
-    // < 1 can't meet a hash-equality contract.
+    // sharing 3-shingles. The per-row analysis chain (tokenize -> shingle
+    // -> hash -> distinct) is the stateless map side; the stream-static
+    // join on the 64-bit shingle hash is the index lookup. Pair counts
+    // use q183's ROLLUP posture instead of a stateful Complete-mode agg:
+    // a document's shingles all arrive in its batch, so per-pair
+    // intersection counts are per-batch-complete and ADDITIVE across
+    // batches — each micro-batch writes its partial pair counts to its
+    // own batch=<id> partition (idempotent under replay: a re-driven
+    // batch overwrites only itself) and the declared query merges
+    // partials with one sum. No state store at all: the previous
+    // Complete-mode agg held every pair ever seen and re-committed +
+    // re-emitted that entire state each batch (at 100 TB, cumulative
+    // duplicate volume — the dominant recorded cost at 12.7-15.2 s);
+    // here per-batch work is O(this batch's pairs) and the growing
+    // object is an append-only parquet index, compactable offline
+    // exactly like q183's (rollupCompact). Every unordered pair is
+    // discovered from BOTH endpoints across the replay (doc X's arrival
+    // counts (X,Y) fully against the static index, Y's arrival counts it
+    // again), so the merged count is exactly 2x the intersection —
+    // halved before the Jaccard gate. Result must equal the batch
+    // all-pairs twin (q61's oracle, shared text). The banded MinHash
+    // route stays bench-only (q61_minhash_lsh): banding recall < 1
+    // can't meet a hash-equality contract.
     Entry("q142_stream_neardup_ingest", graft.text.Text.neardupPairsOracleSql) { (s, d) =>
       val shStatic = graft.text.TokenIndex.shingles3(s, d)   // (doc_id, h)
       val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val arriving = graft.text.Text.arrivingShingles(readStreamTable(s, d, "documents"))
-        .select(col("doc_id").as("new_id"), col("h").as("hn"))
-      val counted = arriving
-        .join(shStatic, col("hn") === col("h") && col("new_id") =!= col("doc_id"))
-        .groupBy(least(col("new_id"), col("doc_id")).as("doc_a"),
-                 greatest(col("new_id"), col("doc_id")).as("doc_b"))
-        .agg(count(lit(1)).as("inter2"))
+      val src = stageSplit(s, d, "documents", "q142_neardup_3way",
+        Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1, col("doc_id") % 3 === 2))
+      val out = newStageDir("graft_neardup_out")
+      val ckpt = newStageDir("graft_neardup_ckpt")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+      graft.core.GraftSession.withShufflePartitions(s, 8) {
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.text.Text.arrivingShingles(batch)
+              .select(col("doc_id").as("new_id"), col("h").as("hn"))
+              .join(shStatic, col("hn") === col("h") && col("new_id") =!= col("doc_id"))
+              .groupBy(least(col("new_id"), col("doc_id")).as("doc_a"),
+                       greatest(col("new_id"), col("doc_id")).as("doc_b"))
+              .agg(count(lit(1)).as("inter2"))
+              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      val counted = s.read.parquet(out)
+        .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("inter2")).as("inter2"))
       val jac = (col("inter2") / 2) / (col("sa.sz") + col("sb.sz") - col("inter2") / 2)
-      // measured at sf0.1: widening to 32 state partitions does NOT help
-      // (10.9 s vs 9.8 s at 8) — the per-batch store-commit floor grows
-      // faster than the shingle-join shuffle width gains, so this stays on
-      // the shared 8-partition default
-      runToMemory(counted, OutputMode.Complete())
+      counted
         .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
         .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
         .filter(jac >= 0.2)

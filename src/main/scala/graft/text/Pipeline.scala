@@ -507,11 +507,17 @@ object Pipeline {
     // windows — the "fraction of this doc that is copied text" signal the
     // suffix-array dedup of Lee et al. computes. Windows derive map-only
     // from the staged token index (x16 row blowup is the method's
-    // inherent cost; at 100 TB the window key becomes xxhash64(win) with
-    // the same plan shape — the string key keeps all three entry paths
-    // hash-identical, the q101/q107 lesson). One shuffle on the window
-    // key; `fl` is persisted because both the per-doc window counts and
-    // the coverage union consume it.
+    // inherent cost). The shuffle key is a 128-bit window fingerprint
+    // (two independently-seeded xxhash64s), NOT the ~100-byte window
+    // string: the count-per-window shuffle is the dominant payload and
+    // the hash pair cuts it ~6x while keeping collision probability
+    // ~n^2/2^129 — still negligible at 100 TB's ~1e12 windows, where a
+    // SINGLE 64-bit key would already be ~3% birthday-bound. The window
+    // string is dropped before the exchange; the oracle/twin SQL keeps
+    // the string key (equal counts as long as the fingerprint is
+    // collision-free, which the width guarantees). `fl` is persisted
+    // because both the per-doc window counts and the coverage union
+    // consume it.
     Entry("q146_window_dedup",
       s"""WITH ${Text.wordsCtesSql},
         |w16 AS (SELECT doc_id, unnest(range(len(ws) - 15)) AS start, ws
@@ -540,7 +546,11 @@ object Pipeline {
                 posexplode(transform(sequence(lit(0), size(col("ws")) - 16),
                   i => array_join(slice(col("ws"), i + 1, lit(16)), " "))))
         .withColumnRenamed("pos", "start").withColumnRenamed("col", "win")
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("win"))))
+        // 128-bit fingerprint replaces the string BEFORE the exchange —
+        // the projection drops `win`, so the shuffle carries 16 bytes/row.
+        .select(col("doc_id"), col("start"),
+                xxhash64(col("win")).as("h1"), xxhash64(lit("g2"), col("win")).as("h2"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h1"), col("h2"))))
         .persist()   // feeds pd (window counts) AND cv (coverage union)
       val pd = fl.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_windows"),
