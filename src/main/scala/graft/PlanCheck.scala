@@ -8,9 +8,13 @@ object PlanCheck {
     val plan = df.queryExecution.executedPlan.toString
     plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
       .foreach(l => println("EXCH: " + l.trim.take(200)))
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"${args(0)} ${args(1)}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      e.fn(spark, args(1)).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      println(f"${args(0)} ${args(1)} rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -267,6 +267,29 @@ object Metrics {
       movingModels(s, d)
     }.sqlTwin(movingModelsTwinSql),
 
+    // ES moving_avg `holt_winters` — the seasonal member of the q164
+    // family (additive type; ES 6.3 defaults alpha=0.3, beta=0.1,
+    // gamma=0.3; period 7 here, window 14 = ES's enforced 2x-period
+    // minimum). Textbook additive seeding over the first period: level =
+    // mean of season one, trend = mean per-step slope between seasons one
+    // and two, seasonal index s_i = x_i - level; then seven recursion
+    // steps (t = 8..14) update (l, b, s_idx) and the one-step forecast is
+    // l + b + s_next. The 3-variable-plus-seasonal-vector recursion
+    // unrolls into seven chained projections threading columns l, b,
+    // s1..s7 (one seasonal slot rewritten per step — q164's holt posture
+    // extended with the seasonal vector; Catalyst collapses the chain).
+    // Rows with m < 14 yield NULL (ES emits nothing until the window
+    // fills); every arr access sits behind the m = 14 CASE guard, so
+    // ANSI element_at never sees an out-of-range index. Scale: identical
+    // to q164 — everything after the daily pre-agg runs over O(days)
+    // rows; the single-partition window is over buckets, never source
+    // rows.
+    Entry("q190_holt_winters", holtWintersSql(
+      i => s"arr[$i]", "list", "len")) { (s, d) =>
+      holtWinters(s, d)
+    }.sqlTwin(holtWintersSql(
+      i => s"element_at(arr, $i)", "collect_list", "size")),
+
     // The ES SIBLING pipeline-agg family over one date_histogram:
     // min_bucket / max_bucket / avg_bucket / sum_bucket / stats_bucket
     // (the bucket count) computed over the per-day avg(value) metric,
@@ -373,6 +396,85 @@ object Metrics {
        |        (acc, x) -> acc + x), 6) AS ewma7,
        |  ROUND(l + b, 6) AS holt7
        |FROM g7 ORDER BY day""".stripMargin
+  }
+
+  // ---- q190 holt_winters: shared fragment generators --------------------
+  // `at(i)` renders a 1-based frame access (DuckDB `arr[i]`, Spark
+  // `element_at(arr, i)`); every occurrence is guarded by `m = 14` so the
+  // index is always in range. alpha=0.3, beta=0.1, gamma=0.3, period=7.
+
+  private def hwGuard(body: String): String =
+    s"CASE WHEN m = 14 THEN $body ELSE CAST(NULL AS DOUBLE) END"
+
+  private def hwSeedL(at: Int => String): String =
+    hwGuard((1 to 7).map(at).mkString("(", " + ", ") / 7.0"))
+
+  private def hwSeedB(at: Int => String): String =
+    hwGuard((1 to 7).map(i => s"(${at(i + 7)} - ${at(i)})")
+      .mkString("(", " + ", ") / 49.0"))
+
+  private def hwSeedS(at: Int => String, i: Int): String =
+    hwGuard(s"${at(i)} - l")
+
+  /** Step t in 8..14: returns (l', b', s_idx') with l' inlined where the
+    * other two reference it (each step stays a single projection). */
+  private def hwStep(at: Int => String, t: Int): (String, String, String, Int) = {
+    val idx = ((t - 1) % 7) + 1
+    val lnew = hwGuard(s"0.3 * (${at(t)} - s$idx) + 0.7 * (l + b)")
+    val bnew = hwGuard(s"0.1 * (($lnew) - l) + 0.9 * b")
+    val snew = hwGuard(s"0.3 * (${at(t)} - ($lnew)) + 0.7 * s$idx")
+    (lnew, bnew, snew, idx)
+  }
+
+  /** The full q190 SQL for either dialect (`listFn`/`lenFn` are the only
+    * dialect seams beyond `at`). After the seven steps the next bucket is
+    * t = 15, whose seasonal slot is s1 (updated at t = 8). */
+  private def holtWintersSql(at: Int => String, listFn: String, lenFn: String): String = {
+    val sSeed = (1 to 7).map(i => s"(${hwSeedS(at, i)}) AS s$i").mkString(", ")
+    val steps = (8 to 14).map { t =>
+      val (lnew, bnew, snew, idx) = hwStep(at, t)
+      val sCols = (1 to 7)
+        .map(i => if (i == idx) s"($snew) AS s$i" else s"s$i").mkString(", ")
+      s"hw$t AS (SELECT day, n, arr, m, ($lnew) AS l, ($bnew) AS b, $sCols FROM hw${t - 1})"
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |base AS (SELECT day, n,
+       |    $listFn(CAST(n AS DOUBLE)) OVER (ORDER BY day
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS arr FROM h),
+       |m0 AS (SELECT day, n, arr, $lenFn(arr) AS m FROM base),
+       |sd AS (SELECT day, n, arr, m, (${hwSeedL(at)}) AS l, (${hwSeedB(at)}) AS b FROM m0),
+       |hw7 AS (SELECT day, n, arr, m, l, b, $sSeed FROM sd),
+       |$steps
+       |SELECT day, n, ROUND(l + b + s1, 6) AS hw_forecast
+       |FROM hw14 ORDER BY day""".stripMargin
+  }
+
+  /** q190's DataFrame implementation: q164's chained-projection posture
+    * with the seasonal vector threaded as columns s1..s7. */
+  private def holtWinters(s: SparkSession, d: String): DataFrame = {
+    val at = (i: Int) => s"element_at(arr, $i)"
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    var df = T(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("arr", collect_list(col("n").cast("double")).over(w))
+      .withColumn("m", size(col("arr")))
+      .withColumn("l", expr(hwSeedL(at)))
+      .withColumn("b", expr(hwSeedB(at)))
+    for (i <- 1 to 7) df = df.withColumn(s"s$i", expr(hwSeedS(at, i)))
+    for (t <- 8 to 14) {
+      val (lnew, bnew, snew, idx) = hwStep(at, t)
+      df = df.withColumn("l_n", expr(lnew)).withColumn("b_n", expr(bnew))
+        .withColumn("s_n", expr(snew))
+        .drop("l", "b", s"s$idx")
+        .withColumnRenamed("l_n", "l").withColumnRenamed("b_n", "b")
+        .withColumnRenamed("s_n", s"s$idx")
+    }
+    df.select(col("day"), col("n"),
+        round(col("l") + col("b") + col("s1"), 6).as("hw_forecast"))
+      .orderBy(col("day"))
   }
 
   /** q164's implementation: daily pre-agg, framed collect, closed-form

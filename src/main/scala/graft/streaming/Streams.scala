@@ -103,16 +103,34 @@ object Streams {
       Seq(even, !even && windowOpen, !even && !windowOpen)
     })
 
+  /** Deterministic 3-way arrival split of a table on its key column —
+    * shared by the incremental entries (q142/q158/q183) and [[prestage]]
+    * so each split is defined once and the memoized cache serves both. */
+  private def stage3Way(s: SparkSession, d: String, table: String, key: String,
+                        idCol: String): String =
+    stageSplit(s, d, table, key,
+      Seq(col(idCol) % 3 === 0, col(idCol) % 3 === 1, col(idCol) % 3 === 2))
+
+  private[streaming] def stageQ142(s: SparkSession, d: String): String =
+    stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
+  private[streaming] def stageQ158(s: SparkSession, d: String): String =
+    stage3Way(s, d, "documents", "q158_index_maintenance", "doc_id")
+  private[streaming] def stageQ183(s: SparkSession, d: String): String =
+    stage3Way(s, d, "events", "q183_rollup_job", "event_id")
+
   /** Pre-build every staged stream-source dir (bench hygiene, VERDICT r3 #7):
     * staging is harness machinery that converts a static table into the
     * file-stream dir a production deployment would already have — it is not
     * query-serving work, so Bench runs this untimed before the first
     * streaming query instead of letting the memoized first hit land inside
-    * q51's timing. */
+    * that query's timing. */
   def prestage(s: SparkSession, dir: String): Unit = {
     stage(s, dir, "events", 1)
     stage(s, dir, "events", 2)
     stageQ55(s, dir)
+    stageQ142(s, dir)
+    stageQ158(s, dir)
+    stageQ183(s, dir)
     ()
   }
 
@@ -494,8 +512,7 @@ object Streams {
     Entry("q142_stream_neardup_ingest", graft.text.Text.neardupPairsOracleSql) { (s, d) =>
       val shStatic = graft.text.TokenIndex.shingles3(s, d)   // (doc_id, h)
       val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val src = stageSplit(s, d, "documents", "q142_neardup_3way",
-        Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1, col("doc_id") % 3 === 2))
+      val src = stageQ142(s, d)
       val out = newStageDir("graft_neardup_out")
       val ckpt = newStageDir("graft_neardup_ckpt")
       val schema = s.read.parquet(src).schema
@@ -557,8 +574,7 @@ object Streams {
         |SELECT t.doc_id, CAST(COALESCE(c.n_shingles, 0) AS BIGINT) AS n_shingles
         |FROM toks t LEFT JOIN cnt c ON c.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val src = stageSplit(s, d, "documents", "q158_index_maintenance",
-        Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1, col("doc_id") % 3 === 2))
+      val src = stageQ158(s, d)
       val schema = s.read.parquet(src).schema
       val arriving = graft.text.Text.arrivingShingles(
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src))
@@ -601,9 +617,7 @@ object Streams {
         |  ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v,
         |  ROUND(SUM(value) / COUNT(*), 6) AS avg_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val src = stageSplit(s, d, "events", "q183_rollup_job",
-        Seq(col("event_id") % 3 === 0, col("event_id") % 3 === 1,
-            col("event_id") % 3 === 2))
+      val src = stageQ183(s, d)
       val out = newStageDir("graft_rollup_out")
       rollupDrain(s, src, out)
       rollupMerge(s, out)
