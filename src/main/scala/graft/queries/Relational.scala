@@ -414,6 +414,36 @@ object Relational {
           it => it("l_quantity") > 49 && it("l_returnflag") === "R"))
         .select(col("o_orderkey"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ES `children` AGGREGATION — the bucket-agg counterpart of q188's
+    // has_child query: a terms agg on a PARENT field whose buckets then
+    // aggregate over each parent's CHILDREN (per-segment child count +
+    // child metric). The oracle states it as the naive parent-child join
+    // + AVG; the plan pre-aggregates children to parent grain FIRST (one
+    // shuffle on the routing key: per-parent count + sum partials), joins
+    // co-keyed to parents, and folds segment buckets from O(parents)
+    // partial rows with a map-side-combinable agg — at 100 TB the
+    // segment fold never sees child-grain rows, and avg = summed
+    // sums / summed counts (the q183 merge rule). `parent_id`, the last
+    // family member, is a plain term filter on the routing key (q06's
+    // shape) and needs no separate entry.
+    Entry("q191_children_agg",
+      """SELECT c_mktsegment AS seg,
+        |  COUNT(DISTINCT c.c_custkey) AS n_parents,
+        |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_children,
+        |  ROUND(SUM(o.o_totalprice) / COUNT(o.o_orderkey), 4) AS avg_child_price
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ch = T(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cn"), sum(col("o_totalprice")).as("cs"))
+      T(s, d, "customer")
+        .join(ch, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_parents"),
+             sum(coalesce(col("cn"), lit(0L))).cast("bigint").as("n_children"),
+             round(sum(col("cs")) / sum(col("cn")), 4).as("avg_child_price"))
+        .orderBy(col("seg"))
     }
   )
 }
