@@ -30,6 +30,16 @@ object Verify {
       } catch { case e: Throwable =>
         status(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${status(name)}")
+        // Leave a sentinel parquet so the driver's compare (which walks
+        // outDir) reports a visible schema/hash MISMATCH row for this
+        // entry instead of silently omitting it from the round report —
+        // absence proved indistinguishable from "not declared" in two
+        // prior rounds.
+        try {
+          import spark.implicits._
+          Seq(status(name)).toDF("__verify_error__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       finally spark.catalog.clearCache()  // drop per-query persisted intermediates
     }
