@@ -163,6 +163,55 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.toLowerCase.contains("parquet"), s"_analyze must not scan a table:\n$p")
   }
 
+  test("q146_window_dedup: the window-count exchange carries fingerprints, not window strings") {
+    // the 128-bit (h1, h2) fingerprint replaces the ~100-byte window
+    // string as the shuffle key, and the string must be projected away
+    // BEFORE the exchange — a `win` attribute in any hashpartitioning
+    // spec means the payload diet regressed
+    val p = planOf("q146_window_dedup")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.exists(_.contains("h1#")), s"expected an (h1, h2) exchange:\n$p")
+    assert(!exchanges.exists(_.contains("win#")),
+      s"window string must not ride a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q188_has_parent: filtered parent side broadcasts into a left-semi probe") {
+    // children outnumber parents; the child scan must stay shuffle-free
+    val p = planOf("q188_has_parent")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi join:\n$p")
+    // the parent filter must reach the parent scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"parent filter not pushed:\n$p")
+  }
+
+  test("q188_has_child: one window pass over children — no self-join for n_hits") {
+    // rank + per-parent count share one Window operator chain; a second
+    // child scan or a child-child join would double the heavy side
+    val p = planOf("q188_has_child")
+    assert(!p.contains("SortMergeJoin(") || "Join".r.findAllIn(p).size <= 2,
+      s"expected a single parent-child join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"children must scan once:\n$p")
+  }
+
+  test("q189_geo_polygon: ray-cast is a join-free scan filter inside codegen") {
+    val p = planOf("q189_geo_polygon")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"point-in-polygon must be a pure scan+filter plan:\n$p")
+  }
+
+  test("q191_children_agg: segment fold sees parent-grain rows (child pre-agg below the join)") {
+    // tree prints top-down: the child-side HashAggregate (group by
+    // o_custkey) must appear BELOW the join, so the segment agg above it
+    // only folds O(parents) rows
+    val p = planOf("q191_children_agg")
+    val join = p.indexOf("Join")
+    val childAgg = p.lastIndexOf("HashAggregate")
+    assert(join >= 0 && childAgg > join,
+      s"child pre-aggregation must sit below the parent join:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
