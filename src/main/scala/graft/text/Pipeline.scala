@@ -857,8 +857,90 @@ object Pipeline {
                 round(lit(1000000) * col("q") / col("z"), 0).cast("bigint").as("alloc_tok"),
                 round(lit(1000000) * col("q") / col("z") / col("n_tok"), 6).as("epochs"))
         .orderBy(col("lang"))
-    }
+    },
+
+    // PII redaction — the curation stage q163's blocklist doesn't cover:
+    // structured identifiers (emails, phone numbers, IP addresses)
+    // detected and masked by pattern, with per-doc counts for the
+    // curation report. The fixture corpus carries no PII by design, so
+    // the entry INJECTS deterministic synthetic PII first (a shared
+    // doc_id-keyed fragment, both engines) — the patterns then have
+    // real positives to find and the masked-text hash proves the
+    // rewrite is byte-identical across engines. Patterns use only
+    // character classes and bounded quantifiers (no lookaround, no
+    // backrefs) so Java regex and DuckDB's RE2 agree by construction.
+    // Scale: a pure map-only projection — counts and replacement are
+    // codegen'd per-row regex ops, no shuffle, no join; at 100 TB this
+    // is the cheapest stage in the pipeline and composes in front of
+    // q154's curation report like any other per-doc signal.
+    Entry("q192_pii_redact",
+      s"""WITH pii AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END AS t
+        |  FROM documents),
+        |red AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '$piiEmailRe')) AS INT) AS n_emails,
+        |    CAST(len(regexp_extract_all(t, '$piiPhoneRe')) AS INT) AS n_phones,
+        |    CAST(len(regexp_extract_all(t, '$piiIpRe')) AS INT) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '$piiEmailRe', '<EMAIL>', 'g'), '$piiPhoneRe', '<PHONE>', 'g'),
+        |      '$piiIpRe', '<IP>', 'g') AS redacted
+        |  FROM pii)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |  CAST(len(redacted) AS INT) AS redacted_len, md5(redacted) AS redacted_md5
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 7 === 0, lit(" call 555-867-5309")).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".7")))
+          .otherwise(""))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+                regexp_count(col("t"), lit(piiEmailRe)).cast("int").as("n_emails"),
+                regexp_count(col("t"), lit(piiPhoneRe)).cast("int").as("n_phones"),
+                regexp_count(col("t"), lit(piiIpRe)).cast("int").as("n_ips"),
+                regexp_replace(regexp_replace(regexp_replace(col("t"),
+                  piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"), piiIpRe, "<IP>")
+                  .as("redacted"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+                length(col("redacted")).cast("int").as("redacted_len"),
+                md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      // structural gaps: Spark string literals process backslash escapes
+      // (patterns need doubled backslashes), regexp_count replaces
+      // len(regexp_extract_all), regexp_replace is global by default
+      s"""WITH pii AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS STRING) || '.7' ELSE '' END AS t
+        |  FROM documents),
+        |red AS (SELECT doc_id,
+        |    CAST(regexp_count(t, '${piiEmailRe.replace("\\", "\\\\")}') AS INT) AS n_emails,
+        |    CAST(regexp_count(t, '${piiPhoneRe.replace("\\", "\\\\")}') AS INT) AS n_phones,
+        |    CAST(regexp_count(t, '${piiIpRe.replace("\\", "\\\\")}') AS INT) AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '${piiEmailRe.replace("\\", "\\\\")}', '<EMAIL>'),
+        |      '${piiPhoneRe.replace("\\", "\\\\")}', '<PHONE>'),
+        |      '${piiIpRe.replace("\\", "\\\\")}', '<IP>') AS redacted
+        |  FROM pii)
+        |SELECT doc_id, n_emails, n_phones, n_ips,
+        |  CAST(length(redacted) AS INT) AS redacted_len, md5(redacted) AS redacted_md5
+        |FROM red ORDER BY doc_id""".stripMargin)
   )
+
+  /** q192's PII patterns — character classes + bounded quantifiers only,
+    * so Java regex (Spark) and RE2 (DuckDB) agree by construction.
+    * (defs, not vals: `entries` above initializes first and would read
+    * null vals declared below it.) */
+  private def piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private def piiPhoneRe = "555-[0-9]{3}-[0-9]{4}"
+  private def piiIpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** The C4-style blocked-term dictionary (terms chosen to exist in the
     * synthetic corpus so the filter exercises both branches; a deployment
