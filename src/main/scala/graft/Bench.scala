@@ -39,7 +39,9 @@ object Bench {
     // timings in two prior rounds).
     val ingest0 = System.nanoTime()
     def staged(label: String)(body: => Unit): Unit =
-      try body catch { case t: Throwable =>
+      try body catch { case scala.util.control.NonFatal(t) =>
+        // NonFatal only: a dying JVM (OOM, LinkageError) must abort the
+        // run, not degrade into ~190 misleading per-entry failures
         System.err.println(s"[bench] staging '$label' failed (queries needing it will fail individually): $t")
       }
     staged("token-index")(graft.text.TokenIndex.ensure(spark, sfDir))

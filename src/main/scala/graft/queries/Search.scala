@@ -366,12 +366,16 @@ object Search {
     // scoring with the q118 bigram LM: per position, the top-3
     // edit-distance-2 vocabulary candidates by frequency; every candidate
     // pair scored by add-1-smoothed ln p(w1) + ln p(w2 | w1) — context can
-    // overrule raw term frequency. Corpus-side
-    // work is two hash aggs (unigrams, bigrams) over the staged token
-    // index; candidate sets are O(1) rows, and the bigram lookup
-    // SEMI-filters the corpus bigram table through the broadcast 9-pair
-    // key set first, so the left join is broadcast-hash on the tiny
-    // matched slice — the full bigram table never shuffles.
+    // overrule raw term frequency. Corpus-side work: ONE vocab-sized
+    // unigram hash agg (stats + candidate picks + scoring all read it),
+    // then one map-side pass over the token index whose exploded bigrams
+    // are filtered by LITERAL isin predicates on the collected ≤3+3
+    // candidate endpoints BEFORE the count agg — the bigram exchange only
+    // ever carries matched rows (≤9 keys), never the corpus bigram table.
+    // (Round 10 grouped the full bigram table first and semi-joined after;
+    // Catalyst does not push a join below an aggregate, so that shuffled
+    // O(distinct bigrams) for a 9-pair lookup. PlanShapeSpec pins the
+    // filter-below-aggregate shape.)
     Entry("q159_phrase_suggester",
       s"""WITH ${graft.text.Text.wordsCtesSql},
         |uni AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
@@ -396,35 +400,42 @@ object Search {
         |SELECT s1, s2, score FROM ph
         |ORDER BY score DESC, s1, s2 LIMIT 5""".stripMargin) { (s, d) =>
       import s.implicits._
-      val words = graft.text.TokenIndex.words(s, d)
-      val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      // corpus stats: two tiny driver scalars (the q153/tfidfParts posture)
-      val t = words.count()
-      val v = uni.count()
-      val big = graft.text.TokenIndex.toks(s, d)
+      // One vocab-sized unigram agg, cached: corpus stats, both candidate
+      // picks, and scoring all read it (three tiny jobs on the cache).
+      val uni = graft.text.TokenIndex.words(s, d)
+        .groupBy(col("w")).agg(count(lit(1)).as("c")).cache()
+      // t (total tokens) + v (vocab size) in ONE agg over uni — the
+      // round-10 shape paid two extra full corpus/vocab count jobs.
+      val stats = uni.agg(sum(col("c")).as("t"), count(lit(1)).as("v")).head()
+      val t = stats.getLong(0)
+      val v = stats.getLong(1)
+      // Top-3 edit-distance-2 candidates per position: ≤3 (w, c) rows
+      // each, collected — bounded driver scalars (the q153 posture).
+      def cands(term: String): Array[(String, Long)] =
+        uni.filter(levenshtein(lit(term), col("w")) <= 2)
+          .orderBy(col("c").desc, col("w")).limit(3)
+          .as[(String, Long)].collect()
+      val c1 = cands("sow")
+      val c2 = cands("pat")
+      // Literal isin on the candidate endpoints below the count agg: the
+      // bigram exchange carries only matched rows, never the full table.
+      val bigSlice = graft.text.TokenIndex.toks(s, d)
         .filter(size(col("ws")) >= 2)
         .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
           i => struct(element_at(col("ws"), i + 1).as("w1"),
                       element_at(col("ws"), i + 2).as("w2")))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1").isin(c1.map(_._1).toSeq: _*) &&
+                col("w2").isin(c2.map(_._1).toSeq: _*))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      def cands(term: String, sCol: String, cCol: String) = {
-        val w = Window.orderBy(col("c").desc, col("w"))
-        uni.filter(levenshtein(lit(term), col("w")) <= 2)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-          .select(col("w").as(sCol), col("c").as(cCol))
-      }
-      val pairs = cands("sow", "s1", "cu1").crossJoin(cands("pat", "s2", "cu2"))
-      val bigSlice = big.join(broadcast(pairs.select(col("s1"), col("s2"))),
-        col("w1") === col("s1") && col("w2") === col("s2"))
-        .select(col("w1"), col("w2"), col("c12"))
+      val pairs = (for { (s1, cu1) <- c1.toSeq; (s2, _) <- c2.toSeq }
+        yield (s1, s2, cu1)).toDF("s1", "s2", "cu1")
       pairs.join(broadcast(bigSlice),
           col("s1") === col("w1") && col("s2") === col("w2"), "left")
-        .select(col("s1"), col("s2"), col("cu1"),
+        .select(col("s1"), col("s2"),
                 round(log((col("cu1") + 1.0) / (t + v)) +
                       log((coalesce(col("c12"), lit(0L)) + 1.0) / (col("cu1") + v)),
                       6).as("score"))
-        .select(col("s1"), col("s2"), col("score"))
         .orderBy(col("score").desc, col("s1"), col("s2"))
         .limit(5)
     },

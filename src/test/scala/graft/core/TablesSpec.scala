@@ -67,5 +67,43 @@ class TablesSpec extends GraftSuite {
     // A non-ts table passes through untouched.
     val other = Seq(1).toDF("x")
     assert(Tables.normalizeTimestamps(other, "nation").schema == other.schema)
+    // date32 encoding (a shape the driver could plausibly regenerate next):
+    // folded to midnight-UTC TimestampType.
+    val dated = Seq("2024-03-01").toDF("s").select(col("s").cast("date").as("ts"))
+    val fromDate = Tables.normalizeTimestamps(dated, "events")
+    assert(fromDate.schema("ts").dataType == TimestampType)
+    assert(fromDate.select(col("ts").cast("string")).as[String].head() == "2024-03-01 00:00:00")
+  }
+
+  test("lineitem.l_shipdate and orders.o_orderdate are restored to TimestampType") {
+    // Round-10 drift mode: these regenerated as tz-naive timestamp[us] and
+    // were NOT declared in tsCols, so the drift passed silently and broke
+    // the SELECT * oracle entries. Now declared + normalized.
+    assert(Tables(spark, sf, "lineitem").schema("l_shipdate").dataType == TimestampType)
+    assert(Tables(spark, sf, "orders").schema("o_orderdate").dataType == TimestampType)
+  }
+
+  test("full-schema tripwire names any drift: missing, renamed, extra, retyped") {
+    import spark.implicits._
+    // The real tables all pass (exercised implicitly by Tables.apply above),
+    // and a drifted shape fails with a named diagnosis.
+    val good = Tables(spark, sf, "nation")
+    Tables.checkSchema(good, sf, "nation") // no throw
+    val dropped = intercept[IllegalStateException] {
+      Tables.checkSchema(good.drop("n_name"), sf, "nation")
+    }
+    assert(dropped.getMessage.contains("fixture drift"))
+    assert(dropped.getMessage.contains("missing columns: n_name"))
+    val added = intercept[IllegalStateException] {
+      Tables.checkSchema(good.withColumn("extra_col", lit(1)), sf, "nation")
+    }
+    assert(added.getMessage.contains("new columns: extra_col"))
+    val retyped = intercept[IllegalStateException] {
+      Tables.checkSchema(good.withColumn("n_regionkey", col("n_regionkey").cast("long")), sf, "nation")
+    }
+    assert(retyped.getMessage.contains("n_regionkey:bigint"))
+    // Every fixture table has a declared expected schema — no undeclared
+    // table can drift silently.
+    assert(Tables.all.forall(Tables.expectedSchemas.contains))
   }
 }

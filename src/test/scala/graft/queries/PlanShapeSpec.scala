@@ -175,11 +175,13 @@ class PlanShapeSpec extends GraftSuite {
       s"window string must not ride a shuffle:\n${exchanges.mkString("\n")}")
   }
 
-  test("q188_has_parent: filtered parent side broadcasts into a left-semi probe") {
-    // children outnumber parents; the child scan must stay shuffle-free
+  test("q188_has_parent: filtered parent side broadcasts; child scan stays shuffle-free") {
+    // children outnumber parents; inner_hits projection must not change
+    // the join strategy (broadcast-hash) or shuffle the child table
     val p = planOf("q188_has_parent")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"expected broadcast left-semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"child side must not shuffle for a broadcast parent probe:\n$p")
     // the parent filter must reach the parent scan
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
       s"parent filter not pushed:\n$p")
@@ -189,10 +191,25 @@ class PlanShapeSpec extends GraftSuite {
     // rank + per-parent count share one Window operator chain; a second
     // child scan or a child-child join would double the heavy side
     val p = planOf("q188_has_child")
-    assert(!p.contains("SortMergeJoin(") || "Join".r.findAllIn(p).size <= 2,
+    // unconditional count — a broadcast self-join regression must fail too
+    assert("Join".r.findAllIn(p).size <= 2,
       s"expected a single parent-child join:\n$p")
     assert("Scan parquet".r.findAllIn(p).size <= 2,
       s"children must scan once:\n$p")
+  }
+
+  test("q159_phrase_suggester: candidate isin filter sits below the bigram exchange") {
+    // The bigram count agg must see only candidate-matched rows: the
+    // literal isin filter has to sit BELOW the (w1, w2) exchange (i.e.
+    // later in the top-down print), so the shuffle carries ≤9 keys, never
+    // the full corpus bigram table (the round-10 scale bug).
+    val p = planOf("q159_phrase_suggester")
+    val ex = p.indexOf("Exchange hashpartitioning(w1")
+    // the column renders as either `w1#n` or pre-projection `bg#n.w1`
+    val filterIdx = "Filter [^\n]*w1(#\\d+)? IN \\(".r.findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(ex >= 0, s"expected the bounded bigram exchange:\n$p")
+    assert(filterIdx > ex,
+      s"candidate isin filter must sit below the bigram exchange (map-side):\n$p")
   }
 
   test("q189_geo_polygon: ray-cast is a join-free scan filter inside codegen") {
