@@ -51,7 +51,11 @@ object Bench {
 
     // q04 writes a json copy of lineitem — IO-bound, excluded from bench
     val skip = Set("q04_roundtrip")
+    // dev-only: trailing args restrict to named entries (profiling runs);
+    // the driver invokes with no args and always gets the full set
+    val only = args.toSet
     val entries = SparkEntry.allEntries.filterNot(e => skip(e.name))
+      .filter(e => only.isEmpty || only(e.name))
 
     // Validate the short-key scheme BEFORE running anything: names are
     // static declarations, and a collision (or a malformed name with an

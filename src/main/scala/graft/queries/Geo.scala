@@ -79,6 +79,12 @@ object Geo {
 
   private val ghPrecision = 3
 
+  /** q194's per-doc envelope half-extents (degrees): 1.0–8.9 lat,
+    * 1.0–12.9 lon, one decimal, derived from the key like [[latSql]] —
+    * the same DOUBLE-pinned integer arithmetic, shared verbatim. */
+  val shapeHhSql = "CAST(CAST(c_custkey AS BIGINT) * 131 % 80 AS DOUBLE) / 10.0 + 1.0"
+  val shapeHwSql = "CAST(CAST(c_custkey AS BIGINT) * 211 % 120 AS DOUBLE) / 10.0 + 1.0"
+
   /** Ray-cast (even-odd) point-in-polygon as ONE arithmetic SQL fragment
     * shared verbatim by both engines: for each edge, a crossing test
     * `(y1 > lat) <> (y2 > lat) AND lon < x-intercept`, summed and taken
@@ -191,6 +197,55 @@ object Geo {
       T(s, d, "customer")
         .select(col("c_custkey"), expr(latSql).as("lat"), expr(lonSql).as("lon"))
         .filter(expr(pointInPolygonSql("lat", "lon", polygon)))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ES geo_shape shape-vs-shape — each document carries an indexed
+    // SHAPE (here: an "envelope", a first-class ES 6.3 geo_shape type)
+    // and the query supplies a shape plus a relation (INTERSECTS /
+    // WITHIN / CONTAINS / DISJOINT). The doc envelopes are synthesized
+    // from c_custkey exactly like q87-q89's points (same derivation seam:
+    // deterministic center + per-doc half-extents, one SQL fragment fed
+    // verbatim to both engines), so the entry is oracle-checked, not a
+    // disposition. Envelope-vs-envelope relations are pure interval
+    // arithmetic — exact in IEEE doubles, fully inside whole-stage
+    // codegen, and pushable to the scan once the envelope is stored as
+    // real (ymin,ymax,xmin,xmax) columns, which is precisely how a
+    // deployment would index it (ES stores a triangulated/grid form; the
+    // bbox prefilter is the part that touches every doc). General
+    // ring-vs-ring at 100 TB layers the same posture: coarse grid-cell
+    // join (q89's geohash cells) to find candidates, then an exact
+    // refine with a codegen'd Expression holding the query ring — the
+    // q189 ray-cast note's scale path, applied pairwise.
+    Entry("q194_geo_shape",
+      s"""WITH g AS (SELECT c_custkey, $latSql AS lat, $lonSql AS lon,
+        |  $shapeHhSql AS hh, $shapeHwSql AS hw FROM customer),
+        |e AS (SELECT c_custkey, lat - hh AS ymin, lat + hh AS ymax,
+        |             lon - hw AS xmin, lon + hw AS xmax FROM g),
+        |r AS (SELECT c_custkey,
+        |  CASE WHEN ymin >= -20 AND ymax <= 35 AND xmin >= 40 AND xmax <= 130 THEN 'WITHIN'
+        |       WHEN ymin <= -20 AND ymax >= 35 AND xmin <= 40 AND xmax >= 130 THEN 'CONTAINS'
+        |       WHEN ymin <= 35 AND ymax >= -20 AND xmin <= 130 AND xmax >= 40 THEN 'INTERSECTS'
+        |       ELSE 'DISJOINT' END AS relation FROM e)
+        |SELECT c_custkey, relation FROM r
+        |WHERE relation <> 'DISJOINT' ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val e = T(s, d, "customer")
+        .select(col("c_custkey"),
+                expr(latSql).as("lat"), expr(lonSql).as("lon"),
+                expr(shapeHhSql).as("hh"), expr(shapeHwSql).as("hw"))
+        .select(col("c_custkey"),
+                (col("lat") - col("hh")).as("ymin"), (col("lat") + col("hh")).as("ymax"),
+                (col("lon") - col("hw")).as("xmin"), (col("lon") + col("hw")).as("xmax"))
+      e.withColumn("relation",
+          when(col("ymin") >= -20 && col("ymax") <= 35 &&
+               col("xmin") >= 40 && col("xmax") <= 130, "WITHIN")
+            .when(col("ymin") <= -20 && col("ymax") >= 35 &&
+                  col("xmin") <= 40 && col("xmax") >= 130, "CONTAINS")
+            .when(col("ymin") <= 35 && col("ymax") >= -20 &&
+                  col("xmin") <= 130 && col("xmax") >= 40, "INTERSECTS")
+            .otherwise("DISJOINT"))
+        .filter(col("relation") =!= "DISJOINT")
+        .select(col("c_custkey"), col("relation"))
         .orderBy(col("c_custkey"))
     },
 

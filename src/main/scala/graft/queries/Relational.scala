@@ -331,6 +331,35 @@ object Relational {
         .orderBy(col("lang"))
     },
 
+    // ES _update_by_query — the sibling of q177's _delete_by_query (same
+    // ES 6.3 document-level bulk API family): every document matching the
+    // query gets a script applied (here: `ctx._source.n_chars += 17` on
+    // short src1 docs); the response reports per-slice updated counts.
+    // Rendered, like q177, as the audit table of that batch from ONE
+    // conditional aggregation over a single scan: per-lang total /
+    // updated count / field checksum before vs after (the checksum pins
+    // the script's effect, not just the match count). Write-path posture
+    // at scale is identical to q177: the updated docs flow as upsert rows
+    // through the SAME bucketed merge the CDC path uses (q57/q158) —
+    // O(changed buckets) I/O, tombstone-free, not a table rewrite; this
+    // entry is the read-side contract of that batch.
+    Entry("q193_update_by_query",
+      """SELECT lang, COUNT(*) AS docs_total,
+        |  COUNT(CASE WHEN source = 'src1' AND n_chars < 300 THEN 1 END) AS updated,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+        |  CAST(SUM(CASE WHEN source = 'src1' AND n_chars < 300
+        |               THEN n_chars + 17 ELSE n_chars END) AS BIGINT) AS chars_after
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hit = col("source") === "src1" && col("n_chars") < 300
+      T(s, d, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_total"),
+             count(when(hit, 1)).as("updated"),
+             sum(col("n_chars")).cast("bigint").as("chars_before"),
+             sum(when(hit, col("n_chars") + 17).otherwise(col("n_chars")))
+               .cast("bigint").as("chars_after"))
+        .orderBy(col("lang"))
+    },
+
     // ES parent-child family (join datatype / `has_child` + `inner_hits`,
     // ES 6.3 query DSL). Parent = customer, children = that customer's
     // orders. `has_child(filter)` returns PARENTS with >= 1 matching
@@ -371,21 +400,28 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
-    // ES `has_parent`: children whose PARENT matches a filter. The parent
-    // side after its filter is small relative to the child table, so it
-    // broadcasts and the child scan stays shuffle-free — at 100 TB this is
-    // the only viable plan (children outnumber parents ~10:1 here, far
-    // more in a real corpus). Semi join = ES's "return child hits, parent
-    // fields not projected" contract.
+    // ES `has_parent` + `inner_hits`: children whose PARENT matches a
+    // filter, each child hit carrying its matching parent doc as the
+    // inner hit (a child has exactly one parent, so inner_hits here is
+    // the parent's fields attached to the row — ES 6.3 supports
+    // inner_hits on all three join-query forms, not just has_child). The
+    // parent side after its filter is small relative to the child table,
+    // so it broadcasts and the child scan stays shuffle-free — at 100 TB
+    // this is the only viable plan (children outnumber parents ~10:1
+    // here, far more in a real corpus). The inner join replaces round
+    // 10's left-semi: same matched child set, plus the projected parent
+    // inner-hit columns, still broadcast-hash with no child exchange.
     Entry("q188_has_parent",
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_custkey IN
-        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  c_name AS parent_name, c_acctbal AS parent_acctbal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val parents = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       T(s, d, "orders")
-        .join(broadcast(parents), col("o_custkey") === col("c_custkey"), "left_semi")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .join(broadcast(parents), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                col("c_name").as("parent_name"), col("c_acctbal").as("parent_acctbal"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -400,19 +436,38 @@ object Relational {
     // materialization an ES indexer performs at write time, done once and
     // amortized across queries (the reference's ES does the same: nested
     // docs are built at index time, queried many times).
+    // inner_hits on nested returns the matching array ELEMENTS: per doc,
+    // the matched-element count and the top hit (highest l_quantity,
+    // linenumber tie-break — deterministic), computed array-natively with
+    // higher-order functions over the already-materialized nested doc —
+    // no second child pass, no window. The oracle states the same result
+    // through the flat child join + per-parent rank.
     Entry("q188_nested",
-      """SELECT o_orderkey FROM orders WHERE EXISTS (
-        |  SELECT 1 FROM lineitem
-        |  WHERE l_orderkey = o_orderkey AND l_quantity > 49 AND l_returnflag = 'R')
-        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      """WITH m AS (SELECT o_orderkey, l_quantity, l_linenumber
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |           WHERE l_quantity > 49 AND l_returnflag = 'R'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                ORDER BY l_quantity DESC, l_linenumber) AS rn FROM m)
+        |SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_inner,
+        |  MAX(l_quantity) AS top_qty,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN l_linenumber END) AS INT) AS top_line
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val nestedDocs = T(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+        .agg(collect_list(struct(
+          col("l_quantity"), col("l_returnflag"), col("l_linenumber"))).as("items"))
       T(s, d, "orders")
         .join(nestedDocs, col("l_orderkey") === col("o_orderkey"))
-        .filter(exists(col("items"),
+        .withColumn("matched", filter(col("items"),
           it => it("l_quantity") > 49 && it("l_returnflag") === "R"))
-        .select(col("o_orderkey"))
+        .filter(size(col("matched")) > 0)
+        .withColumn("top_qty", array_max(transform(col("matched"), _("l_quantity"))))
+        .select(col("o_orderkey"),
+                size(col("matched")).cast("bigint").as("n_inner"),
+                col("top_qty"),
+                array_min(transform(
+                  filter(col("matched"), m => m("l_quantity") === col("top_qty")),
+                  _("l_linenumber"))).cast("int").as("top_line"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -621,6 +621,22 @@ object Streams {
       val out = newStageDir("graft_rollup_out")
       rollupDrain(s, src, out)
       rollupMerge(s, out)
+    },
+
+    // Cardinality served from the ROLLED-UP index (bench-only): per-bucket
+    // distinct-user counts from the stored mergeable HLL sketch partials
+    // (union the binaries, estimate once at the end) — never a raw-event
+    // scan, which is what lets a 100 TB rollup answer distinct-count
+    // queries at summary cost. ES X-Pack rollup serves `cardinality` from
+    // stored sketches the same way. Estimates are engine-specific by
+    // design (no DuckDB oracle); RollupHllSpec bounds the relative error
+    // vs the exact distinct count and pins sketch-merge associativity
+    // across batch partials and compaction.
+    Entry.benchOnly("q183_rollup_cardinality") { (s, d) =>
+      val src = stageQ183(s, d)
+      val out = newStageDir("graft_rollup_hll_out")
+      rollupDrain(s, src, out)
+      rollupCardinality(s, out)
     }
   )
 
@@ -642,7 +658,13 @@ object Streams {
           batch.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
                         col("event_type"))
             .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
-                 min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+                 min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+                 // mergeable HLL sketch partial (DataSketches HLL_4): lets
+                 // the rollup serve DISTINCT-count queries without raw
+                 // scans — ES X-Pack rollup stores cardinality sketches
+                 // for exactly this reason. Binary column, unioned (never
+                 // estimated) until query time.
+                 hll_sketch_agg(col("user_id")).as("uid_hll"))
             .write.mode("overwrite").parquet(s"$out/batch=$batchId")
           ()
         }.start()
@@ -660,6 +682,17 @@ object Streams {
            round(min(col("min_v")), 6).as("min_v"),
            round(max(col("max_v")), 6).as("max_v"),
            round(sum(col("sum_v")) / sum(col("n")), 6).as("avg_v"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** The rollup-query cardinality fold: union the stored sketch binaries,
+    * estimate ONCE over the merged sketch (estimating per-partial and
+    * summing would overcount shared users across batches — the whole
+    * point of storing the sketch, not the estimate). */
+  private[streaming] def rollupCardinality(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out)
+      .groupBy(col("day"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("uid_hll"))).as("approx_users"),
+           sum(col("n")).cast("bigint").as("n"))
       .orderBy(col("day"), col("event_type"))
 
   /** Rollup compaction — the partition-maintenance step a long-running
@@ -701,7 +734,10 @@ object Streams {
       val folded = s.read.parquet(batches.map(b => s"$out/batch=$b"): _*)
         .groupBy(col("day"), col("event_type"))
         .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
-             min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+             min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+             // sketch partials union losslessly (sketch-merge associativity
+             // is the HLL analog of n's additivity)
+             hll_union_agg(col("uid_hll")).as("uid_hll"))
       folded.coalesce(1).write.mode("overwrite")
         .parquet(s"$out/.compact_tmp_batch=${batches.last}")
       Some(batches.last)
