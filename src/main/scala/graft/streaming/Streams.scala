@@ -117,6 +117,8 @@ object Streams {
     stage3Way(s, d, "documents", "q158_index_maintenance", "doc_id")
   private[streaming] def stageQ183(s: SparkSession, d: String): String =
     stage3Way(s, d, "events", "q183_rollup_job", "event_id")
+  private[streaming] def stageQ195(s: SparkSession, d: String): String =
+    stage3Way(s, d, "embeddings", "q195_vector_index", "vec_id")
 
   /** Pre-build every staged stream-source dir (bench hygiene, VERDICT r3 #7):
     * staging is harness machinery that converts a static table into the
@@ -131,6 +133,7 @@ object Streams {
     stageQ142(s, dir)
     stageQ158(s, dir)
     stageQ183(s, dir)
+    stageQ195(s, dir)
     ()
   }
 
@@ -637,6 +640,36 @@ object Streams {
       val out = newStageDir("graft_rollup_hll_out")
       rollupDrain(s, src, out)
       rollupCardinality(s, out)
+    },
+
+    // Incremental ANN-index maintenance — the vector-side sibling of
+    // q158's shingle-index maintenance, and the write path every staged
+    // ANN entry (q62_ann_ivf / ivf_pq, q148 semantic dedup) assumes:
+    // VectorIndex.cells builds the (vec_id, rk, cell) posting table in
+    // one batch pass; a production vector store maintains it as vectors
+    // ARRIVE. Running machinery: each micro-batch assigns its vectors to
+    // their top-2 probe cells against the BROADCAST staged coarse
+    // quantizer (O(nlist) rows — centroids never shuffle, the corpus
+    // batch moves once through one bounded groupBy) and writes the
+    // posting rows into its own batch=<id> partition — deterministic
+    // assignment makes replay-overwrite idempotent, the q183 posture.
+    // VectorIndexMaintenanceSpec pins maintained == batch-built
+    // row-for-row and replay invariance, so every staged-index consumer
+    // is proven serveable from the incrementally-maintained artifact.
+    // Estimator-free and deterministic, but the cell geometry comes from
+    // k-means training no SQL oracle can replay → bench-only. At 100 TB:
+    // arriving vectors are a trickle vs the corpus; each batch pays
+    // O(batch x nlist) scoring + one batch-sized write, and centroid
+    // refresh (retrain + full reassign) is the rare scheduled job ES-style
+    // index rebuilds already model.
+    Entry.benchOnly("q195_vector_index_maintenance") { (s, d) =>
+      val src = stageQ195(s, d)
+      val out = newStageDir("graft_vecidx_out")
+      vecIndexDrain(s, d, src, out)
+      s.read.parquet(out)
+        .groupBy(col("cell"), col("rk"))
+        .agg(count(lit(1)).cast("bigint").as("n_vectors"))
+        .orderBy(col("cell"), col("rk"))
     }
   )
 
@@ -683,6 +716,30 @@ object Streams {
            round(max(col("max_v")), 6).as("max_v"),
            round(sum(col("sum_v")) / sum(col("n")), 6).as("avg_v"))
       .orderBy(col("day"), col("event_type"))
+
+  /** q195's job body: drain `src`, assigning each arriving batch's
+    * vectors to their probe cells against the broadcast staged coarse
+    * quantizer and writing (vec_id, rk, cell) posting rows into the
+    * batch's own partition (deterministic assignment ⇒ replay-overwrite
+    * idempotence; fresh checkpoint per call like [[rollupDrain]]). */
+  private[streaming] def vecIndexDrain(s: SparkSession, d: String,
+                                       src: String, out: String): Unit = {
+    val ckpt = newStageDir("graft_vecidx_ckpt")
+    val cents = graft.vector.VectorIndex.ivfCents(s, d)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.core.GraftSession.withShufflePartitions(s, 8) {
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.vector.Vectors.cellAssignmentsWith(batch, cents)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+  }
 
   /** The rollup-query cardinality fold: union the stored sketch binaries,
     * estimate ONCE over the merged sketch (estimating per-partial and

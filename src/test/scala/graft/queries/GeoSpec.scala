@@ -73,4 +73,38 @@ class GeoSpec extends GraftSuite {
       Geo.pointInPolygonSql("lat", "lon", Seq((1.0, 0.0), (1.0, 5.0), (3.0, 2.0)))
     }
   }
+
+  /** q194's envelope relations, independently derived: recompute each
+    * customer's envelope in Scala from the same integer formulas and
+    * classify against the query box with direct interval logic — a
+    * regression in the generated CASE ordering (e.g. testing INTERSECTS
+    * before WITHIN) cannot hide behind the oracle, which executes the
+    * same fragment. */
+  test("q194 envelope relations match a reference interval classifier") {
+    val got = graft.SparkEntry.queries("q194_geo_shape")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keys = graft.core.Tables(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val n = keys.length
+    var nonDisjoint = 0
+    keys.foreach { k =>
+      val lat = (k * 7919 % 18000).toDouble / 100.0 - 90.0
+      val lon = (k * 104729 % 36000).toDouble / 100.0 - 180.0
+      val hh = (k * 131 % 80).toDouble / 10.0 + 1.0
+      val hw = (k * 211 % 120).toDouble / 10.0 + 1.0
+      val (ymin, ymax, xmin, xmax) = (lat - hh, lat + hh, lon - hw, lon + hw)
+      val want =
+        if (ymin >= -20 && ymax <= 35 && xmin >= 40 && xmax <= 130) Some("WITHIN")
+        else if (ymin <= -20 && ymax >= 35 && xmin <= 40 && xmax >= 130) Some("CONTAINS")
+        else if (ymin <= 35 && ymax >= -20 && xmin <= 130 && xmax >= 40) Some("INTERSECTS")
+        else None
+      if (want.isDefined) nonDisjoint += 1
+      assert(got.get(k) === want, s"custkey=$k envelope=($ymin,$ymax,$xmin,$xmax)")
+    }
+    assert(nonDisjoint > 0 && nonDisjoint < n,
+      s"degenerate fixture split: $nonDisjoint of $n non-disjoint")
+    // all three positive relations should actually occur at fixture scale
+    assert(got.values.toSet.contains("WITHIN") && got.values.toSet.contains("INTERSECTS"),
+      s"relation diversity: ${got.values.toSet}")
+  }
 }

@@ -212,6 +212,19 @@ class PlanShapeSpec extends GraftSuite {
       s"candidate isin filter must sit below the bigram exchange (map-side):\n$p")
   }
 
+  test("q193_update_by_query: audit renders from ONE scan — no join, no second pass") {
+    val p = planOf("q193_update_by_query")
+    assert(!p.contains("Join"), s"conditional aggregation must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"documents must scan once:\n$p")
+  }
+
+  test("q194_geo_shape: envelope relations are a join-free scan + filter + project") {
+    val p = planOf("q194_geo_shape")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"shape relations must be pure per-row arithmetic:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"customer must scan once:\n$p")
+  }
+
   test("q189_geo_polygon: ray-cast is a join-free scan filter inside codegen") {
     val p = planOf("q189_geo_polygon")
     assert(!p.contains("Join") && !p.contains("Window"),
