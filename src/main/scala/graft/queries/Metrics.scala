@@ -258,11 +258,11 @@ object Metrics {
     // l+b) — ES 6.3's moving_avg model family minus the seasonal
     // holt_winters (no seasonal fixture signal). Linear and ewma are
     // CLOSED FORMS over the collected 7-day frame (one indexed-lambda
-    // weighted sum per row); holt's coupled recursion is unrolled into
-    // 6 generated per-row steps (the frame is fixed-size, so the unroll
-    // is static). Scale: everything after the daily pre-agg runs over
-    // O(days) rows — the window, the folds, and the unroll never touch
-    // source rows, the established pipeline-agg posture.
+    // weighted sum per row); holt's coupled recursion is a single
+    // `aggregate()` fold over the frame's tail (state = (l, b) struct).
+    // Scale: everything after the daily pre-agg runs over O(days) rows —
+    // the window and the folds never touch source rows, the established
+    // pipeline-agg posture.
     Entry("q164_moving_models", movingModelsOracleSql) { (s, d) =>
       movingModels(s, d)
     }.sqlTwin(movingModelsTwinSql),
@@ -274,12 +274,11 @@ object Metrics {
     // mean of season one, trend = mean per-step slope between seasons one
     // and two, seasonal index s_i = x_i - level; then seven recursion
     // steps (t = 8..14) update (l, b, s_idx) and the one-step forecast is
-    // l + b + s_next. The 3-variable-plus-seasonal-vector recursion
-    // unrolls into seven chained projections threading columns l, b,
-    // s1..s7 (one seasonal slot rewritten per step — q164's holt posture
-    // extended with the seasonal vector; Catalyst collapses the chain).
+    // l + b + s_next. The 3-variable-plus-seasonal-vector recursion runs
+    // as ONE `aggregate()` fold over the step indices (state struct
+    // (l, b, s[7]) — q164's holt fold extended with the seasonal vector).
     // Rows with m < 14 yield NULL (ES emits nothing until the window
-    // fills); every arr access sits behind the m = 14 CASE guard, so
+    // fills); the arr accesses sit behind the m = 14 CASE guard, so
     // ANSI element_at never sees an out-of-range index. Scale: identical
     // to q164 — everything after the daily pre-agg runs over O(days)
     // rows; the single-partition window is over buckets, never source
@@ -451,51 +450,75 @@ object Metrics {
        |FROM hw14 ORDER BY day""".stripMargin
   }
 
-  /** q190's DataFrame implementation: q164's chained-projection posture
-    * with the seasonal vector threaded as columns s1..s7. */
+  /** q190's DataFrame implementation: the (l, b, s[7]) recursion as ONE
+    * `aggregate()` fold over the step indices `sequence(8, 14)`, state
+    * threaded as a named_struct. The former 14-projection unroll inlined
+    * `lnew` into `bnew`/`snew` at every step, growing the expression tree
+    * multiplicatively — over 30 bucket rows the dominant cost was
+    * analysis + codegen, not data. The fold is an O(1)-size expression;
+    * arithmetic is op-for-op identical to the oracle's unrolled
+    * recursion, so the cross-engine hash contract is unchanged. The
+    * single outer `m = 14` CASE guard replaces the per-step guards
+    * (CASE branches evaluate lazily, so ANSI `element_at` never sees an
+    * out-of-range index on warm-up rows). */
   private def holtWinters(s: SparkSession, d: String): DataFrame = {
     val at = (i: Int) => s"element_at(arr, $i)"
     val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
-    var df = T(s, d, "events")
+    val seedL = (1 to 7).map(at).mkString("(", " + ", ") / 7.0")
+    val seedB = (1 to 7).map(i => s"(${at(i + 7)} - ${at(i)})")
+      .mkString("(", " + ", ") / 49.0")
+    val seedS = (1 to 7).map(i => s"${at(i)} - l0").mkString("array(", ", ", ")")
+    // lnew references only the fold state (st) and the step index (t);
+    // inlined into b'/s' exactly as the unrolled steps inlined it.
+    val lnew = "0.3 * (element_at(arr, t) - element_at(st.s, ((t - 1) % 7) + 1))" +
+      " + 0.7 * (st.l + st.b)"
+    val fold =
+      s"""CASE WHEN m = 14 THEN aggregate(
+         |  sequence(8, 14),
+         |  named_struct('l', l0, 'b', b0, 's', $seedS),
+         |  (st, t) -> named_struct(
+         |    'l', $lnew,
+         |    'b', 0.1 * (($lnew) - st.l) + 0.9 * st.b,
+         |    's', transform(st.s, (sv, si) -> CASE WHEN si = (t - 1) % 7
+         |           THEN 0.3 * (element_at(arr, t) - ($lnew)) + 0.7 * sv
+         |           ELSE sv END)),
+         |  st -> round(st.l + st.b + element_at(st.s, 1), 6))
+         |ELSE CAST(NULL AS DOUBLE) END""".stripMargin
+    T(s, d, "events")
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
       .withColumn("arr", collect_list(col("n").cast("double")).over(w))
       .withColumn("m", size(col("arr")))
-      .withColumn("l", expr(hwSeedL(at)))
-      .withColumn("b", expr(hwSeedB(at)))
-    for (i <- 1 to 7) df = df.withColumn(s"s$i", expr(hwSeedS(at, i)))
-    for (t <- 8 to 14) {
-      val (lnew, bnew, snew, idx) = hwStep(at, t)
-      df = df.withColumn("l_n", expr(lnew)).withColumn("b_n", expr(bnew))
-        .withColumn("s_n", expr(snew))
-        .drop("l", "b", s"s$idx")
-        .withColumnRenamed("l_n", "l").withColumnRenamed("b_n", "b")
-        .withColumnRenamed("s_n", s"s$idx")
-    }
-    df.select(col("day"), col("n"),
-        round(col("l") + col("b") + col("s1"), 6).as("hw_forecast"))
+      .withColumn("l0", expr(hwGuard(seedL)))
+      .withColumn("b0", expr(hwGuard(seedB)))
+      .select(col("day"), col("n"), expr(fold).as("hw_forecast"))
       .orderBy(col("day"))
   }
 
   /** q164's implementation: daily pre-agg, framed collect, closed-form
-    * weighted sums for linear/ewma, and the unrolled holt chain as six
-    * chained projections (Catalyst collapses them into one). */
+    * weighted sums for linear/ewma, and the holt chain as ONE
+    * `aggregate()` fold over `slice(arr, 2, m - 1)` (elements 2..m ≡ the
+    * former guarded steps t = 2..m; empty slice for m = 1 leaves the
+    * seed state untouched). Replaces six chained projections whose
+    * `lnew`-inlining doubled the expression per step — see q190's note;
+    * arithmetic is op-for-op identical to the oracle's recursion. */
   private def movingModels(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
-    var df = T(s, d, "events")
+    val holtFold =
+      """aggregate(
+        |  slice(arr, 2, m - 1),
+        |  named_struct('l', element_at(arr, 1),
+        |    'b', CASE WHEN m >= 2 THEN element_at(arr, 2) - element_at(arr, 1)
+        |         ELSE CAST(0 AS DOUBLE) END),
+        |  (st, x) -> named_struct(
+        |    'l', 0.3 * x + 0.7 * (st.l + st.b),
+        |    'b', 0.1 * ((0.3 * x + 0.7 * (st.l + st.b)) - st.l) + 0.9 * st.b),
+        |  st -> round(st.l + st.b, 6))""".stripMargin
+    val df = T(s, d, "events")
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
       .withColumn("arr", collect_list(col("n").cast("double")).over(w))
       .withColumn("m", size(col("arr")))
-      .withColumn("l", expr("element_at(arr, 1)"))
-      .withColumn("b", expr(
-        "CASE WHEN m >= 2 THEN element_at(arr, 2) - element_at(arr, 1) " +
-          "ELSE CAST(0 AS DOUBLE) END"))
-    for (t <- 2 to 7) {
-      val (lnew, bnew) = holtStep(t, s"element_at(arr, $t)")
-      df = df.withColumn("l_n", expr(lnew)).withColumn("b_n", expr(bnew))
-        .drop("l", "b").withColumnRenamed("l_n", "l").withColumnRenamed("b_n", "b")
-    }
     df.select(col("day"), col("n"),
       round(expr("aggregate(arr, 0D, (acc, x) -> acc + x) / m"), 6).as("mavg7"),
       round(expr("aggregate(transform(arr, (x, i) -> x * (i + 1)), 0D, " +
@@ -504,7 +527,7 @@ object Metrics {
         "CASE WHEN i = 0 THEN x * power(0.7, m - 1) " +
         "ELSE 0.3 * power(0.7, m - 1 - i) * x END), 0D, " +
         "(acc, x) -> acc + x)"), 6).as("ewma7"),
-      round(col("l") + col("b"), 6).as("holt7"))
+      expr(holtFold).as("holt7"))
       .orderBy(col("day"))
   }
 }
