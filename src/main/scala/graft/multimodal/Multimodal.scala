@@ -254,6 +254,192 @@ object Multimodal {
   case class WavFeature(doc_id: Long, n_samples: Int, sr: Int,
                         abs_sum: Long, energy_sum: Long)
 
+  /** The compressed-raster sibling of [[Bmp]]: PNG (8-bit truecolor RGB,
+    * non-interlaced) — REAL in this container because the JDK ships the
+    * zlib half (`java.util.zip` Deflater/Inflater/CRC32); the rest of the
+    * format (chunk grammar, big-endian fields, the five scanline filters)
+    * is pure byte arithmetic. Pixel content reuses [[Bmp]]'s generative
+    * channel formulas (the oracle shares the lum fragment) under PNG-sized
+    * dims, so what this entry proves is the CONTAINER work: the encoder
+    * varies the filter type per row (`(y + id) % 5` — all five filters
+    * occur), splits IDAT across two chunks on `id % 4 = 1` (payload
+    * reassembly exercised), and inserts a decoy ancillary tEXt chunk on
+    * even ids (chunk walk exercised); every chunk CRC is validated on
+    * decode. PngCodecSpec additionally pins the decoder against
+    * `javax.imageio` — an independent JDK PNG reader — pixel for pixel. */
+  object Png {
+    def width(id: Long): Int = (1 + id % 16).toInt
+    def height(id: Long): Int = (1 + id % 11).toInt
+
+    val signature: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def beInt(a: Array[Byte], off: Int): Int =
+      ((a(off) & 0xff) << 24) | ((a(off + 1) & 0xff) << 16) |
+        ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
+
+    /** PNG spec §9: predictor = whichever of (left, up, upper-left) is
+      * closest to left + up − upper-left, ties favoring left then up. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def chunk(out: java.io.ByteArrayOutputStream,
+                      typ: String, data: Array[Byte]): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32(data.length)); out.write(t); out.write(data)
+      val c = new java.util.zip.CRC32()
+      c.update(t); c.update(data)
+      out.write(be32(c.getValue.toInt))
+    }
+
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val stride = 3 * w
+      val raw = Array.tabulate(h, stride) { (y, i) =>
+        val x = i / 3
+        (i % 3 match {
+          case 0 => Bmp.r(id, x, y)
+          case 1 => Bmp.g(id, x, y)
+          case _ => Bmp.b(id, x, y)
+        }).toByte
+      }
+      val filtered = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        val ft = ((y + id) % 5).toInt
+        filtered.write(ft)
+        val prior = if (y == 0) new Array[Byte](stride) else raw(y - 1)
+        for (i <- 0 until stride) {
+          val rv = raw(y)(i) & 0xff
+          val left = if (i >= 3) raw(y)(i - 3) & 0xff else 0
+          val up = prior(i) & 0xff
+          val ul = if (i >= 3) prior(i - 3) & 0xff else 0
+          val f = ft match {
+            case 0 => rv
+            case 1 => rv - left
+            case 2 => rv - up
+            case 3 => rv - (left + up) / 2
+            case _ => rv - paeth(left, up, ul)
+          }
+          filtered.write(f & 0xff)
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filtered.toByteArray); defl.finish()
+      val idat = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+      defl.end()
+
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(signature)
+      val ihdr = new Array[Byte](13)
+      System.arraycopy(be32(w), 0, ihdr, 0, 4)
+      System.arraycopy(be32(h), 0, ihdr, 4, 4)
+      ihdr(8) = 8; ihdr(9) = 2   // bit depth 8, color type 2 (RGB)
+      chunk(out, "IHDR", ihdr)
+      if (id % 2 == 0)           // decoy ancillary chunk the walk must skip
+        chunk(out, "tEXt", "Comment graft".getBytes("ISO-8859-1"))
+      val ib = idat.toByteArray
+      if (id % 4 == 1 && ib.length > 1) {   // IDAT may span chunks
+        chunk(out, "IDAT", ib.take(ib.length / 2))
+        chunk(out, "IDAT", ib.drop(ib.length / 2))
+      } else chunk(out, "IDAT", ib)
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Decoded image, `pix` top-down packed RGB. */
+    final case class DecodedPng(w: Int, h: Int, pix: Array[Byte]) {
+      def rgb(x: Int, y: Int): (Int, Int, Int) = {
+        val o = (y * w + x) * 3
+        (pix(o) & 0xff, pix(o + 1) & 0xff, pix(o + 2) & 0xff)
+      }
+    }
+
+    /** Full critical-chunk parse: CRC-validated walk, IHDR validation,
+      * multi-chunk IDAT reassembly, zlib inflate, and the inverse of all
+      * five scanline filters. */
+    def decode(bytes: Array[Byte]): DecodedPng = {
+      require(bytes.length >= 8 &&
+        signature.indices.forall(i => bytes(i) == signature(i)), "not a PNG")
+      var off = 8
+      var w = -1; var h = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (!sawEnd) {
+        require(off + 8 <= bytes.length, "truncated chunk header")
+        val len = beInt(bytes, off)
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        require(len >= 0 && off + 12 + len <= bytes.length, s"truncated $typ chunk")
+        val c = new java.util.zip.CRC32()
+        c.update(bytes, off + 4, 4 + len)
+        require(c.getValue.toInt == beInt(bytes, off + 8 + len), s"bad CRC in $typ")
+        typ match {
+          case "IHDR" =>
+            require(len == 13, "bad IHDR length")
+            w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
+            require(bytes(off + 16) == 8, "not 8-bit")
+            require(bytes(off + 17) == 2, "not truecolor RGB")
+            require(bytes(off + 18) == 0 && bytes(off + 19) == 0 &&
+              bytes(off + 20) == 0, "unsupported compression/filter/interlace")
+          case "IDAT" => idat.write(bytes, off + 8, len)
+          case "IEND" => sawEnd = true
+          case _      => ()   // ancillary chunk: skip (the decoy path)
+        }
+        off += 12 + len
+      }
+      require(w > 0 && h > 0, "missing IHDR")
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = 3 * w
+      val filtered = new Array[Byte]((stride + 1) * h)
+      var got = 0
+      while (got < filtered.length && !inf.finished()) {
+        val n = inf.inflate(filtered, got, filtered.length - got)
+        require(n > 0 || inf.finished(), "bad zlib stream")
+        got += n
+      }
+      inf.end()
+      require(got == filtered.length, "short pixel stream")
+      val pix = new Array[Byte](stride * h)
+      for (y <- 0 until h) {
+        val ft = filtered(y * (stride + 1)) & 0xff
+        require(ft <= 4, s"bad filter type $ft")
+        for (i <- 0 until stride) {
+          val f = filtered(y * (stride + 1) + 1 + i) & 0xff
+          val left = if (i >= 3) pix(y * stride + i - 3) & 0xff else 0
+          val up = if (y > 0) pix((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) pix((y - 1) * stride + i - 3) & 0xff else 0
+          val rv = ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + (left + up) / 2
+            case _ => f + paeth(left, up, ul)
+          }
+          pix(y * stride + i) = (rv & 0xff).toByte
+        }
+      }
+      DecodedPng(w, h, pix)
+    }
+
+    /** Same nearest-neighbor rule as [[Bmp.resampleSum]]. */
+    def resampleSum(img: DecodedPng, outW: Int, outH: Int): Long =
+      (for (yo <- 0 until outH; xo <- 0 until outW) yield {
+        val (r, g, b) = img.rgb(xo * img.w / outW, yo * img.h / outH)
+        (r + g + b).toLong
+      }).sum
+  }
+
+  case class PngFeature(doc_id: Long, w: Int, h: Int, lum_sum: Long, rs_sum: Long)
+
   /** The real-codec handle: same partition-scoped batch API as
     * [[FakeCodec]], but the batch methods actually parse bytes. */
   object RealCodec {
@@ -274,6 +460,15 @@ object Multimodal {
             wav.samples.map(s => math.abs(s).toLong).sum,
             wav.samples.map(s => s.toLong * s).sum)
         }
+
+      def decodePngBatch(batch: Seq[(Long, Array[Byte])]): Seq[PngFeature] =
+        batch.map { case (id, bytes) =>
+          val img = Png.decode(bytes)
+          val lum = (for (y <- 0 until img.h; x <- 0 until img.w) yield {
+            val (r, g, b) = img.rgb(x, y); (r + g + b).toLong
+          }).sum
+          PngFeature(id, img.w, img.h, lum, Png.resampleSum(img, 8, 6))
+        }
     }
     def open(): Handle = new Handle()
   }
@@ -289,6 +484,27 @@ object Multimodal {
       |                    CAST(1 + doc_id % 9 AS INT) AS h
       |             FROM documents WHERE doc_id % 3 = 1),
       |xs AS (${series(13, "x")}), ys AS (${series(9, "y")}),
+      |lum AS (SELECT doc_id, CAST(SUM(${lum("x", "y")}) AS BIGINT) AS lum_sum
+      |        FROM img, xs, ys WHERE x < w AND y < h GROUP BY 1),
+      |xo AS (${series(8, "xo")}), yo AS (${series(6, "yo")}),
+      |rs AS (SELECT doc_id, CAST(SUM(${lum(s"(xo*w) $idiv 8", s"(yo*h) $idiv 6")}) AS BIGINT) AS rs_sum
+      |       FROM img, xo, yo GROUP BY 1)
+      |SELECT i.doc_id, i.w, i.h, l.lum_sum, r.rs_sum
+      |FROM img i JOIN lum l ON l.doc_id = i.doc_id JOIN rs r ON r.doc_id = i.doc_id
+      |ORDER BY i.doc_id""".stripMargin
+  }
+
+  /** q198's oracle: [[bmpSql]]'s shape under PNG dims (1+id%16 x
+    * 1+id%11) — the lum formula terms mirror the shared channel
+    * generators verbatim; only the container differs on the Spark side. */
+  private def pngSql(series: (Int, String) => String, idiv: String): String = {
+    def lum(x: String, y: String) =
+      s"(doc_id*31 + ($x)*7 + ($y)*13) % 256 + (doc_id*17 + ($x)*11 + ($y)*5) % 256 + " +
+        s"(doc_id*23 + ($x)*3 + ($y)*19) % 256"
+    s"""WITH img AS (SELECT doc_id, CAST(1 + doc_id % 16 AS INT) AS w,
+      |                    CAST(1 + doc_id % 11 AS INT) AS h
+      |             FROM documents WHERE doc_id % 3 = 1),
+      |xs AS (${series(16, "x")}), ys AS (${series(11, "y")}),
       |lum AS (SELECT doc_id, CAST(SUM(${lum("x", "y")}) AS BIGINT) AS lum_sum
       |        FROM img, xs, ys WHERE x < w AND y < h GROUP BY 1),
       |xo AS (${series(8, "xo")}), yo AS (${series(6, "yo")}),
@@ -360,6 +576,29 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }.sqlTwin(
       wavSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c")),
+
+    // REAL compressed-raster decode (see [[Png]]): q196's proof shape on
+    // a format with an actual compression layer — zlib (JDK-provided) +
+    // the five PNG scanline filters + CRC-validated chunk walk with
+    // multi-chunk IDAT reassembly. The oracle recomputes features from
+    // the shared generative pixel formulas, so hash equality proves the
+    // filter/inflate/walk pipeline is a faithful inverse of the encoder.
+    // Map-only, no shuffle before the output sort; at 100 TB the bytes
+    // arrive in the binary column and everything else is unchanged.
+    Entry("q198_png_decode",
+      pngSql((n, c) => s"SELECT UNNEST(range($n)) AS $c", "//")) { (s, d) =>
+      import s.implicits._
+      val payloads = T(s, d, "documents")
+        .filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+        .map(id => (id, Png.encode(id)))
+      payloads.mapPartitions { rows =>
+        val codec = RealCodec.open()
+        rows.grouped(64).flatMap(codec.decodePngBatch)
+      }.toDF()
+        .select(col("doc_id"), col("w"), col("h"), col("lum_sum"), col("rs_sum"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      pngSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c", "div")),
 
 
     Entry("q65_multimodal",

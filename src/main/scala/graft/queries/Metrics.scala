@@ -462,14 +462,28 @@ object Metrics {
     * (CASE branches evaluate lazily, so ANSI `element_at` never sees an
     * out-of-range index on warm-up rows). */
   private def holtWinters(s: SparkSession, d: String): DataFrame = {
-    val at = (i: Int) => s"element_at(arr, $i)"
     val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    hwForecast(
+      T(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("arr", collect_list(col("n").cast("double")).over(w)))
+      .select(col("day"), col("n"), col("hw_forecast"))
+      .orderBy(col("day"))
+  }
+
+  /** Adds `hw_forecast` to a frame carrying an `arr` array<double> column
+    * (the 14-element window). Factored from [[holtWinters]] so
+    * HoltFoldPropertySpec can drive the fold over arbitrary generated
+    * series without a fixture dir. */
+  private[graft] def hwForecast(in: DataFrame): DataFrame = {
+    val at = (i: Int) => s"element_at(arr, $i)"
     val seedL = (1 to 7).map(at).mkString("(", " + ", ") / 7.0")
     val seedB = (1 to 7).map(i => s"(${at(i + 7)} - ${at(i)})")
       .mkString("(", " + ", ") / 49.0")
     val seedS = (1 to 7).map(i => s"${at(i)} - l0").mkString("array(", ", ", ")")
     // lnew references only the fold state (st) and the step index (t);
-    // inlined into b'/s' exactly as the unrolled steps inlined it.
+    // inlined into b'/s' exactly as the oracle's unrolled steps inline it.
     val lnew = "0.3 * (element_at(arr, t) - element_at(st.s, ((t - 1) % 7) + 1))" +
       " + 0.7 * (st.l + st.b)"
     val fold =
@@ -484,15 +498,10 @@ object Metrics {
          |           ELSE sv END)),
          |  st -> round(st.l + st.b + element_at(st.s, 1), 6))
          |ELSE CAST(NULL AS DOUBLE) END""".stripMargin
-    T(s, d, "events")
-      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("arr", collect_list(col("n").cast("double")).over(w))
-      .withColumn("m", size(col("arr")))
+    in.withColumn("m", size(col("arr")))
       .withColumn("l0", expr(hwGuard(seedL)))
       .withColumn("b0", expr(hwGuard(seedB)))
-      .select(col("day"), col("n"), expr(fold).as("hw_forecast"))
-      .orderBy(col("day"))
+      .withColumn("hw_forecast", expr(fold))
   }
 
   /** q164's implementation: daily pre-agg, framed collect, closed-form
@@ -502,18 +511,21 @@ object Metrics {
     * seed state untouched). Replaces six chained projections whose
     * `lnew`-inlining doubled the expression per step — see q190's note;
     * arithmetic is op-for-op identical to the oracle's recursion. */
+  /** The q164 holt fold (needs columns `arr`, `m`); package-visible for
+    * HoltFoldPropertySpec. */
+  private[graft] val holtFoldSql: String =
+    """aggregate(
+      |  slice(arr, 2, m - 1),
+      |  named_struct('l', element_at(arr, 1),
+      |    'b', CASE WHEN m >= 2 THEN element_at(arr, 2) - element_at(arr, 1)
+      |         ELSE CAST(0 AS DOUBLE) END),
+      |  (st, x) -> named_struct(
+      |    'l', 0.3 * x + 0.7 * (st.l + st.b),
+      |    'b', 0.1 * ((0.3 * x + 0.7 * (st.l + st.b)) - st.l) + 0.9 * st.b),
+      |  st -> round(st.l + st.b, 6))""".stripMargin
+
   private def movingModels(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
-    val holtFold =
-      """aggregate(
-        |  slice(arr, 2, m - 1),
-        |  named_struct('l', element_at(arr, 1),
-        |    'b', CASE WHEN m >= 2 THEN element_at(arr, 2) - element_at(arr, 1)
-        |         ELSE CAST(0 AS DOUBLE) END),
-        |  (st, x) -> named_struct(
-        |    'l', 0.3 * x + 0.7 * (st.l + st.b),
-        |    'b', 0.1 * ((0.3 * x + 0.7 * (st.l + st.b)) - st.l) + 0.9 * st.b),
-        |  st -> round(st.l + st.b, 6))""".stripMargin
     val df = T(s, d, "events")
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
@@ -527,7 +539,7 @@ object Metrics {
         "CASE WHEN i = 0 THEN x * power(0.7, m - 1) " +
         "ELSE 0.3 * power(0.7, m - 1 - i) * x END), 0D, " +
         "(acc, x) -> acc + x)"), 6).as("ewma7"),
-      expr(holtFold).as("holt7"))
+      expr(holtFoldSql).as("holt7"))
       .orderBy(col("day"))
   }
 }
