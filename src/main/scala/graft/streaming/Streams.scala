@@ -642,6 +642,22 @@ object Streams {
       rollupCardinality(s, out)
     },
 
+    // Percentiles served from the ROLLED-UP index (bench-only): p50/p90/
+    // p99 from the stored log-bucketed histogram partials ([[ValueHist]]
+    // — the HDR-histogram pattern). Unlike a quantile sketch, bucket
+    // counts merge EXACTLY, so batch-partial order and compaction cannot
+    // move the estimate; rel. error is the bucket half-width (≈2.5%) by
+    // construction. Engine-specific representation → no DuckDB oracle;
+    // RollupPctlSpec bounds the error vs exact nearest-rank percentiles
+    // and pins compaction invariance. At 100 TB the query walks
+    // O(buckets × hist-width) summary rows, never raw events.
+    Entry.benchOnly("q183_rollup_percentiles") { (s, d) =>
+      val src = stageQ183(s, d)
+      val out = newStageDir("graft_rollup_pctl_out")
+      rollupDrain(s, src, out)
+      rollupPercentiles(s, out)
+    },
+
     // Incremental ANN-index maintenance — the vector-side sibling of
     // q158's shingle-index maintenance, and the write path every staged
     // ANN entry (q62_ann_ivf / ivf_pq, q148 semantic dedup) assumes:
@@ -673,12 +689,47 @@ object Streams {
     }
   )
 
+  /** The rollup's mergeable VALUE-DISTRIBUTION partial: an HDR-histogram
+    * style log-bucketed count map (public pattern: Gil Tene's
+    * HdrHistogram / Prometheus native histograms). Bucket k holds values
+    * in [γ^k, γ^(k+1)) with γ = 1.05, so any value's bucket geometric
+    * midpoint γ^(k+0.5) is within √γ − 1 ≈ 2.47% relative error; bucket
+    * codes fold sign and a +20000 offset (doubles' ln range ±15270/ln γ)
+    * into one INT so negatives, zero and sub-1 magnitudes never collide.
+    * Unlike a quantile sketch, bucket counts merge EXACTLY (plain
+    * addition), so partial-merge order and compaction cannot move the
+    * estimate — the property RollupPctlSpec pins. */
+  private[streaming] object ValueHist {
+    val relErr: Double = math.sqrt(1.05) - 1   // bound used by the spec
+
+    val bucketSql: String =
+      """CAST(CASE WHEN value = 0D THEN 0
+        |     WHEN value > 0D THEN 20000 + FLOOR(LN(value) / LN(1.05D))
+        |     ELSE -(20000 + FLOOR(LN(-value) / LN(1.05D))) END AS INT)""".stripMargin
+
+    def decodeSql(c: String): String =
+      s"""CASE WHEN $c = 0 THEN 0D
+         |     WHEN $c > 0 THEN POWER(1.05D, ($c - 20000) + 0.5D)
+         |     ELSE -POWER(1.05D, (-($c) - 20000) + 0.5D) END""".stripMargin
+
+    /** Additive map-merge over collected per-partial maps (O(partials)
+      * per bucket — query- and compaction-time fold). */
+    val mergeSql: String =
+      """aggregate(collect_list(v_hist),
+        |  cast(map() as map<int,bigint>),
+        |  (acc, m) -> map_zip_with(acc, m,
+        |    (k, a, b) -> coalesce(a, cast(0 as bigint)) + coalesce(b, cast(0 as bigint))))""".stripMargin
+  }
+
   /** q183's job body: drain `src`, writing each micro-batch's PARTIAL
     * (day, event_type) aggregate into its own `batch=<id>` partition
     * under `out`. Fresh checkpoint per call — re-running over the same
     * arrivals (the lost-checkpoint worst case) re-derives the same batch
     * ids from the same ordered files and overwrites only its own
-    * partitions, which is the idempotence RollupReplaySpec pins. */
+    * partitions, which is the idempotence RollupReplaySpec pins. The
+    * value histogram rides as a second agg joined on the bucket key so
+    * the classic columns' double-addition order is untouched (their 4dp
+    * rounding tolerance stays exactly as before). */
   private[streaming] def rollupDrain(s: SparkSession, src: String, out: String): Unit = {
     val ckpt = newStageDir("graft_rollup_ckpt")
     val schema = s.read.parquet(src).schema
@@ -688,8 +739,11 @@ object Streams {
       val q = stream.writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
-                        col("event_type"))
+          val keys = Seq("day", "event_type")
+          val bucketed = batch.select(
+            date_trunc("day", col("ts")).cast("date").as("day"),
+            col("event_type"), col("value"), col("user_id"))
+          val base = bucketed.groupBy(keys.map(col): _*)
             .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
                  min(col("value")).as("min_v"), max(col("value")).as("max_v"),
                  // mergeable HLL sketch partial (DataSketches HLL_4): lets
@@ -698,6 +752,13 @@ object Streams {
                  // for exactly this reason. Binary column, unioned (never
                  // estimated) until query time.
                  hll_sketch_agg(col("user_id")).as("uid_hll"))
+          val hist = bucketed
+            .withColumn("bkt", expr(ValueHist.bucketSql))
+            .groupBy((keys :+ "bkt").map(col): _*).agg(count(lit(1)).as("bn"))
+            .groupBy(keys.map(col): _*)
+            .agg(map_from_entries(collect_list(struct(col("bkt"), col("bn"))))
+              .as("v_hist"))
+          base.join(hist, keys)
             .write.mode("overwrite").parquet(s"$out/batch=$batchId")
           ()
         }.start()
@@ -752,6 +813,35 @@ object Streams {
            sum(col("n")).cast("bigint").as("n"))
       .orderBy(col("day"), col("event_type"))
 
+  /** The rollup-query percentile fold: merge the stored histogram maps
+    * additively, walk each bucket's CDF once (a window over O(hist
+    * buckets) rows per group, never raw events), and read p50/p90/p99 as
+    * the geometric midpoint of the first bucket whose cumulative count
+    * reaches the nearest-rank threshold — rel. error ≤ √γ − 1 by
+    * construction. This is the percentile sibling of
+    * [[rollupCardinality]]: at 100 TB the query cost is
+    * O(buckets × hist-width) summary rows. */
+  private[streaming] def rollupPercentiles(s: SparkSession, out: String): DataFrame = {
+    val merged = s.read.parquet(out)
+      .groupBy(col("day"), col("event_type"))
+      .agg(expr(ValueHist.mergeSql).as("v_hist"),
+           sum(col("n")).cast("bigint").as("n"))
+    val ex = merged
+      .select(col("day"), col("event_type"), col("n"),
+        explode(col("v_hist")).as(Seq("bkt", "cnt")))
+      .withColumn("est", expr(ValueHist.decodeSql("bkt")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("day"), col("event_type")).orderBy(col("est"))
+    def pct(q: Double, name: String) =
+      min(when(col("cum") >= ceil(col("n") * q), col("est"))).as(name)
+    ex.withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy(col("day"), col("event_type"), col("n"))
+      .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+      .select(col("day"), col("event_type"), col("n"),
+              col("p50"), col("p90"), col("p99"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Rollup compaction — the partition-maintenance step a long-running
     * job needs so query cost stays O(buckets), not O(buckets x batches):
     * fold every batch partition at id < `upTo` into ONE compacted
@@ -794,7 +884,10 @@ object Streams {
              min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
              // sketch partials union losslessly (sketch-merge associativity
              // is the HLL analog of n's additivity)
-             hll_union_agg(col("uid_hll")).as("uid_hll"))
+             hll_union_agg(col("uid_hll")).as("uid_hll"),
+             // histogram partials add exactly — compaction cannot move a
+             // percentile estimate (RollupPctlSpec pins this)
+             expr(ValueHist.mergeSql).as("v_hist"))
       folded.coalesce(1).write.mode("overwrite")
         .parquet(s"$out/.compact_tmp_batch=${batches.last}")
       Some(batches.last)
