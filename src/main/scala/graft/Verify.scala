@@ -1,9 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Replace TimestampType with TimestampNTZType recursively (structs,
+    * arrays, maps) so the dumped parquet carries naive `timestamp[us]`
+    * (isAdjustedToUTC=false) instead of `timestamp[us, tz=UTC]`. The
+    * DuckDB oracle reads the fixtures naively, so a tz-aware dump fails
+    * the driver's pyarrow schema compare even when every wall-clock value
+    * is identical — which is exactly what happened to q01/q02 for three
+    * rounds. In the pinned-UTC session the TIMESTAMP→NTZ cast is a pure
+    * type relabel (same micros), so hashes are unaffected. */
+  private def ntz(dt: DataType): DataType = dt match {
+    case TimestampType       => TimestampNTZType
+    case StructType(fields)  => StructType(fields.map(f => f.copy(dataType = ntz(f.dataType))))
+    case ArrayType(et, n)    => ArrayType(ntz(et), n)
+    case MapType(kt, vt, n)  => MapType(ntz(kt), ntz(vt), n)
+    case other               => other
+  }
+
+  /** Canonicalize a result frame for the correctness dump. Public so the
+    * spec can pin the dump path's type contract directly. */
+  def canonicalize(df: DataFrame): DataFrame = {
+    val needs = df.schema.fields.exists(f => f.dataType != ntz(f.dataType))
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      val target = ntz(f.dataType)
+      if (target == f.dataType) col(f.name) else col(f.name).cast(target).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet   // dev-only: restrict to named queries
@@ -25,7 +55,7 @@ object Verify {
     val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        canonicalize(fn(spark, sfDir)).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         status(name) = "ok"
       } catch { case e: Throwable =>
         status(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
