@@ -16,11 +16,12 @@ import graft.queries.Entry
   * Two codecs ship: [[Bmp]]/[[RealCodec]] is a REAL BI_RGB BMP
   * encoder/decoder (q196 — pure byte arithmetic, full header validation,
   * padded bottom-up row walk, nearest-neighbor resample; oracle-checked
-  * as encoder⁻¹); [[FakeCodec]] remains, clearly marked, for the formats
-  * that need bindings this container lacks (JPEG/PNG/audio — SURVEY.md
-  * north-star note), deriving "features" from byte lengths only. The
-  * Spark-side plumbing (schema, encoders, partition batching) is shared
-  * and real in both paths.
+  * as encoder⁻¹); [[Wav]] (q197), [[Png]] (q198) and [[Jpeg]] (q199 —
+  * JDK `javax.imageio`) are real too, so [[FakeCodec]] remains, clearly
+  * marked, only for formats whose bindings this container genuinely lacks
+  * (video, compressed audio — SURVEY.md north-star note), deriving
+  * "features" from byte lengths only. The Spark-side plumbing (schema,
+  * encoders, partition batching) is shared and real in both paths.
   */
 object Multimodal {
 
@@ -438,6 +439,121 @@ object Multimodal {
       }).sum
   }
 
+  /** REAL lossy-raster decode for the most common image format: JPEG via
+    * the JDK's own `javax.imageio` reader — the same no-external-library
+    * argument that justified q198's PNG imageio cross-pin, now carrying
+    * the decode itself. Two real layers:
+    *
+    *   1. A from-scratch JFIF SEGMENT WALK ([[headerDims]]): SOI check,
+    *      marker/length iteration over APPn/DQT/DHT/COM, stop at SOF0/1/2
+    *      for (precision, height, width, components) — validated, loud on
+    *      malformed bytes. Exact by construction (the container header is
+    *      lossless), so the q199 CORRECTNESS entry hash-checks it against
+    *      the generative dimension formula over every image doc: hash
+    *      equality proves the walk reads real ImageIO-written JPEG bytes
+    *      correctly (the imageio-reference pin VERDICT r11 asked for).
+    *   2. The full pixel decode via `ImageIO.read` (Huffman+IDCT — the
+    *      JDK's independent implementation). Pixels are LOSSY, so their
+    *      features cannot be hash-exact; the entry instead projects
+    *      `lum_ok` — mean-luminance error vs the generative formula
+    *      within a generous bound the oracle asserts TRUE — and
+    *      JpegCodecSpec pins a tighter per-image bound plus
+    *      headerDims == ImageIO dims and loud malformed failure.
+    *
+    * Same fabrication seam as q196-q198: deterministic pixels from doc_id
+    * (dims 1+id%15 x 1+id%10, distinct from BMP/PNG so a dimension mixup
+    * cannot cancel), encoded by `ImageIO.write` at its default quality.
+    * FakeCodec now covers only genuinely-unavailable formats (video,
+    * compressed audio). */
+  object Jpeg {
+    def width(id: Long): Int = (1 + id % 15).toInt
+    def height(id: Long): Int = (1 + id % 10).toInt
+
+    /** Encode the generative image as baseline JPEG via the JDK writer.
+      * Deterministic per JVM (fixed default quality tables). */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y,
+          (Bmp.r(id, x, y) << 16) | (Bmp.g(id, x, y) << 8) | Bmp.b(id, x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", out), "no JDK JPEG writer")
+      out.toByteArray
+    }
+
+    /** From-scratch JFIF segment walk to the frame header: returns
+      * (width, height) from SOF0/SOF1/SOF2. Validates SOI, marker
+      * structure, segment lengths, and the SOF payload; loud on anything
+      * malformed. The walk must skip APPn/DQT/DHT/COM segments by their
+      * declared big-endian lengths — a fixed-offset reader fails real
+      * files (the q197 decoy-chunk argument). */
+    def headerDims(bytes: Array[Byte]): (Int, Int) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      require(bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG (no SOI)")
+      var off = 2
+      while (off + 4 <= bytes.length) {
+        require(u8(off) == 0xff, f"bad marker alignment at $off (0x${u8(off)}%02x)")
+        var marker = u8(off + 1)
+        // fill bytes: 0xFF may be padded with more 0xFFs before the marker
+        while (marker == 0xff && off + 2 < bytes.length) { off += 1; marker = u8(off + 1) }
+        require(marker != 0xd8 && marker != 0x01 && !(marker >= 0xd0 && marker <= 0xd7),
+          f"unexpected standalone marker 0x$marker%02x before frame header")
+        val len = u16(off + 2)
+        require(len >= 2 && off + 2 + len <= bytes.length, f"truncated segment 0x$marker%02x")
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          require(len >= 8, "short SOF payload")
+          val precision = u8(off + 4)
+          require(precision == 8, s"unsupported precision $precision")
+          val h = u16(off + 5); val w = u16(off + 7)
+          val ncomp = u8(off + 9)
+          require(w > 0 && h > 0, "degenerate SOF dimensions")
+          require(ncomp == 1 || ncomp == 3, s"unsupported component count $ncomp")
+          require(len == 8 + 3 * ncomp, "SOF length/component mismatch")
+          return (w, h)
+        }
+        require(marker != 0xda && marker != 0xd9, "reached SOS/EOI without a frame header")
+        off += 2 + len
+      }
+      throw new IllegalArgumentException("truncated JPEG: no frame header found")
+    }
+
+    /** Full pixel decode via the JDK's independent JPEG implementation. */
+    def decodePixels(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "JDK JPEG reader rejected the bytes")
+      img
+    }
+
+    /** Mean (r+g+b) luminance of a decoded image. */
+    def meanLum(img: java.awt.image.BufferedImage): Double = {
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      sum.toDouble / (img.getWidth * img.getHeight)
+    }
+
+    /** Mean (r+g+b) luminance of the generative source image. */
+    def formulaMeanLum(id: Long): Double = {
+      val (w, h) = (width(id), height(id))
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += Bmp.r(id, x, y) + Bmp.g(id, x, y) + Bmp.b(id, x, y)
+      sum.toDouble / (w * h)
+    }
+
+    /** Entry-level tolerance on mean-lum drift through the lossy
+      * round-trip (per-channel mean error is DC-quantization-bounded;
+      * JpegCodecSpec pins the measured envelope, this is ~3x margin). */
+    val lumTolerance: Double = 60.0
+  }
+
+  case class JpegFeature(doc_id: Long, w: Int, h: Int, lum_ok: Boolean)
+
   case class PngFeature(doc_id: Long, w: Int, h: Int, lum_sum: Long, rs_sum: Long)
 
   /** The real-codec handle: same partition-scoped batch API as
@@ -468,6 +584,17 @@ object Multimodal {
             val (r, g, b) = img.rgb(x, y); (r + g + b).toLong
           }).sum
           PngFeature(id, img.w, img.h, lum, Png.resampleSum(img, 8, 6))
+        }
+
+      def decodeJpegBatch(batch: Seq[(Long, Array[Byte])]): Seq[JpegFeature] =
+        batch.map { case (id, bytes) =>
+          val (w, h) = Jpeg.headerDims(bytes)        // our segment walk
+          val img = Jpeg.decodePixels(bytes)         // JDK Huffman+IDCT
+          require(img.getWidth == w && img.getHeight == h,
+            s"header walk ($w x $h) disagrees with ImageIO (${img.getWidth} x ${img.getHeight})")
+          val lumOk =
+            math.abs(Jpeg.meanLum(img) - Jpeg.formulaMeanLum(id)) <= Jpeg.lumTolerance
+          JpegFeature(id, w, h, lumOk)
         }
     }
     def open(): Handle = new Handle()
@@ -600,6 +727,29 @@ object Multimodal {
     }.sqlTwin(
       pngSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c", "div")),
 
+    // REAL lossy decode — JPEG (see [[Jpeg]]): bytes written by the JDK's
+    // own encoder, dims recovered by OUR from-scratch JFIF segment walk
+    // (hash-exact vs the generative formula: the lossless container
+    // layer), pixels decoded by the JDK's independent Huffman+IDCT with
+    // the mean-luminance drift bounded (`lum_ok`, oracle-asserted TRUE;
+    // JpegCodecSpec pins the tighter envelope). Map-only, no shuffle
+    // before the output sort; at 100 TB the bytes arrive in the binary
+    // column and everything else is unchanged.
+    Entry("q199_jpeg_decode",
+      """SELECT doc_id, CAST(1 + doc_id % 15 AS INT) AS w,
+        |  CAST(1 + doc_id % 10 AS INT) AS h, TRUE AS lum_ok
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payloads = T(s, d, "documents")
+        .filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+        .map(id => (id, Jpeg.encode(id)))
+      payloads.mapPartitions { rows =>
+        val codec = RealCodec.open()
+        rows.grouped(64).flatMap(codec.decodeJpegBatch)
+      }.toDF()
+        .select(col("doc_id"), col("w"), col("h"), col("lum_ok"))
+        .orderBy(col("doc_id"))
+    },
 
     Entry("q65_multimodal",
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'text'
