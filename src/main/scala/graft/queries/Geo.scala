@@ -115,6 +115,93 @@ object Geo {
   val polygon: Seq[(Double, Double)] = Seq(
     (5.01, 30.02), (55.03, 20.01), (60.07, 80.04), (30.05, 120.06), (-10.03, 70.08))
 
+  // ---- q200: general ring-vs-ring geo_shape ---------------------------
+  // The scale path SURVEY's Q194 note promised: polygon DOC shapes vs
+  // polygon QUERY shapes. Doc shape = a triangle from the same
+  // center/half-extent seam as q194 (vertex fragments shared verbatim by
+  // both engines); query shapes = three fixed rings, including a small
+  // one so CONTAINS actually occurs. The refine is pure orientation
+  // arithmetic (cross-product ccw signs), IEEE-identical cross-engine.
+
+  /** q200 doc-triangle vertex columns (d1..d3 as (y=lat, x=lon)), one
+    * fragment list shared verbatim by Spark and the oracle CTE. */
+  val triVertexSelectSql: String =
+    """lat + hh AS d1y, lon AS d1x,
+      |lat - hh * CAST(0.6 AS DOUBLE) AS d2y, lon + hw AS d2x,
+      |lat - hh AS d3y, lon - hw * CAST(0.8 AS DOUBLE) AS d3x""".stripMargin.replace("\n", " ")
+
+  /** q200's query rings (qid -> (lat, lon) vertices, distinct lats per
+    * ring for the ray-cast). Ring 3 is deliberately small (~3 degrees)
+    * so doc triangles can CONTAIN it. */
+  val ringsQ200: Seq[(Int, Seq[(Double, Double)])] = Seq(
+    1 -> polygon,
+    2 -> Seq((10.02, -150.01), (45.04, -140.03), (50.06, -60.02), (-20.05, -70.04)),
+    3 -> Seq((2.01, 83.02), (1.53, 84.55), (0.52, 83.51)))
+
+  /** Signed area of triangle a->b->c (positive = counter-clockwise) —
+    * the orientation predicate every segment test is built from. */
+  private def ccw(ax: String, ay: String, bx: String, by: String,
+                  cx: String, cy: String): String =
+    s"((($bx) - ($ax)) * (($cy) - ($ay)) - ((($by) - ($ay)) * (($cx) - ($ax))))"
+
+  /** Proper-crossing test for segment (a,b) vs (c,d): each segment's
+    * endpoints straddle the other's supporting line (strict — touches
+    * are handled by the containment branches, consistently in both
+    * engines since the arithmetic is shared). */
+  private def properCross(ax: String, ay: String, bx: String, by: String,
+                          cx: String, cy: String, dx: String, dy: String): String =
+    s"(${ccw(ax, ay, bx, by, cx, cy)} * ${ccw(ax, ay, bx, by, dx, dy)} < 0 AND " +
+      s"${ccw(cx, cy, dx, dy, ax, ay)} * ${ccw(cx, cy, dx, dy, bx, by)} < 0)"
+
+  private val triEdges: Seq[(String, String, String, String)] = Seq(
+    ("d1x", "d1y", "d2x", "d2y"), ("d2x", "d2y", "d3x", "d3y"), ("d3x", "d3y", "d1x", "d1y"))
+
+  /** Relation label for the doc triangle vs one constant query ring.
+    * No edge crossing + a doc vertex inside ⇒ the whole simple triangle
+    * is inside (WITHIN); no crossing + a ring vertex inside the triangle
+    * ⇒ the whole ring is (CONTAINS); any crossing or one-sided
+    * containment ⇒ INTERSECTS; else DISJOINT. */
+  private def ringRelationSql(poly: Seq[(Double, Double)]): String = {
+    val cross = poly.indices.flatMap { j =>
+      val (qy1, qx1) = poly(j)
+      val (qy2, qx2) = poly((j + 1) % poly.size)
+      triEdges.map { case (ax, ay, bx, by) =>
+        properCross(ax, ay, bx, by, s"($qx1)", s"($qy1)", s"($qx2)", s"($qy2)")
+      }
+    }.mkString("(", " OR ", ")")
+    val dvInQ = s"(${pointInPolygonSql("d1y", "d1x", poly)})"
+    val (qy, qx) = poly.head
+    val s1 = ccw("d1x", "d1y", "d2x", "d2y", s"($qx)", s"($qy)")
+    val s2 = ccw("d2x", "d2y", "d3x", "d3y", s"($qx)", s"($qy)")
+    val s3 = ccw("d3x", "d3y", "d1x", "d1y", s"($qx)", s"($qy)")
+    val qvInT = s"(($s1 > 0 AND $s2 > 0 AND $s3 > 0) OR ($s1 < 0 AND $s2 < 0 AND $s3 < 0))"
+    s"CASE WHEN NOT $cross AND $dvInQ THEN 'WITHIN' " +
+      s"WHEN NOT $cross AND $qvInT THEN 'CONTAINS' " +
+      s"WHEN $cross OR $dvInQ OR $qvInT THEN 'INTERSECTS' ELSE 'DISJOINT' END"
+  }
+
+  /** qid-dispatched relation fragment, shared verbatim by both engines. */
+  val q200RelationSql: String =
+    "CASE qid " + ringsQ200.map { case (q, p) => s"WHEN $q THEN ${ringRelationSql(p)}" }
+      .mkString(" ") + " END"
+
+  /** Coarse candidate grid: 15-degree cells keyed cy*64+cx over
+    * (lat+90, lon+180). Bbox-rasterized cell sets of two shapes share a
+    * cell whenever their bboxes overlap, so the candidate join is
+    * LOSSLESS for any non-disjoint pair (the oracle's brute force would
+    * expose a pruned true pair as a missing row). */
+  /** Driver-side rasterization of each query ring's bbox into cells —
+    * O(rings x cells), a broadcast-sized table at any corpus scale. */
+  def q200QueryCells: Seq[(Int, Int)] =
+    ringsQ200.flatMap { case (qid, poly) =>
+      val lats = poly.map(_._1); val lons = poly.map(_._2)
+      val cy0 = math.floor((lats.min + 90) / 15).toInt
+      val cy1 = math.floor((lats.max + 90) / 15).toInt
+      val cx0 = math.floor((lons.min + 180) / 15).toInt
+      val cx1 = math.floor((lons.max + 180) / 15).toInt
+      for (cy <- cy0 to cy1; cx <- cx0 to cx1) yield (qid, cy * 64 + cx)
+    }
+
   val entries: Seq[Entry] = Seq(
 
     // ES geo_distance: customers within 2000 km of the query point. The
@@ -259,6 +346,53 @@ object Geo {
         .select(expr(geohashCharsSql("div", ghPrecision)).as("gh"))
         .groupBy(col("gh")).agg(count(lit(1)).as("n"))
         .orderBy(col("gh"))
+    },
+
+    // General ring-vs-ring geo_shape — the q194 envelope entry's declared
+    // scale path (SURVEY Q194/Q200). Spark side: doc triangles emit the
+    // coarse grid cells their bbox overlaps (<= 9 each), query rings
+    // pre-rasterize into a tiny BROADCAST table, a broadcast-hash
+    // equi-join on cell yields candidate (doc, ring) pairs — docs sharing
+    // no cell with any ring are pruned as DISJOINT without ever running
+    // the refine, the O(candidates) bound that survives 100 TB. The exact
+    // refine (edge-pair proper crossings + both-way containment) is plain
+    // codegen'd arithmetic on the joined rows. The oracle BRUTE-FORCES
+    // the identical refine over the full customer x rings cross product,
+    // so hash equality also proves the candidate grid lossless: a pruned
+    // true pair would surface as a missing row. PlanShapeSpec pins the
+    // join-bounded shape (broadcast hash join on cell, no cartesian).
+    Entry("q200_geo_shape_rings",
+      s"""WITH g AS (SELECT c_custkey, $latSql AS lat, $lonSql AS lon,
+        |  $shapeHhSql AS hh, $shapeHwSql AS hw FROM customer),
+        |t AS (SELECT c_custkey, $triVertexSelectSql FROM g),
+        |p AS (SELECT c_custkey, qid, $q200RelationSql AS relation
+        |      FROM t CROSS JOIN (VALUES (1), (2), (3)) AS q(qid))
+        |SELECT c_custkey, qid, relation FROM p
+        |WHERE relation <> 'DISJOINT' ORDER BY c_custkey, qid""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val tri = T(s, d, "customer")
+        .select(col("c_custkey"),
+                expr(latSql).as("lat"), expr(lonSql).as("lon"),
+                expr(shapeHhSql).as("hh"), expr(shapeHwSql).as("hw"))
+        .selectExpr("c_custkey" +: triVertexSelectSql.split(",").map(_.trim): _*)
+      val docCells = tri
+        .withColumn("ymin", least(col("d1y"), col("d2y"), col("d3y")))
+        .withColumn("ymax", greatest(col("d1y"), col("d2y"), col("d3y")))
+        .withColumn("xmin", least(col("d1x"), col("d2x"), col("d3x")))
+        .withColumn("xmax", greatest(col("d1x"), col("d2x"), col("d3x")))
+        .withColumn("cell", explode(expr(
+          """flatten(transform(
+            |  sequence(cast(floor((ymin + 90) / 15) as int), cast(floor((ymax + 90) / 15) as int)),
+            |  cy -> transform(
+            |    sequence(cast(floor((xmin + 180) / 15) as int), cast(floor((xmax + 180) / 15) as int)),
+            |    cx -> cy * 64 + cx)))""".stripMargin)))
+      val queryCells = q200QueryCells.toDF("qid", "cell")
+      docCells.join(broadcast(queryCells), Seq("cell"))
+        .dropDuplicates("c_custkey", "qid")
+        .withColumn("relation", expr(q200RelationSql))
+        .filter(col("relation") =!= "DISJOINT")
+        .select(col("c_custkey"), col("qid"), col("relation"))
+        .orderBy(col("c_custkey"), col("qid"))
     }
   )
 }

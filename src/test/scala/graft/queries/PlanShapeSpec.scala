@@ -242,6 +242,21 @@ class PlanShapeSpec extends GraftSuite {
       s"child pre-aggregation must sit below the parent join:\n$p")
   }
 
+  test("q200_geo_shape_rings: refine is join-bounded to candidate cells (broadcast hash, no cartesian)") {
+    val p = planOf("q200_geo_shape_rings")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairing must be a broadcast hash equi-join on cell:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"refine must never run on the full cross product:\n$p")
+    // The relation CASE must sit ABOVE the join (tree prints top-down:
+    // smaller index = higher): refining pre-join would evaluate it per
+    // doc-cell row instead of per candidate pair.
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val caseIdx = p.indexOf("WITHIN")
+    assert(caseIdx >= 0 && caseIdx < joinIdx,
+      s"exact refine must run on candidate pairs only (above the cell join):\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
