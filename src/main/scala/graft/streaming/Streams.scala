@@ -658,6 +658,44 @@ object Streams {
       rollupPercentiles(s, out)
     },
 
+    // The rollup read AFTER compaction (bench-only): drain, measure the
+    // live O(buckets × batches) merge, fold every batch partition into
+    // one via [[rollupCompact]], measure the compacted O(buckets) merge,
+    // and REQUIRE the two results equal before returning — so the
+    // O(buckets)-not-O(buckets × batches) claim carries a measured
+    // wall-time number at sf0.1 (stderr), not just RollupReplaySpec's
+    // test-scale invariance pin. Equality is exact on keys/counts/
+    // min/max and histogram-tight on the double sums (compaction re-
+    // associates double addition — the same tolerance the merge fold
+    // already accepts; n adds exactly, min/max fold losslessly). At
+    // 100 TB this is the maintenance step that keeps a year-old rollup
+    // readable at summary cost: 10k batches of partials collapse to one
+    // partition per retention window, and the query fold never sees the
+    // batch count again.
+    Entry.benchOnly("q183_rollup_compacted") { (s, d) =>
+      val src = stageQ183(s, d)
+      val out = newStageDir("graft_rollup_cmp_out")
+      rollupDrain(s, src, out)
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (live, tLive) = timed(rollupMerge(s, out).collect().toSeq)
+      rollupCompact(s, out, Long.MaxValue)
+      val (compacted, tCompacted) = timed(rollupMerge(s, out).collect().toSeq)
+      require(compacted.size == live.size, "compaction changed the bucket count")
+      live.zip(compacted).foreach { case (a, b) =>
+        require(a.get(0) == b.get(0) && a.get(1) == b.get(1), s"bucket key moved: $a vs $b")
+        require(a.getLong(2) == b.getLong(2), s"count moved: $a vs $b")
+        require(math.abs(a.getDouble(3) - b.getDouble(3)) <= 1e-3 &&
+                a.getDouble(4) == b.getDouble(4) && a.getDouble(5) == b.getDouble(5) &&
+                math.abs(a.getDouble(6) - b.getDouble(6)) <= 1e-5,
+          s"compaction moved the merge result: $a vs $b")
+      }
+      System.err.println(
+        f"[q183_rollup_compacted] merge read: live 3-partition $tLive%.3f s -> compacted 1-partition $tCompacted%.3f s")
+      rollupMerge(s, out)
+    },
+
     // Incremental ANN-index maintenance — the vector-side sibling of
     // q158's shingle-index maintenance, and the write path every staged
     // ANN entry (q62_ann_ivf / ivf_pq, q148 semantic dedup) assumes:
