@@ -21,7 +21,7 @@ object SparkEntry {
   // that entry — recorded in [[twinDerivationErrors]] and failed by
   // SqlParitySpec — instead of throwing here, where one bad oracle would
   // take down registration for every unrelated bench/correctness run.
-  private val derived: Seq[(Entry, Option[String])] = {
+  private val derived: Seq[(Entry, Option[String], Boolean)] = {
     val declared =
       Relational.entries ++
       Aggregates.entries ++
@@ -36,21 +36,26 @@ object SparkEntry {
       vector.Vectors.entries ++
       multimodal.Multimodal.entries
     declared.map { e =>
-      if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None)
+      if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None, false)
       else
         scala.util.Try(e.sqlTwin(Dialect.duckToSpark(e.oracle.get))) match {
-          case scala.util.Success(withTwin) => (withTwin, None)
-          case scala.util.Failure(ex)       => (e, Some(ex.getMessage))
+          case scala.util.Success(withTwin) => (withTwin, None, true)
+          case scala.util.Failure(ex)       => (e, Some(ex.getMessage), false)
         }
     }
   }
 
   val allEntries: Seq[Entry] = derived.map(_._1)
 
+  /** Names whose `spark.sql` twin was DERIVED by the dialect bridge (vs
+    * declared explicitly) — DialectFuzzSpec pins literal-region
+    * preservation over exactly this set. */
+  val bridgedTwins: Set[String] = derived.collect { case (e, _, true) => e.name }.toSet
+
   /** Twin-derivation rejects by entry name (empty in a healthy build);
     * SqlParitySpec fails each named entry individually. */
   val twinDerivationErrors: Map[String, String] =
-    derived.collect { case (e, Some(msg)) => e.name -> msg }.toMap
+    derived.collect { case (e, Some(msg), _) => e.name -> msg }.toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mini-TPC-H-Q5: the 6-table join + revenue rollup. */

@@ -29,7 +29,7 @@ object Dialect {
   val tokensSparkSql: String =
     "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), w -> w <> '')"
 
-  private lazy val rules: Seq[(String, String)] = Seq(
+  private[queries] lazy val rules: Seq[(String, String)] = Seq(
     // composite fragments first (they contain tokens the generic rules
     // would otherwise corrupt)
     graft.text.Text.tokenHashSql -> "token_hash(w)",   // the registered kernel
@@ -68,12 +68,39 @@ object Dialect {
     "arg_max(" -> "max_by(",
     "BLOB" -> "BINARY")
 
-  // '' inside a literal is the SQL escape for a single quote: treat the
-  // whole run ('it''s') as ONE literal, else the doubled quote would split
-  // parsing and swap literal/non-literal regions — exactly the confusion
-  // this guard exists to catch. The captured group keeps the escape pairs
-  // (we only substring-search it, so unescaping is unnecessary).
-  private val stringLiteral = "'((?:[^']|'')*)'".r
+  /** Sequential string-literal scan with SQL `''` escape semantics: `'`
+    * opens a literal, a doubled `''` inside is an escaped quote (kept as
+    * the pair — callers only substring-search, so unescaping is
+    * unnecessary), a lone `'` closes. Returns the closed literals plus
+    * whether the statement ENDED inside a literal — on such malformed SQL
+    * any region classification is guesswork (a greedy regex provably
+    * re-pairs the quotes differently than the sequential read), so
+    * [[duckToSpark]] rejects it outright instead of rewriting on a guess.
+    * Package-visible so DialectFuzzSpec can pin this scan against an
+    * independently-written scanner — the guard is only as sound as this
+    * region classification. */
+  private[queries] def scanLiterals(sql: String): (List[String], Boolean) = {
+    val out = List.newBuilder[String]
+    var i = 0
+    var unterminated = false
+    while (i < sql.length) {
+      if (sql(i) == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (!closed && i < sql.length) {
+          if (sql(i) == '\'') {
+            if (i + 1 < sql.length && sql(i + 1) == '\'') { sb.append("''"); i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb.append(sql(i)); i += 1 }
+        }
+        if (closed) out += sb.toString else unterminated = true
+      } else i += 1
+    }
+    (out.result(), unterminated)
+  }
+
+  private[queries] def literalsOf(sql: String): List[String] = scanLiterals(sql)._1
 
   /** Derive the Spark twin of an oracle statement. Identity for SQL that is
     * already dialect-shared.
@@ -87,7 +114,9 @@ object Dialect {
     * Only quote-free rule tokens can sit inside a literal; quoted composite
     * rules are by construction not literal content. */
   def duckToSpark(sql: String): String = {
-    val lits = stringLiteral.findAllMatchIn(sql).map(_.group(1)).toList
+    val (lits, unterminated) = scanLiterals(sql)
+    require(!unterminated,
+      "duckToSpark: statement ends inside a string literal — malformed oracle SQL")
     val clashes = rules.collect {
       case (from, _) if !from.contains("'") && lits.exists(_.contains(from)) => from
     }
