@@ -672,7 +672,7 @@ object Streams {
     // readable at summary cost: 10k batches of partials collapse to one
     // partition per retention window, and the query fold never sees the
     // batch count again.
-    Entry.benchOnly("q183_rollup_compacted") { (s, d) =>
+    Entry.benchOnly("q183_rollup_compacted_read") { (s, d) =>
       val src = stageQ183(s, d)
       val out = newStageDir("graft_rollup_cmp_out")
       rollupDrain(s, src, out)
@@ -692,7 +692,7 @@ object Streams {
           s"compaction moved the merge result: $a vs $b")
       }
       System.err.println(
-        f"[q183_rollup_compacted] merge read: live 3-partition $tLive%.3f s -> compacted 1-partition $tCompacted%.3f s")
+        f"[q183_rollup_compacted_read] merge read: live 3-partition $tLive%.3f s -> compacted 1-partition $tCompacted%.3f s")
       rollupMerge(s, out)
     },
 
