@@ -180,10 +180,63 @@ object Geo {
       s"WHEN $cross OR $dvInQ OR $qvInT THEN 'INTERSECTS' ELSE 'DISJOINT' END"
   }
 
-  /** qid-dispatched relation fragment, shared verbatim by both engines. */
+  /** qid-dispatched relation fragment — the ORACLE's brute-force side
+    * (DuckDB executes it over the full cross product; statement size is
+    * no concern there). */
   val q200RelationSql: String =
     "CASE qid " + ringsQ200.map { case (q, p) => s"WHEN $q THEN ${ringRelationSql(p)}" }
       .mkString(" ") + " END"
+
+  // Spark-side refine: the SAME arithmetic, but over a RING ARRAY column
+  // instead of per-ring literal unrolling. The unrolled CASE (3 rings x
+  // 36 edge-pair crossings x 4 cross products + two ray casts) compiles
+  // to >64 KB of Java in one method — Janino rejects it, whole-stage
+  // codegen falls back, and the refine runs as a 3000-node interpreted
+  // tree (measured 6.2 s at sf0.1, the most expensive entry in the
+  // suite). Higher-order functions over an array<struct<y,x>> ring keep
+  // the expression O(1) in ring size — the per-edge lambda bodies are a
+  // few dozen nodes looped at runtime — and make rings DATA: at 100 TB
+  // the query-shape set arrives as a broadcast table of any size without
+  // recompiling a plan, the posture a real geo_shape service needs.
+  // Every operand ordering below mirrors [[ringRelationSql]] /
+  // [[pointInPolygonSql]] verbatim, so results stay IEEE-identical to
+  // the oracle's brute force.
+
+  /** Ring edge list: e.p -> e.q consecutive-vertex pairs (wrapping). */
+  val q200EdgesSql: String =
+    "transform(ring, (v, i) -> named_struct('p', v, " +
+      "'q', element_at(ring, CAST((i + 1) % size(ring) AS INT) + 1)))"
+
+  /** Any tri edge properly crossing any ring edge (strict straddle both
+    * ways — [[properCross]] with (c,d) = the ring edge). */
+  val q200CrossSql: String = {
+    def pc(ax: String, ay: String, bx: String, by: String): String =
+      s"(${ccw(ax, ay, bx, by, "e.p.x", "e.p.y")} * ${ccw(ax, ay, bx, by, "e.q.x", "e.q.y")} < 0 AND " +
+        s"${ccw("e.p.x", "e.p.y", "e.q.x", "e.q.y", ax, ay)} * ${ccw("e.p.x", "e.p.y", "e.q.x", "e.q.y", bx, by)} < 0)"
+    triEdges.map { case (ax, ay, bx, by) => pc(ax, ay, bx, by) }
+      .mkString("exists(re, e -> ", " OR ", ")")
+  }
+
+  /** Doc vertex d1 inside the ring: [[pointInPolygonSql]]'s ray-cast as
+    * a fold over the edge array (crossing-count parity — order-free). */
+  val q200DocInRingSql: String =
+    "aggregate(re, 0, (acc, e) -> acc + (CASE WHEN ((e.p.y > d1y) <> (e.q.y > d1y)) AND " +
+      "(d1x < (e.q.x - e.p.x) * (d1y - e.p.y) / (e.q.y - e.p.y) + e.p.x) THEN 1 ELSE 0 END)) % 2 = 1"
+
+  /** Ring vertex 0 inside the doc triangle (all three ccw signs agree). */
+  val q200RingInDocSql: String = {
+    val s1 = ccw("d1x", "d1y", "d2x", "d2y", "element_at(ring, 1).x", "element_at(ring, 1).y")
+    val s2 = ccw("d2x", "d2y", "d3x", "d3y", "element_at(ring, 1).x", "element_at(ring, 1).y")
+    val s3 = ccw("d3x", "d3y", "d1x", "d1y", "element_at(ring, 1).x", "element_at(ring, 1).y")
+    s"(($s1 > 0 AND $s2 > 0 AND $s3 > 0) OR ($s1 < 0 AND $s2 < 0 AND $s3 < 0))"
+  }
+
+  /** Relation label from the three per-pair booleans ([[ringRelationSql]]'s
+    * CASE, lifted over columns). */
+  val q200LabelSql: String =
+    "CASE WHEN NOT crossed AND din THEN 'WITHIN' " +
+      "WHEN NOT crossed AND qin THEN 'CONTAINS' " +
+      "WHEN crossed OR din OR qin THEN 'INTERSECTS' ELSE 'DISJOINT' END"
 
   /** Coarse candidate grid: 15-degree cells keyed cy*64+cx over
     * (lat+90, lon+180). Bbox-rasterized cell sets of two shapes share a
@@ -387,9 +440,28 @@ object Geo {
             |    sequence(cast(floor((xmin + 180) / 15) as int), cast(floor((xmax + 180) / 15) as int)),
             |    cx -> cy * 64 + cx)))""".stripMargin)))
       val queryCells = q200QueryCells.toDF("qid", "cell")
+      val rings = ringsQ200.map { case (q, p) => (q, p) }.toDF("qid", "ring0")
+        .selectExpr("qid", "transform(ring0, v -> named_struct('y', v._1, 'x', v._2)) AS ring")
       docCells.join(broadcast(queryCells), Seq("cell"))
         .dropDuplicates("c_custkey", "qid")
-        .withColumn("relation", expr(q200RelationSql))
+        .join(broadcast(rings), Seq("qid"))
+        .withColumn("re", expr(q200EdgesSql))
+        .withColumn("crossed", expr(q200CrossSql))
+        .withColumn("din", expr(q200DocInRingSql))
+        .withColumn("qin", expr(q200RingInDocSql))
+        .withColumn("relation", expr(q200LabelSql))
+        // Pushdown barrier: a bare filter here gets substituted through
+        // the projection and into the rings-join condition, re-evaluating
+        // the HOF refine once per CASE branch (measured: exists x4,
+        // aggregate x3 in the plan). Predicates cannot push through an
+        // Aggregate on a non-grouping column, so a first()-fold on the
+        // already-(c_custkey, qid)-partitioned rows pins the refine to
+        // ONE evaluation per candidate pair — the dedup aggregate just
+        // below establishes that partitioning, so this adds no exchange
+        // (PlanShapeSpec pins both the single occurrence and the
+        // exchange count).
+        .groupBy(col("c_custkey"), col("qid"))
+        .agg(first(col("relation")).as("relation"))
         .filter(col("relation") =!= "DISJOINT")
         .select(col("c_custkey"), col("qid"), col("relation"))
         .orderBy(col("c_custkey"), col("qid"))

@@ -255,6 +255,23 @@ class PlanShapeSpec extends GraftSuite {
     val caseIdx = p.indexOf("WITHIN")
     assert(caseIdx >= 0 && caseIdx < joinIdx,
       s"exact refine must run on candidate pairs only (above the cell join):\n$p")
+    // The refine must stay O(1) in ring size: higher-order functions over
+    // the ring array, whose loop bodies keep generated methods small (the
+    // unrolled per-ring CASE grew one method past Janino's 64 KB limit,
+    // knocked the stage out of whole-stage codegen, and ran a ~3000-node
+    // interpreted tree per candidate — 6.2 s at sf0.1 vs 2.6 s for this
+    // shape). Each of the three HOF predicates must appear exactly once:
+    // a second occurrence means Catalyst's filter substitution is
+    // re-evaluating the refine per row.
+    info(s"exists=${"exists\\(".r.findAllIn(p).size} aggregate=${"aggregate\\(".r.findAllIn(p).size}")
+    assert("exists\\(".r.findAllIn(p).size == 1,
+      s"edge-crossing HOF must be evaluated once, not duplicated by substitution:\n$p")
+    assert("aggregate\\(".r.findAllIn(p).size == 1,
+      s"ray-cast HOF must be evaluated once, not duplicated by substitution:\n$p")
+    // The first()-fold barrier must ride the dedup's partitioning: one
+    // hash exchange total (plus the output sort's range exchange).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"barrier aggregate must not introduce a second shuffle:\n$p")
   }
 
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
