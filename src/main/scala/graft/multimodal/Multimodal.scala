@@ -552,6 +552,273 @@ object Multimodal {
     val lumTolerance: Double = 60.0
   }
 
+  /** REAL palette-raster decode: GIF87a/89a with a from-scratch LZW layer
+    * BOTH directions — after PNG's zlib (q198), the second actual
+    * compression algorithm in the codec suite, this one implemented
+    * rather than JDK-delegated: variable-width code packing (LSB-first),
+    * dictionary growth with the spec's width-bump schedule, the KwKwK
+    * corner, clear/EOI codes. Our tiny generative images hold ≤ 256
+    * distinct colors, so an exact palette makes the GIF round-trip
+    * LOSSLESS — the oracle hash-checks features against the generative
+    * formula exactly like BMP/PNG, and GifCodecSpec additionally pins the
+    * decoder pixel-for-pixel against `javax.imageio`'s independent GIF
+    * reader so a cancelling encoder/decoder bug pair cannot hide. The
+    * encoder plants a comment-extension decoy on even ids (the sub-block
+    * walk a fixed-offset reader fails) and splits LZW data into 32-byte
+    * sub-blocks on id%4==1 (reassembly exercised). Dims 1+id%14 x
+    * 1+id%12, distinct from BMP/PNG/JPEG so a dimension mixup cannot
+    * cancel. */
+  object Gif {
+    def width(id: Long): Int = (1 + id % 14).toInt
+    def height(id: Long): Int = (1 + id % 12).toInt
+
+    /** Pixel source: the shared generative channels, except ids % 5 == 0
+      * which quantize each channel to {0, 255} (≤ 8-color palette). The
+      * near-random full-palette images compress as mostly-literal codes,
+      * so without this branch the LZW dictionary, code-width bumps and
+      * KwKwK corner would go unexercised by the oracle-checked corpus —
+      * the quantized ids force codeSize 2-3 streams with hundreds of
+      * dictionary strings and several width crossings. */
+    def rgbAt(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+      val (r, g, b) = (Bmp.r(id, x, y), Bmp.g(id, x, y), Bmp.b(id, x, y))
+      if (id % 5 == 0) ((r / 128) * 255, (g / 128) * 255, (b / 128) * 255) else (r, g, b)
+    }
+
+    /** LSB-first variable-width bit packer (GIF's LZW byte order). */
+    private final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var nbits = 0
+      def put(code: Int, width: Int): Unit = {
+        cur |= code << nbits; nbits += width
+        while (nbits >= 8) { out.write(cur & 0xff); cur >>>= 8; nbits -= 8 }
+      }
+      def finish(): Array[Byte] = { if (nbits > 0) out.write(cur & 0xff); out.toByteArray }
+    }
+
+    private final class BitReader(data: Array[Byte]) {
+      private var pos = 0
+      private var cur = 0
+      private var nbits = 0
+      def get(width: Int): Int = {
+        while (nbits < width) {
+          require(pos < data.length, "LZW stream ran out of bits")
+          cur |= (data(pos) & 0xff) << nbits; pos += 1; nbits += 8
+        }
+        val v = cur & ((1 << width) - 1)
+        cur >>>= width; nbits -= width
+        v
+      }
+    }
+
+    /** GIF-variant LZW compress of a palette-index stream. Width growth
+      * follows GIF's DEFERRED schedule (the gifcompr.c/giflib pairing —
+      * also what `javax.imageio` speaks, GifCodecSpec's cross-pin): after
+      * WRITING each code, bump when the pre-add table size has reached
+      * the current width's capacity. The first code after the table
+      * fills still fits the old width (it can reference at most code
+      * 2^cw - 1), which is why the bump lands one code later than a
+      * naive "bump at the add" schedule — a naive pair self-roundtrips
+      * but desynchronizes from real decoders at every width crossing. */
+    private[multimodal] def lzwEncode(indices: Array[Int], codeSize: Int): Array[Byte] = {
+      val clear = 1 << codeSize
+      val eoi = clear + 1
+      val bw = new BitWriter
+      var cw = codeSize + 1
+      var next = eoi + 1
+      def put(code: Int): Unit = {
+        bw.put(code, cw)
+        if (next > (1 << cw) - 1 && cw < 12) cw += 1
+      }
+      put(clear)
+      val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      var w = indices(0)
+      for (k <- indices.iterator.drop(1)) {
+        dict.get((w, k)) match {
+          case Some(c) => w = c
+          case None =>
+            put(w)
+            dict((w, k)) = next
+            next += 1
+            w = k
+        }
+      }
+      put(w)
+      put(eoi)
+      bw.finish()
+    }
+
+    /** GIF-variant LZW decompress; inverse of [[lzwEncode]] and of any
+      * spec-conforming encoder (width bumps, KwKwK, clear handling). */
+    private[multimodal] def lzwDecode(data: Array[Byte], codeSize: Int,
+                                      nPixels: Int): Array[Int] = {
+      val clear = 1 << codeSize
+      val eoi = clear + 1
+      val br = new BitReader(data)
+      val out = new Array[Int](nPixels)
+      var got = 0
+      var cw = codeSize + 1
+      var dict = Array.fill[List[Int]](4096)(Nil)
+      var next = eoi + 1
+      // giflib's RunningCode: counts codes READ, mirroring the encoder's
+      // pre-add table size (the decoder's own dictionary additions lag
+      // one code behind, so width bookkeeping cannot key off `next`)
+      var running = eoi + 1
+      var prev: List[Int] = Nil
+      def reset(): Unit = {
+        dict = Array.fill[List[Int]](4096)(Nil)
+        (0 until clear).foreach(i => dict(i) = List(i))
+        next = eoi + 1; cw = codeSize + 1; prev = Nil; running = eoi + 1
+      }
+      reset()
+      var done = false
+      while (!done) {
+        val code = br.get(cw)
+        running += 1
+        if (running > (1 << cw) && cw < 12) cw += 1   // deferred, see [[lzwEncode]]
+        if (code == clear) reset()
+        else if (code == eoi) done = true
+        else {
+          require(code < next || (code == next && prev.nonEmpty), s"bad LZW code $code")
+          val entry =
+            if (code < next && dict(code).nonEmpty) dict(code)
+            else prev :+ prev.head   // KwKwK: code == next
+          require(got + entry.length <= nPixels, "LZW produced too many pixels")
+          entry.foreach { i => out(got) = i; got += 1 }
+          if (prev.nonEmpty && next < 4096) {
+            dict(next) = prev :+ entry.head
+            next += 1
+          }
+          prev = entry
+        }
+      }
+      require(got == nPixels, s"LZW stream produced $got of $nPixels pixels")
+      out
+    }
+
+    /** Spec-compliant GIF89a encode: exact first-seen-order palette
+      * (lossless by construction for ≤256-color images), global color
+      * table, decoy comment extension on even ids, LZW-compressed image
+      * data in sub-blocks (32-byte blocks on id%4==1). */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val px = for (y <- 0 until h; x <- 0 until w) yield rgbAt(id, x, y)
+      val palette = px.distinct.toIndexedSeq
+      require(palette.size <= 256, "generative image exceeds GIF palette")
+      val index = palette.zipWithIndex.toMap
+      val indices = px.map(index).toArray
+      // GCT size field n: table holds 2^(n+1) entries >= palette size
+      var n = 0
+      while ((1 << (n + 1)) < palette.size) n += 1
+      val codeSize = math.max(2, n + 1)
+
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(w & 0xff); out.write(w >> 8)            // LSD, LE16
+      out.write(h & 0xff); out.write(h >> 8)
+      out.write(0x80 | (7 << 4) | n)                    // GCT present, size n
+      out.write(0); out.write(0)                        // bg index, aspect
+      for (i <- 0 until (1 << (n + 1))) {
+        val (r, g, b) = if (i < palette.size) palette(i) else (0, 0, 0)
+        out.write(r); out.write(g); out.write(b)
+      }
+      if (id % 2 == 0) {                                // decoy the walk must skip
+        out.write(0x21); out.write(0xfe)                // comment extension
+        out.write(5); out.write("graft".getBytes("US-ASCII"))
+        out.write(3); out.write("gif".getBytes("US-ASCII"))
+        out.write(0)                                    // block terminator
+      }
+      out.write(0x2c)                                   // image descriptor
+      out.write(0); out.write(0); out.write(0); out.write(0)  // left, top
+      out.write(w & 0xff); out.write(w >> 8)
+      out.write(h & 0xff); out.write(h >> 8)
+      out.write(0)                                      // no LCT, no interlace
+      out.write(codeSize)
+      val lzw = lzwEncode(indices, codeSize)
+      val blockSize = if (id % 4 == 1) 32 else 255      // force reassembly sometimes
+      lzw.grouped(blockSize).foreach { blk =>
+        out.write(blk.length); out.write(blk)
+      }
+      out.write(0)                                      // data terminator
+      out.write(0x3b)                                   // trailer
+      out.toByteArray
+    }
+
+    /** Decoded image, `pix` top-down packed RGB (PNG's layout). */
+    final case class DecodedGif(w: Int, h: Int, pix: Array[Byte]) {
+      def rgb(x: Int, y: Int): (Int, Int, Int) = {
+        val o = (y * w + x) * 3
+        (pix(o) & 0xff, pix(o + 1) & 0xff, pix(o + 2) & 0xff)
+      }
+    }
+
+    /** Full parse: signature, logical screen descriptor, global/local
+      * color tables, extension sub-block walk, LZW decode, palette
+      * mapping. Every structural field is validated — malformed bytes
+      * fail loudly, never garbage-out. */
+    def decode(bytes: Array[Byte]): DecodedGif = {
+      def u8(i: Int): Int = { require(i < bytes.length, "truncated GIF"); bytes(i) & 0xff }
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      val sig = new String(bytes.slice(0, 6), "US-ASCII")
+      require(sig == "GIF89a" || sig == "GIF87a", "not a GIF")
+      val sw = u16(6); val sh = u16(8)
+      val packed = u8(10)
+      var off = 13
+      var gct: IndexedSeq[(Int, Int, Int)] = IndexedSeq.empty
+      if ((packed & 0x80) != 0) {
+        val sz = 1 << ((packed & 7) + 1)
+        gct = (0 until sz).map(i => (u8(off + 3 * i), u8(off + 3 * i + 1), u8(off + 3 * i + 2)))
+        off += 3 * sz
+      }
+      while (u8(off) == 0x21) {                 // extension: label + sub-blocks
+        off += 2
+        while (u8(off) != 0) off += 1 + u8(off)
+        off += 1
+      }
+      require(u8(off) == 0x2c, f"expected image descriptor, got 0x${u8(off)}%02x")
+      val w = u16(off + 5); val h = u16(off + 7)
+      require(w == sw && h == sh && w > 0 && h > 0, "screen/image dimension mismatch")
+      val ipacked = u8(off + 9)
+      require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+      off += 10
+      var palette = gct
+      if ((ipacked & 0x80) != 0) {
+        val sz = 1 << ((ipacked & 7) + 1)
+        palette = (0 until sz).map(i => (u8(off + 3 * i), u8(off + 3 * i + 1), u8(off + 3 * i + 2)))
+        off += 3 * sz
+      }
+      require(palette.nonEmpty, "no color table")
+      val codeSize = u8(off); off += 1
+      require(codeSize >= 2 && codeSize <= 8, s"bad LZW min code size $codeSize")
+      val data = new java.io.ByteArrayOutputStream()
+      while (u8(off) != 0) {                    // image data sub-blocks
+        val len = u8(off)
+        require(off + 1 + len <= bytes.length, "truncated image data block")
+        data.write(bytes, off + 1, len)
+        off += 1 + len
+      }
+      off += 1
+      require(u8(off) == 0x3b, "missing GIF trailer")
+      val indices = lzwDecode(data.toByteArray, codeSize, w * h)
+      val pix = new Array[Byte](3 * w * h)
+      indices.zipWithIndex.foreach { case (ci, i) =>
+        require(ci < palette.size, s"palette index $ci out of range")
+        val (r, g, b) = palette(ci)
+        pix(3 * i) = r.toByte; pix(3 * i + 1) = g.toByte; pix(3 * i + 2) = b.toByte
+      }
+      DecodedGif(w, h, pix)
+    }
+
+    /** Same nearest-neighbor rule as [[Bmp.resampleSum]]. */
+    def resampleSum(img: DecodedGif, outW: Int, outH: Int): Long =
+      (for (yo <- 0 until outH; xo <- 0 until outW) yield {
+        val (r, g, b) = img.rgb(xo * img.w / outW, yo * img.h / outH)
+        (r + g + b).toLong
+      }).sum
+  }
+
+  case class GifFeature(doc_id: Long, w: Int, h: Int, lum_sum: Long, rs_sum: Long)
+
   case class JpegFeature(doc_id: Long, w: Int, h: Int, lum_ok: Boolean)
 
   case class PngFeature(doc_id: Long, w: Int, h: Int, lum_sum: Long, rs_sum: Long)
@@ -584,6 +851,15 @@ object Multimodal {
             val (r, g, b) = img.rgb(x, y); (r + g + b).toLong
           }).sum
           PngFeature(id, img.w, img.h, lum, Png.resampleSum(img, 8, 6))
+        }
+
+      def decodeGifBatch(batch: Seq[(Long, Array[Byte])]): Seq[GifFeature] =
+        batch.map { case (id, bytes) =>
+          val img = Gif.decode(bytes)
+          val lum = (for (y <- 0 until img.h; x <- 0 until img.w) yield {
+            val (r, g, b) = img.rgb(x, y); (r + g + b).toLong
+          }).sum
+          GifFeature(id, img.w, img.h, lum, Gif.resampleSum(img, 8, 6))
         }
 
       def decodeJpegBatch(batch: Seq[(Long, Array[Byte])]): Seq[JpegFeature] =
@@ -654,6 +930,31 @@ object Multimodal {
       |  CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
       |  CAST(SUM(s*s) AS BIGINT) AS energy_sum
       |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
+  /** q201's oracle, dialect-parameterized like [[pngSql]]. The channel
+    * terms mirror [[Gif.rgbAt]] verbatim: the shared generative formulas,
+    * with ids % 5 == 0 quantized to {0, 255} per channel (the narrow-
+    * palette branch that exercises the LZW dictionary and width bumps). */
+  private def gifSql(series: (Int, String) => String, idiv: String): String = {
+    def ch(k1: Int, k2: Int, k3: Int, x: String, y: String) = {
+      val raw = s"(doc_id*$k1 + ($x)*$k2 + ($y)*$k3) % 256"
+      s"(CASE WHEN doc_id % 5 = 0 THEN (($raw) $idiv 128) * 255 ELSE $raw END)"
+    }
+    def lum(x: String, y: String) =
+      s"${ch(31, 7, 13, x, y)} + ${ch(17, 11, 5, x, y)} + ${ch(23, 3, 19, x, y)}"
+    s"""WITH img AS (SELECT doc_id, CAST(1 + doc_id % 14 AS INT) AS w,
+      |                    CAST(1 + doc_id % 12 AS INT) AS h
+      |             FROM documents WHERE doc_id % 3 = 1),
+      |xs AS (${series(14, "x")}), ys AS (${series(12, "y")}),
+      |lum AS (SELECT doc_id, CAST(SUM(${lum("x", "y")}) AS BIGINT) AS lum_sum
+      |        FROM img, xs, ys WHERE x < w AND y < h GROUP BY 1),
+      |xo AS (${series(8, "xo")}), yo AS (${series(6, "yo")}),
+      |rs AS (SELECT doc_id, CAST(SUM(${lum(s"(xo*w) $idiv 8", s"(yo*h) $idiv 6")}) AS BIGINT) AS rs_sum
+      |       FROM img, xo, yo GROUP BY 1)
+      |SELECT i.doc_id, i.w, i.h, l.lum_sum, r.rs_sum
+      |FROM img i JOIN lum l ON l.doc_id = i.doc_id JOIN rs r ON r.doc_id = i.doc_id
+      |ORDER BY i.doc_id""".stripMargin
+  }
 
   val entries: Seq[Entry] = Seq(
 
@@ -735,6 +1036,36 @@ object Multimodal {
     // JpegCodecSpec pins the tighter envelope). Map-only, no shuffle
     // before the output sort; at 100 TB the bytes arrive in the binary
     // column and everything else is unchanged.
+    // REAL palette-raster decode — GIF (see [[Gif]]): the second
+    // from-scratch compression layer after PNG's zlib, and this one is
+    // OURS both directions (LZW variable-width codes, dictionary growth,
+    // KwKwK, clear/EOI). An exact first-seen palette makes the
+    // round-trip LOSSLESS, so the oracle hash-checks features against
+    // the shared generative formulas exactly like BMP/PNG — and
+    // GifCodecSpec pins the decoder pixel-for-pixel against
+    // javax.imageio's independent GIF reader so a cancelling
+    // encoder/decoder bug pair cannot hide. ids % 5 == 0 quantize to a
+    // <=8-color palette (narrow code sizes, real dictionary strings,
+    // several width bumps); even ids carry a comment-extension decoy the
+    // chunk walk must skip; ids % 4 == 1 split the LZW data into 32-byte
+    // sub-blocks (reassembly exercised). Map-only, no shuffle before the
+    // output sort; at 100 TB the bytes arrive in the binary column and
+    // everything else is unchanged.
+    Entry("q201_gif_decode",
+      gifSql((n, c) => s"SELECT UNNEST(range($n)) AS $c", "//")) { (s, d) =>
+      import s.implicits._
+      val payloads = T(s, d, "documents")
+        .filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
+        .map(id => (id, Gif.encode(id)))
+      payloads.mapPartitions { rows =>
+        val codec = RealCodec.open()
+        rows.grouped(64).flatMap(codec.decodeGifBatch)
+      }.toDF()
+        .select(col("doc_id"), col("w"), col("h"), col("lum_sum"), col("rs_sum"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      gifSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c", "div")),
+
     Entry("q199_jpeg_decode",
       """SELECT doc_id, CAST(1 + doc_id % 15 AS INT) AS w,
         |  CAST(1 + doc_id % 10 AS INT) AS h, TRUE AS lum_ok
