@@ -469,9 +469,16 @@ object Multimodal {
     def width(id: Long): Int = (1 + id % 15).toInt
     def height(id: Long): Int = (1 + id % 10).toInt
 
+    /** ImageIO defaults to a DISK-backed stream cache — a temp file
+      * created and deleted per encode/decode call, which dominates the
+      * cost of 20k tiny-image round-trips. Byte-array streams need no
+      * spill; cache in memory (process-wide, idempotent). */
+    private lazy val memCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
     /** Encode the generative image as baseline JPEG via the JDK writer.
       * Deterministic per JVM (fixed default quality tables). */
     def encode(id: Long): Array[Byte] = {
+      memCache
       val (w, h) = (width(id), height(id))
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -522,6 +529,7 @@ object Multimodal {
 
     /** Full pixel decode via the JDK's independent JPEG implementation. */
     def decodePixels(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      memCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "JDK JPEG reader rejected the bytes")
       img
