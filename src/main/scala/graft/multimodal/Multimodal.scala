@@ -646,8 +646,11 @@ object Multimodal {
           case Some(c) => w = c
           case None =>
             put(w)
-            dict((w, k)) = next
-            next += 1
+            // table full at 4096: stop adding and keep coding from the
+            // frozen dictionary ("deferred clear" — what real decoders,
+            // ours included, expect; emitting codes past 4096 would be
+            // an invalid stream)
+            if (next < 4096) { dict((w, k)) = next; next += 1 }
             w = k
         }
       }
@@ -666,17 +669,35 @@ object Multimodal {
       val out = new Array[Int](nPixels)
       var got = 0
       var cw = codeSize + 1
-      var dict = Array.fill[List[Int]](4096)(Nil)
+      // The classic prefix-table dictionary (giflib's representation):
+      // entry = (prefix entry, last symbol), plus the memoized first
+      // symbol and total length. O(1) per add and O(|string|) per
+      // output — a List-of-symbols dictionary would copy the whole
+      // prefix string on every add, quadratic on real-sized images.
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      val first = new Array[Int](4096)
+      val stack = new Array[Int](4097)
       var next = eoi + 1
       // giflib's RunningCode: counts codes READ, mirroring the encoder's
       // pre-add table size (the decoder's own dictionary additions lag
       // one code behind, so width bookkeeping cannot key off `next`)
       var running = eoi + 1
-      var prev: List[Int] = Nil
+      var prev = -1
       def reset(): Unit = {
-        dict = Array.fill[List[Int]](4096)(Nil)
-        (0 until clear).foreach(i => dict(i) = List(i))
-        next = eoi + 1; cw = codeSize + 1; prev = Nil; running = eoi + 1
+        var i = 0
+        while (i < clear) { prefix(i) = -1; suffix(i) = i; first(i) = i; i += 1 }
+        next = eoi + 1; cw = codeSize + 1; prev = -1; running = eoi + 1
+      }
+      // write code's string (optionally + one extra trailing symbol, the
+      // KwKwK case) into `out` via the reversal stack
+      def emit(code: Int, extra: Int): Unit = {
+        var top = 0
+        if (extra >= 0) { stack(top) = extra; top += 1 }
+        var c = code
+        while (c != -1) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+        require(got + top <= nPixels, "LZW produced too many pixels")
+        while (top > 0) { top -= 1; out(got) = stack(top); got += 1 }
       }
       reset()
       var done = false
@@ -687,17 +708,16 @@ object Multimodal {
         if (code == clear) reset()
         else if (code == eoi) done = true
         else {
-          require(code < next || (code == next && prev.nonEmpty), s"bad LZW code $code")
-          val entry =
-            if (code < next && dict(code).nonEmpty) dict(code)
-            else prev :+ prev.head   // KwKwK: code == next
-          require(got + entry.length <= nPixels, "LZW produced too many pixels")
-          entry.foreach { i => out(got) = i; got += 1 }
-          if (prev.nonEmpty && next < 4096) {
-            dict(next) = prev :+ entry.head
+          require(code < next || (code == next && prev >= 0), s"bad LZW code $code")
+          val isKwK = code == next
+          if (isKwK) emit(prev, first(prev)) else emit(code, -1)
+          if (prev >= 0 && next < 4096) {
+            prefix(next) = prev
+            suffix(next) = if (isKwK) first(prev) else first(code)
+            first(next) = first(prev)
             next += 1
           }
-          prev = entry
+          prev = code
         }
       }
       require(got == nPixels, s"LZW stream produced $got of $nPixels pixels")

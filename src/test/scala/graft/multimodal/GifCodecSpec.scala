@@ -70,6 +70,19 @@ class GifCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("LZW survives dictionary freeze at 4096 entries (deferred clear)") {
+    // An incompressible 30k-symbol byte stream forces >3838 additions,
+    // freezing the table at 4096; both sides must keep coding from the
+    // frozen dictionary at a pinned 12-bit width (an unguarded encoder
+    // would emit code 4096+, an invalid stream no decoder accepts).
+    val rnd = new scala.util.Random(11)
+    val s = Array.fill(30000)(rnd.nextInt(256))
+    assert(Gif.lzwDecode(Gif.lzwEncode(s, 8), 8, s.length).toSeq == s.toSeq)
+    // compressible variant: freeze happens while long dict strings exist
+    val s2 = Array.tabulate(30000)(i => (i / 7) % 23)
+    assert(Gif.lzwDecode(Gif.lzwEncode(s2, 8), 8, s2.length).toSeq == s2.toSeq)
+  }
+
   test("malformed bytes fail loudly, never garbage-out") {
     val good = Gif.encode(4L)
     intercept[IllegalArgumentException](Gif.decode(good.take(5)))                   // truncated header
