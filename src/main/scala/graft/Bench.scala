@@ -93,7 +93,7 @@ object Bench {
       probeSink ^= x
       (System.nanoTime() - t0) / 1e9
     }
-    val probe0 = Seq.fill(7)(probe()).sorted.apply(3)   // warmed median
+    val probe0cal = Seq.fill(7)(probe()).sorted.apply(3)   // warmed median (JIT warm-up)
     val contendedFactor = 1.6
 
     def timeOnce(e: graft.queries.Entry): Double = {
@@ -119,22 +119,39 @@ object Bench {
     }
     probes(entries.size) = probe()
 
-    // An entry is suspect when the machine was contended in its window:
-    // BOTH flanking probes inflated (min of the two > factor x calibrated
-    // median — one slow probe alone is scheduler noise). Failures are
-    // retried too (a transient can also break a streaming drain's timing
-    // assumptions). Bounded: worst case re-runs the whole sweep once.
-    val suspect = entries.indices.filter { i =>
-      val flank = math.min(probes(i), probes(i + 1))
-      flank > contendedFactor * probe0 || firstPass(i)._2 < 0
+    // Baseline = the MINIMUM probe observed anywhere in the run, not the
+    // startup calibration alone: contention overlapping JVM startup
+    // would inflate a startup-only baseline and blind the detector for
+    // the whole sweep — the exact transient this mechanism defends
+    // against. The floor of 200+ samples is the uncontended cost by
+    // construction (a co-tenant can only ever make the probe SLOWER).
+    val probe0 = math.min(probe0cal, probes.min)
+    // An entry is contention-suspect when BOTH flanking probes are
+    // inflated (min of the two > factor x floor — one slow probe alone
+    // is scheduler noise). Failures are retried too (a transient can
+    // also break a streaming drain's timing assumptions) but are
+    // reported SEPARATELY — a deterministic failure is not evidence of
+    // machine contention. Bounded: worst case re-runs the sweep once.
+    val contendedIdx = entries.indices.filter { i =>
+      math.min(probes(i), probes(i + 1)) > contendedFactor * probe0
     }.toSet
+    val failedIdx = entries.indices.filter(i => firstPass(i)._2 < 0).toSet
+    val suspect = contendedIdx ++ failedIdx
     if (suspect.nonEmpty)
-      System.err.println(s"[bench] contention window: retrying ${suspect.size} entries: " +
-        suspect.toSeq.sorted.map(entries(_).name).mkString(", "))
+      System.err.println(s"[bench] retrying ${suspect.size} entries " +
+        s"(contended: ${contendedIdx.toSeq.sorted.map(entries(_).name).mkString(", ")}; " +
+        s"failed: ${failedIdx.toSeq.sorted.map(entries(_).name).mkString(", ")})")
+    // The retry window is probed too: a min-of-two where both runs were
+    // contended is still inflated, and that must be visible in the
+    // record rather than passing as a clean number.
+    val retryContended = scala.collection.mutable.TreeSet.empty[Int]
     val results = entries.zipWithIndex.map { case (e, i) =>
       if (!suspect(i)) firstPass(i)
       else {
+        val pb = probe()
         val again = timeOnce(e)
+        val pa = probe()
+        if (math.min(pb, pa) > contendedFactor * probe0) retryContended += i
         val best =
           if (firstPass(i)._2 < 0) again
           else if (again < 0) firstPass(i)._2
@@ -142,7 +159,10 @@ object Bench {
         e.name -> best
       }
     }
-    val retried = suspect.toSeq.sorted.map(entries(_).name)
+    def names(ix: Iterable[Int]): Seq[String] = ix.toSeq.sorted.map(entries(_).name)
+    val retried = names(contendedIdx)
+    val refailed = names(failedIdx)
+    val retryStillContended = names(retryContended)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def f3(v: Double): String = "%.3f".format(v)
 
@@ -158,9 +178,9 @@ object Bench {
     // build.sbt suppresses sbt's "[success]" banner so this line is the
     // final line of output.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"probe_ms":${f3(probe0 * 1000)},"retried":$retriedJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"probe_ms":${f3(probe0 * 1000)},"retried":${jarr(retried)},"refailed":${jarr(refailed)},"retry_contended":${jarr(retryStillContended)},"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -497,7 +497,11 @@ object Multimodal {
       * declared big-endian lengths — a fixed-offset reader fails real
       * files (the q197 decoy-chunk argument). */
     def headerDims(bytes: Array[Byte]): (Int, Int) = {
-      def u8(i: Int): Int = bytes(i) & 0xff
+      // bounds-checked accessors: every malformed input must surface as
+      // the contractually-pinned IllegalArgumentException, never an
+      // ArrayIndexOutOfBounds from a read past the end (the fill-byte
+      // skip below can advance beyond the outer loop's guard)
+      def u8(i: Int): Int = { require(i < bytes.length, "truncated JPEG"); bytes(i) & 0xff }
       def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
       require(bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG (no SOI)")
       var off = 2
@@ -506,6 +510,7 @@ object Multimodal {
         var marker = u8(off + 1)
         // fill bytes: 0xFF may be padded with more 0xFFs before the marker
         while (marker == 0xff && off + 2 < bytes.length) { off += 1; marker = u8(off + 1) }
+        require(marker != 0xff, "truncated JPEG: fill-byte run reaches the end")
         require(marker != 0xd8 && marker != 0x01 && !(marker >= 0xd0 && marker <= 0xd7),
           f"unexpected standalone marker 0x$marker%02x before frame header")
         val len = u16(off + 2)

@@ -440,7 +440,7 @@ object Geo {
             |    sequence(cast(floor((xmin + 180) / 15) as int), cast(floor((xmax + 180) / 15) as int)),
             |    cx -> cy * 64 + cx)))""".stripMargin)))
       val queryCells = q200QueryCells.toDF("qid", "cell")
-      val rings = ringsQ200.map { case (q, p) => (q, p) }.toDF("qid", "ring0")
+      val rings = ringsQ200.toDF("qid", "ring0")
         .selectExpr("qid", "transform(ring0, v -> named_struct('y', v._1, 'x', v._2)) AS ring")
       docCells.join(broadcast(queryCells), Seq("cell"))
         .dropDuplicates("c_custkey", "qid")

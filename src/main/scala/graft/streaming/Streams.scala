@@ -679,8 +679,12 @@ object Streams {
       def timed[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
       }
+      def nParts: Int = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("batch="))
+      val liveParts = nParts
       val (live, tLive) = timed(rollupMerge(s, out).collect().toSeq)
       rollupCompact(s, out, Long.MaxValue)
+      val compactedParts = nParts
       val (compacted, tCompacted) = timed(rollupMerge(s, out).collect().toSeq)
       require(compacted.size == live.size, "compaction changed the bucket count")
       live.zip(compacted).foreach { case (a, b) =>
@@ -692,7 +696,7 @@ object Streams {
           s"compaction moved the merge result: $a vs $b")
       }
       System.err.println(
-        f"[q183_rollup_compacted_read] merge read: live 3-partition $tLive%.3f s -> compacted 1-partition $tCompacted%.3f s")
+        f"[q183_rollup_compacted_read] merge read: live $liveParts%d-partition $tLive%.3f s -> compacted $compactedParts%d-partition $tCompacted%.3f s")
       rollupMerge(s, out)
     },
 

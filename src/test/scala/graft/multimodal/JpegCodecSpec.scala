@@ -12,8 +12,12 @@ import graft.multimodal.Multimodal.Jpeg
   * envelope far tighter than the entry's `lum_ok` bound. */
 class JpegCodecSpec extends AnyFunSuite {
 
-  // image docs (id ≡ 1 mod 3), all 15x10 dimension combinations covered
-  private val ids: Seq[Long] = (1L to 450L).filter(_ % 3 == 1)
+  // The codec layer is corpus-agnostic, so the spec drives ALL ids — the
+  // production corpus's id ≡ 1 mod 3 restriction shares a factor with
+  // the dimension periods (15, 10) and would reach only a third of the
+  // width/height classes (w ∈ {2,5,8,11,14} only). 1..300 covers every
+  // 15x10 combination twice.
+  private val ids: Seq[Long] = 1L to 300L
 
   test("segment walk recovers exact dimensions from real JDK-written bytes") {
     ids.foreach { id =>
@@ -55,5 +59,9 @@ class JpegCodecSpec extends AnyFunSuite {
     val bad = good.clone()
     bad(4) = 0x7f.toByte; bad(5) = 0xff.toByte
     intercept[IllegalArgumentException](Jpeg.headerDims(bad))
+    // a 0xFF fill-byte run reaching the end of the buffer: the skip loop
+    // must fail the require contract, not read past the array
+    intercept[IllegalArgumentException](
+      Jpeg.headerDims(Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff).map(_.toByte)))
   }
 }
