@@ -1,0 +1,319 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Entry
+
+/** REAL video container decode + frame sampling (SURVEY.md Q202) — the
+  * video modality joins BMP/WAV/PNG/GIF/JPEG as a real byte-level format:
+  * RIFF AVI carrying uncompressed 24 bpp BI_RGB ('DIB ') frames, the one
+  * video container expressible with no external library (the RIFF grammar
+  * is Q197's, the frame payload is Q196's pixel walk). The
+  * training-pipeline op this makes real is FRAME SAMPLING (Q80's
+  * `n_sampled` arithmetic stub): uniformly pick ≤4 of the stream's frames
+  * and feature-extract only those — the decode-k-frames-of-N shape every
+  * video training pipeline runs.
+  *
+  * Same proof shape as Q196-Q201: payloads are fabricated per video doc
+  * from doc_id (frames add a third generative axis `f` to the Q196 pixel
+  * formulas), round-tripped through an actual parser — RIFF walk with a
+  * JUNK alignment decoy on even ids (real AVIs carry JUNK padding; a
+  * fixed-offset reader breaks), `hdrl` header LIST (avih + strl/strh/strf
+  * all validated: 'vids' stream, 'DIB ' handler, 24 bpp BI_RGB), `movi`
+  * frame walk ('00db' chunks, count checked against avih), an idx1 index
+  * appended on ids%4==1 the walk must not mistake for frames — and the
+  * DuckDB oracle recomputes every feature (dims, frame count, sampled
+  * luminance) from the generative formulas alone, so hash equality proves
+  * decoder == encoder⁻¹ INCLUDING the sampling rule. Map-only, no shuffle
+  * before the output sort; at 100 TB the bytes arrive in the binary
+  * column and everything else is unchanged.
+  *
+  * Reference scope note: the reference (hbase-observer-es) syncs opaque
+  * cell bytes (`Observer.java:79-96` Bytes.toString) and has no media
+  * path; this entry is north-star surface (BASELINE.json multimodal), not
+  * L1.
+  */
+object Video {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** RIFF AVI, 24 bpp BI_RGB 'DIB ' frames, bottom-up padded rows. */
+  object Avi {
+    def width(id: Long): Int = (1 + id % 11).toInt
+    def height(id: Long): Int = (1 + id % 7).toInt
+    def nFrames(id: Long): Int = (2 + id % 9).toInt
+    val maxSampled = 4
+
+    /** Channel formulas shared (as SQL) with the oracle: the Q196 linear
+      * congruences with a frame term. */
+    def r(id: Long, f: Int, x: Int, y: Int): Int = ((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt
+    def g(id: Long, f: Int, x: Int, y: Int): Int = ((id * 17 + f * 23 + x * 11 + y * 5) % 256).toInt
+    def b(id: Long, f: Int, x: Int, y: Int): Int = ((id * 23 + f * 41 + x * 3 + y * 19) % 256).toInt
+
+    /** Uniform frame sampling: k = min(4, n) frames at j*n/k (integer
+      * floor, j = 0..k-1) — the nearest-neighbor rule Q196's resample
+      * uses, applied on the time axis, stated identically in the oracle. */
+    def sampledFrames(n: Int): Seq[Int] = {
+      val k = math.min(maxSampled, n)
+      (0 until k).map(j => j * n / k)
+    }
+
+    private def putLE(a: Array[Byte], off: Int, v: Int, n: Int): Unit =
+      (0 until n).foreach(k => a(off + k) = ((v >>> (8 * k)) & 0xff).toByte)
+    private def putTag(a: Array[Byte], off: Int, tag: String): Unit =
+      tag.getBytes("US-ASCII").zipWithIndex.foreach { case (c, k) => a(off + k) = c }
+
+    def rowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+
+    /** Spec-compliant AVI encode. Layout: RIFF('AVI ') > LIST(hdrl)[avih,
+      * LIST(strl)[strh, strf]] > JUNK decoy (even ids) > LIST(movi)['00db'
+      * per frame] > idx1 (ids%4==1). Frame payload rows are bottom-up,
+      * BGR, padded to 4 bytes — exactly Q196's pixel layout. */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h, nf) = (width(id), height(id), nFrames(id))
+      val rs = rowSize(w)
+      val frameSize = rs * h
+      val junk = if (id % 2 == 0) 8 + 12 else 0          // decoy the walk must skip
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val moviSize = 4 + nf * (8 + frameSize)
+      val idx1 = if (id % 4 == 1) 8 + 16 * nf else 0
+      val total = 12 + (8 + hdrlSize) + junk + (8 + moviSize) + idx1
+      val a = new Array[Byte](total)
+      var off = 0
+      putTag(a, 0, "RIFF"); putLE(a, 4, total - 8, 4); putTag(a, 8, "AVI ")
+      off = 12
+      // LIST hdrl
+      putTag(a, off, "LIST"); putLE(a, off + 4, hdrlSize, 4); putTag(a, off + 8, "hdrl")
+      off += 12
+      putTag(a, off, "avih"); putLE(a, off + 4, 56, 4)
+      putLE(a, off + 8, 100000, 4)           // usec per frame (10 fps)
+      putLE(a, off + 12, 0, 4)               // max bytes/sec
+      putLE(a, off + 16, 0, 4)               // padding granularity
+      putLE(a, off + 20, if (id % 4 == 1) 0x10 else 0, 4) // AVIF_HASINDEX
+      putLE(a, off + 24, nf, 4)              // total frames
+      putLE(a, off + 28, 0, 4)               // initial frames
+      putLE(a, off + 32, 1, 4)               // streams
+      putLE(a, off + 36, frameSize, 4)       // suggested buffer size
+      putLE(a, off + 40, w, 4); putLE(a, off + 44, h, 4)
+      off += 8 + 56                          // reserved[4] stays zero
+      // LIST strl
+      putTag(a, off, "LIST"); putLE(a, off + 4, 4 + 64 + 48, 4); putTag(a, off + 8, "strl")
+      off += 12
+      putTag(a, off, "strh"); putLE(a, off + 4, 56, 4)
+      putTag(a, off + 8, "vids"); putTag(a, off + 12, "DIB ")
+      putLE(a, off + 16, 0, 4)               // flags
+      putLE(a, off + 20, 0, 2); putLE(a, off + 22, 0, 2) // priority, language
+      putLE(a, off + 24, 0, 4)               // initial frames
+      putLE(a, off + 28, 1, 4); putLE(a, off + 32, 10, 4) // scale, rate
+      putLE(a, off + 36, 0, 4)               // start
+      putLE(a, off + 40, nf, 4)              // length (frames)
+      putLE(a, off + 44, frameSize, 4)       // suggested buffer size
+      putLE(a, off + 48, 0, 4); putLE(a, off + 52, 0, 4)  // quality, sample size
+      putLE(a, off + 56, 0, 2); putLE(a, off + 58, 0, 2)  // rcFrame l, t
+      putLE(a, off + 60, w, 2); putLE(a, off + 62, h, 2)  // rcFrame r, b
+      off += 8 + 56
+      putTag(a, off, "strf"); putLE(a, off + 4, 40, 4)
+      putLE(a, off + 8, 40, 4)               // BITMAPINFOHEADER size
+      putLE(a, off + 12, w, 4); putLE(a, off + 16, h, 4)
+      putLE(a, off + 20, 1, 2); putLE(a, off + 22, 24, 2) // planes, bpp
+      putLE(a, off + 24, 0, 4)               // BI_RGB
+      putLE(a, off + 28, frameSize, 4)
+      off += 8 + 40                          // ppm/clr fields stay zero
+      if (junk > 0) {                        // alignment decoy
+        putTag(a, off, "JUNK"); putLE(a, off + 4, 12, 4); off += 8 + 12
+      }
+      // LIST movi
+      val moviStart = off
+      putTag(a, off, "LIST"); putLE(a, off + 4, moviSize, 4); putTag(a, off + 8, "movi")
+      off += 12
+      val frameOffsets = new Array[Int](nf)
+      for (f <- 0 until nf) {
+        frameOffsets(f) = off - (moviStart + 8)   // idx1 offsets: relative to 'movi' tag
+        putTag(a, off, "00db"); putLE(a, off + 4, frameSize, 4)
+        for (y <- 0 until h; x <- 0 until w) {
+          val p = off + 8 + (h - 1 - y) * rs + 3 * x
+          a(p) = b(id, f, x, y).toByte
+          a(p + 1) = g(id, f, x, y).toByte
+          a(p + 2) = r(id, f, x, y).toByte
+        }
+        off += 8 + frameSize
+      }
+      if (idx1 > 0) {
+        putTag(a, off, "idx1"); putLE(a, off + 4, 16 * nf, 4)
+        for (f <- 0 until nf) {
+          putTag(a, off + 8 + 16 * f, "00db")
+          putLE(a, off + 12 + 16 * f, 0x10, 4)            // AVIIF_KEYFRAME
+          putLE(a, off + 16 + 16 * f, frameOffsets(f), 4)
+          putLE(a, off + 20 + 16 * f, frameSize, 4)
+        }
+        off += idx1
+      }
+      require(off == total, s"encoder layout bug: wrote $off of $total")
+      a
+    }
+
+    private def getLE(a: Array[Byte], off: Int, n: Int): Int =
+      (0 until n).foldRight(0)((k, acc) => (acc << 8) | (a(off + k) & 0xff))
+    private def tag(a: Array[Byte], off: Int): String = {
+      require(off + 4 <= a.length, "truncated chunk tag")
+      new String(a.slice(off, off + 4), "US-ASCII")
+    }
+
+    /** One decoded frame: Q196's accessor shape (y=0 at the TOP; the
+      * decoder hides bottom-up order and row padding). */
+    final case class Frame(w: Int, h: Int, bytes: Array[Byte], offset: Int, rs: Int) {
+      def rgb(x: Int, y: Int): (Int, Int, Int) = {
+        val o = offset + (h - 1 - y) * rs + 3 * x
+        (bytes(o + 2) & 0xff, bytes(o + 1) & 0xff, bytes(o) & 0xff)
+      }
+    }
+    final case class DecodedAvi(w: Int, h: Int, frames: IndexedSeq[Frame])
+
+    /** Parse a 'vids'/'DIB ' single-stream AVI; every header field the
+      * format requires is validated, unknown chunks (JUNK, idx1) are
+      * skipped by the generic RIFF walk, and the movi frame count is
+      * checked against avih — malformed bytes fail loudly. */
+    def decode(bytes: Array[Byte]): DecodedAvi = {
+      require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI ",
+        "not a RIFF/AVI file")
+      require(getLE(bytes, 4, 4) == bytes.length - 8, "RIFF size field mismatch")
+      var w = -1; var h = -1; var nf = -1
+      var frames = Vector.empty[Frame]
+
+      def parseHdrl(start: Int, end: Int): Unit = {
+        var off = start
+        require(tag(bytes, off) == "avih" && getLE(bytes, off + 4, 4) == 56, "missing avih")
+        require(getLE(bytes, off + 32, 4) == 1, "not a single-stream AVI")
+        nf = getLE(bytes, off + 24, 4)
+        w = getLE(bytes, off + 40, 4); h = getLE(bytes, off + 44, 4)
+        off += 8 + 56
+        var sawStrl = false
+        while (off + 8 <= end) {
+          val (t, sz) = (tag(bytes, off), getLE(bytes, off + 4, 4))
+          if (t == "LIST" && tag(bytes, off + 8) == "strl") {
+            sawStrl = true
+            var so = off + 12
+            require(tag(bytes, so) == "strh" && getLE(bytes, so + 4, 4) == 56, "missing strh")
+            require(tag(bytes, so + 8) == "vids", "not a video stream")
+            require(tag(bytes, so + 12) == "DIB ", "not an uncompressed DIB stream")
+            require(getLE(bytes, so + 40, 4) == nf, "strh length != avih frame count")
+            so += 8 + 56
+            require(tag(bytes, so) == "strf" && getLE(bytes, so + 4, 4) == 40, "missing strf")
+            require(getLE(bytes, so + 8, 4) == 40, "bad BITMAPINFOHEADER size")
+            require(getLE(bytes, so + 12, 4) == w && getLE(bytes, so + 16, 4) == h,
+              "strf dims disagree with avih")
+            require(getLE(bytes, so + 22, 2) == 24, "not 24 bpp")
+            require(getLE(bytes, so + 24, 4) == 0, "not BI_RGB")
+          }
+          off += 8 + sz + (sz & 1)
+        }
+        require(sawStrl, "no strl LIST")
+      }
+
+      def parseMovi(start: Int, end: Int): Unit = {
+        val rs = rowSize(w)
+        var off = start
+        while (off + 8 <= end) {
+          val (t, sz) = (tag(bytes, off), getLE(bytes, off + 4, 4))
+          require(off + 8 + sz <= end, "truncated movi chunk")
+          if (t == "00db" || t == "00dc") {
+            require(sz == rs * h, s"frame size $sz != ${rs * h}")
+            frames :+= Frame(w, h, bytes, off + 8, rs)
+          }
+          off += 8 + sz + (sz & 1)
+        }
+      }
+
+      var off = 12
+      while (off + 8 <= bytes.length) {
+        val (t, sz) = (tag(bytes, off), getLE(bytes, off + 4, 4))
+        require(off + 8 + sz <= bytes.length, "truncated chunk")
+        if (t == "LIST") {
+          tag(bytes, off + 8) match {
+            case "hdrl" => parseHdrl(off + 12, off + 8 + sz)
+            case "movi" =>
+              require(nf >= 0, "movi before hdrl")
+              parseMovi(off + 12, off + 8 + sz)
+            case _ => ()                       // unknown LIST: skip
+          }
+        }                                      // JUNK / idx1 / other: skip
+        off += 8 + sz + (sz & 1)
+      }
+      require(w > 0 && h > 0, "no hdrl LIST")
+      require(frames.size == nf, s"movi holds ${frames.size} frames, avih says $nf")
+      DecodedAvi(w, h, frames)
+    }
+  }
+
+  case class AviFeature(doc_id: Long, w: Int, h: Int, n_frames: Int,
+                        n_sampled: Int, slum_sum: Long)
+
+  /** Partition-scoped batch handle, the [[Multimodal.RealCodec]] shape. */
+  object VideoCodec {
+    final class Handle private[VideoCodec] () {
+      def decodeAviBatch(batch: Seq[(Long, Array[Byte])]): Seq[AviFeature] =
+        batch.map { case (id, bytes) =>
+          val v = Avi.decode(bytes)
+          val sampled = Avi.sampledFrames(v.frames.size)
+          val slum = sampled.map { f =>
+            val fr = v.frames(f)
+            (for (y <- 0 until v.h; x <- 0 until v.w) yield {
+              val (r, g, b) = fr.rgb(x, y); (r + g + b).toLong
+            }).sum
+          }.sum
+          AviFeature(id, v.w, v.h, v.frames.size, sampled.size, slum)
+        }
+    }
+    def open(): Handle = new Handle()
+  }
+
+  /** q202's oracle, dialect-parameterized like the Q196-Q201 oracles; the
+    * channel terms mirror [[Avi.r]]/[[Avi.g]]/[[Avi.b]] verbatim and the
+    * sampled-frame rule mirrors [[Avi.sampledFrames]]. */
+  private def aviSql(series: (Int, String) => String, idiv: String): String = {
+    def lum(f: String, x: String, y: String) =
+      s"(doc_id*31 + ($f)*29 + ($x)*7 + ($y)*13) % 256 + " +
+        s"(doc_id*17 + ($f)*23 + ($x)*11 + ($y)*5) % 256 + " +
+        s"(doc_id*23 + ($f)*41 + ($x)*3 + ($y)*19) % 256"
+    s"""WITH vid AS (SELECT doc_id, CAST(1 + doc_id % 11 AS INT) AS w,
+      |                    CAST(1 + doc_id % 7 AS INT) AS h,
+      |                    CAST(2 + doc_id % 9 AS INT) AS nf,
+      |                    CAST(LEAST(4, 2 + doc_id % 9) AS INT) AS k
+      |             FROM documents WHERE doc_id % 3 = 2),
+      |js AS (${series(4, "j")}), xs AS (${series(11, "x")}), ys AS (${series(7, "y")}),
+      |sl AS (SELECT doc_id,
+      |         CAST(SUM(${lum(s"(j*nf) $idiv k", "x", "y")}) AS BIGINT) AS slum_sum
+      |       FROM vid, js, xs, ys WHERE j < k AND x < w AND y < h GROUP BY 1)
+      |SELECT v.doc_id, v.w, v.h, v.nf AS n_frames, v.k AS n_sampled, s.slum_sum
+      |FROM vid v JOIN sl s ON s.doc_id = v.doc_id
+      |ORDER BY v.doc_id""".stripMargin
+  }
+
+  val entries: Seq[Entry] = Seq(
+    // REAL video decode + frame sampling (see [[Avi]]): fabricate
+    // spec-compliant AVI bytes per video doc, round-trip through an
+    // actual RIFF/hdrl/movi parser, uniformly sample <=4 frames, and let
+    // the oracle recompute dims/frame-count/sampled-luminance from the
+    // generative formulas — hash equality proves decoder == encoder⁻¹
+    // including the sampling rule. Map-only, no shuffle before the
+    // output sort; at 100 TB the bytes arrive in the binary column and
+    // everything else is unchanged.
+    Entry("q202_avi_frame_sample",
+      aviSql((n, c) => s"SELECT UNNEST(range($n)) AS $c", "//")) { (s, d) =>
+      import s.implicits._
+      val payloads = T(s, d, "documents")
+        .filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+        .map(id => (id, Avi.encode(id)))
+      payloads.mapPartitions { rows =>
+        val codec = VideoCodec.open()
+        rows.grouped(64).flatMap(codec.decodeAviBatch)
+      }.toDF()
+        .select(col("doc_id"), col("w"), col("h"), col("n_frames"),
+                col("n_sampled"), col("slum_sum"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      aviSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c", "div"))
+  )
+}
