@@ -1,0 +1,198 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Entry
+
+/** WebDataset-style tar-shard ingest (SURVEY.md Q203) — the container
+  * format large-scale multimodal training corpora actually ship in:
+  * samples grouped into POSIX ustar tar archives ("shards"), each sample
+  * a basename-keyed group of member files (`<key>.txt`, `<key>.cls`,
+  * `<key>.jpg`, ...). The WebDataset convention (public: webdataset/
+  * tarp, PyTorch WebDataset docs) is exactly this: shard = tar, sample =
+  * members sharing a basename, extension = field. A 100 TB corpus is
+  * tens of millions of such shards read as opaque binary blobs; the
+  * engine-side work is (1) a REAL ustar parser — header grammar, octal
+  * fields, checksum verification, 512-byte block padding, zero-block
+  * terminator — and (2) the basename grouping that reassembles samples.
+  *
+  * Proof shape: the fixture corpus carries no tar bytes, so shards are
+  * FABRICATED from the documents table (8 docs per shard, the Q196-Q201
+  * fabrication seam applied to containers instead of codecs): each doc
+  * contributes `<doc_id>.txt` (its UTF-8 text, byte-exact) and
+  * `<doc_id>.cls` (its label, doc_id % 7, ASCII decimal). The entry then
+  * round-trips REAL bytes — build each shard, parse it back with the
+  * full-validation ustar walk, regroup members into samples — and the
+  * DuckDB oracle recomputes every output column from the source table
+  * alone (text byte length via octet_length, label arithmetic, and
+  * md5(text): hash equality proves member payloads survive the tar
+  * round-trip BYTE-EXACT, not just length-preserved).
+  *
+  * Scale posture: fabrication exists only because the fixtures hold no
+  * tars — in production, shard blobs arrive one-per-row (binaryFile
+  * source / a bytes column) and ONLY the parse side runs: map-only
+  * per-shard work, no shuffle at all (samples never span shards by
+  * construction — the property WebDataset exists to provide; sequential
+  * member layout is what makes tar the 100 TB streaming format). The one
+  * groupBy here is the fabrication side's shard assembly, not ingest
+  * cost.
+  *
+  * Reference scope note: the reference syncs HBase cells (Observer.java:
+  * 79-96) and has no archive source; this is north-star surface
+  * (training-data pipeline ingest), not L1.
+  */
+object Shards {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val docsPerShard = 8
+
+  /** POSIX ustar writer/parser — pure byte arithmetic, no library. */
+  object Tar {
+    val blockSize = 512
+
+    private def putAscii(a: Array[Byte], off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) => a(off + i) = b }
+
+    /** Octal field: n-1 zero-padded octal digits + NUL (the ustar form). */
+    private def putOctal(a: Array[Byte], off: Int, v: Long, n: Int): Unit = {
+      val s = v.toOctalString
+      require(s.length <= n - 1, s"octal overflow: $v into $n")
+      putAscii(a, off, ("0" * (n - 1 - s.length)) + s)
+      a(off + n - 1) = 0
+    }
+
+    /** One member header block. Checksum per spec: unsigned byte sum of
+      * the header with the checksum field read as 8 spaces; stored as 6
+      * octal digits, NUL, space. */
+    def header(name: String, size: Long): Array[Byte] = {
+      val h = new Array[Byte](blockSize)
+      require(name.getBytes("US-ASCII").length <= 100, "name too long")
+      putAscii(h, 0, name)
+      putOctal(h, 100, 420, 8)            // mode 0644
+      putOctal(h, 108, 0, 8)              // uid
+      putOctal(h, 116, 0, 8)              // gid
+      putOctal(h, 124, size, 12)
+      putOctal(h, 136, 0, 12)             // mtime (deterministic: epoch)
+      (148 until 156).foreach(i => h(i) = ' ')
+      h(156) = '0'                        // typeflag: regular file
+      putAscii(h, 257, "ustar"); h(262) = 0
+      putAscii(h, 263, "00")              // version
+      val sum = h.map(_ & 0xff).sum
+      putAscii(h, 148, ("0" * (6 - sum.toOctalString.length)) + sum.toOctalString)
+      h(154) = 0; h(155) = ' '
+      h
+    }
+
+    /** Serialize members (in the given order) + two-zero-block end. */
+    def write(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      members.foreach { case (name, data) =>
+        out.write(header(name, data.length.toLong))
+        out.write(data)
+        val pad = (blockSize - data.length % blockSize) % blockSize
+        out.write(new Array[Byte](pad))
+      }
+      out.write(new Array[Byte](2 * blockSize))
+      out.toByteArray
+    }
+
+    private def ascii(a: Array[Byte], off: Int, n: Int): String = {
+      val end = (off until off + n).find(i => a(i) == 0).getOrElse(off + n)
+      new String(a, off, end - off, "US-ASCII")
+    }
+    private def octal(a: Array[Byte], off: Int, n: Int): Long = {
+      val s = ascii(a, off, n).trim
+      require(s.nonEmpty && s.forall(c => c >= '0' && c <= '7'), s"bad octal field '$s'")
+      java.lang.Long.parseLong(s, 8)
+    }
+
+    /** Parse a ustar stream: every header's magic, version and checksum
+      * are verified, sizes honored with block padding, the walk ends at
+      * the zero terminator block — malformed bytes fail loudly. */
+    def read(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+      require(bytes.length % blockSize == 0, "not block-aligned")
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      var off = 0
+      var done = false
+      while (!done) {
+        require(off + blockSize <= bytes.length, "missing terminator block")
+        if ((off until off + blockSize).forall(bytes(_) == 0)) done = true
+        else {
+          require(ascii(bytes, off + 257, 6) == "ustar", "bad ustar magic")
+          require(ascii(bytes, off + 263, 2) == "00", "bad ustar version")
+          val stored = octal(bytes, off + 148, 8)
+          val computed = (off until off + blockSize).map { i =>
+            if (i >= off + 148 && i < off + 156) ' '.toInt else bytes(i) & 0xff
+          }.sum
+          require(stored == computed, s"header checksum $computed != stored $stored")
+          require(bytes(off + 156) == '0', "not a regular-file member")
+          val name = ascii(bytes, off, 100)
+          require(name.nonEmpty, "empty member name")
+          val size = octal(bytes, off + 124, 12)
+          val dataOff = off + blockSize
+          require(dataOff + size <= bytes.length, s"truncated member $name")
+          out += name -> bytes.slice(dataOff, dataOff + size.toInt)
+          off = dataOff + ((size.toInt + blockSize - 1) / blockSize) * blockSize
+        }
+      }
+      out.result()
+    }
+
+    /** WebDataset sample grouping: basename before the first '.' keys the
+      * sample; extension names the field. Order within the archive is
+      * preserved per key (members of one sample are adjacent in a
+      * well-formed shard, but grouping tolerates any order). */
+    def samples(members: Seq[(String, Array[Byte])]): Map[String, Map[String, Array[Byte]]] =
+      members.groupBy { case (n, _) => n.takeWhile(_ != '.') }
+        .map { case (k, ms) =>
+          k -> ms.map { case (n, d) => n.dropWhile(_ != '.').drop(1) -> d }.toMap
+        }
+  }
+
+  case class ShardSample(doc_id: Long, shard_id: Long, n_fields: Int,
+                         txt_len: Long, cls: Int, txt_bytes: Array[Byte])
+
+  val entries: Seq[Entry] = Seq(
+    // Tar-shard round-trip (see [[Tar]]): build 8-doc WebDataset shards
+    // from the documents table, parse them back through the
+    // full-validation ustar walk, regroup into samples, and hash-check
+    // every field (including md5 of the text payload) against the source
+    // table — proves the archive layer is byte-lossless. The groupBy is
+    // fabrication-only; production ingest is the map-only parse side.
+    Entry("q203_tar_shards",
+      """SELECT doc_id, doc_id // 8 AS shard_id, 2 AS n_fields,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS txt_len,
+        |  CAST(doc_id % 7 AS INT) AS cls, md5(text) AS txt_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val shards = T(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .groupByKey { case (id, _) => id / docsPerShard }
+        .mapGroups { (shardId, docs) =>
+          val members = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+            Seq(s"$id.txt" -> text.getBytes("UTF-8"),
+                s"$id.cls" -> (id % 7).toString.getBytes("US-ASCII"))
+          }
+          (shardId, Tar.write(members))
+        }
+      shards.flatMap { case (shardId, bytes) =>
+        Tar.samples(Tar.read(bytes)).toSeq.map { case (key, fields) =>
+          val txt = fields("txt")
+          ShardSample(key.toLong, shardId, fields.size, txt.length.toLong,
+            new String(fields("cls"), "US-ASCII").toInt, txt)
+        }
+      }.toDF()
+        .select(col("doc_id"), col("shard_id"), col("n_fields"),
+                col("txt_len"), col("cls"), md5(col("txt_bytes")).as("txt_md5"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      """SELECT doc_id, doc_id div 8 AS shard_id, 2 AS n_fields,
+        |  CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS txt_len,
+        |  CAST(doc_id % 7 AS INT) AS cls, md5(text) AS txt_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}
