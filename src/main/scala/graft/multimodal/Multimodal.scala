@@ -194,9 +194,14 @@ object Multimodal {
     private def putTag(a: Array[Byte], off: Int, tag: String): Unit =
       tag.getBytes("US-ASCII").zipWithIndex.foreach { case (b, k) => a(off + k) = b }
 
-    def encode(id: Long): Array[Byte] = {
-      val n = nSamples(id)
-      val decoy = if (id % 2 == 0) 12 else 0   // LIST chunk: header + 4 bytes
+    def encode(id: Long): Array[Byte] =
+      encodePcm(Array.tabulate(nSamples(id))(i => sample(id, i)), withDecoy = id % 2 == 0)
+
+    /** The container layer alone: any i16 sample stream to a
+      * spec-compliant PCM file (q204's tone corpus reuses it). */
+    def encodePcm(samples: Array[Int], withDecoy: Boolean): Array[Byte] = {
+      val n = samples.length
+      val decoy = if (withDecoy) 12 else 0     // LIST chunk: header + 4 bytes
       val dataSize = 2 * n
       val bytes = new Array[Byte](44 + decoy + dataSize)
       putTag(bytes, 0, "RIFF"); putLE(bytes, 4, bytes.length - 8, 4)
@@ -214,7 +219,7 @@ object Multimodal {
         putTag(bytes, off + 8, "INFO"); off += 12
       }
       putTag(bytes, off, "data"); putLE(bytes, off + 4, dataSize, 4)
-      (0 until n).foreach(i => putLE(bytes, off + 8 + 2 * i, sample(id, i) & 0xffff, 2))
+      (0 until n).foreach(i => putLE(bytes, off + 8 + 2 * i, samples(i) & 0xffff, 2))
       bytes
     }
 
