@@ -34,7 +34,10 @@ object SparkEntry {
       text.Text.entries ++
       text.Pipeline.entries ++
       vector.Vectors.entries ++
-      multimodal.Multimodal.entries
+      multimodal.Multimodal.entries ++
+      multimodal.Video.entries ++
+      multimodal.Spectral.entries ++
+      ingest.Shards.entries
     declared.map { e =>
       if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None, false)
       else
