@@ -37,7 +37,8 @@ object SparkEntry {
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
       multimodal.Spectral.entries ++
-      ingest.Shards.entries
+      ingest.Shards.entries ++
+      ingest.CompressedShards.entries
     declared.map { e =>
       if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None, false)
       else
