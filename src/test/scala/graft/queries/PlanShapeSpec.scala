@@ -274,6 +274,27 @@ class PlanShapeSpec extends GraftSuite {
       s"barrier aggregate must not introduce a second shuffle:\n$p")
   }
 
+  test("q202/q204: codec entries stay map-only — no hash exchange before the output sort") {
+    // decode work is per-row; the only exchange the plan may carry is the
+    // output orderBy's range partitioning. A hashpartitioning exchange
+    // means a shuffle crept into the decode path.
+    Seq("q202_avi_frame_sample", "q204_audio_dominant_freq").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name decode path must not shuffle:\n$p")
+    }
+  }
+
+  test("q203/q205: shard entries shuffle once — the fabrication groupBy only") {
+    // the single hash exchange is the fixture-side shard assembly
+    // (production blobs arrive pre-sharded); the parse side adds nothing.
+    Seq("q203_tar_shards", "q205_jsonl_gz_shards").foreach { name =>
+      val p = planOf(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$name must carry exactly the fabrication shuffle:\n$p")
+    }
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
