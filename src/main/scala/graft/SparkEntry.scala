@@ -33,6 +33,7 @@ object SparkEntry {
       streaming.Streams.entries ++
       text.Text.entries ++
       text.Pipeline.entries ++
+      text.Utf8Repair.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
