@@ -278,7 +278,8 @@ class PlanShapeSpec extends GraftSuite {
     // decode work is per-row; the only exchange the plan may carry is the
     // output orderBy's range partitioning. A hashpartitioning exchange
     // means a shuffle crept into the decode path.
-    Seq("q202_avi_frame_sample", "q204_audio_dominant_freq").foreach { name =>
+    Seq("q202_avi_frame_sample", "q204_audio_dominant_freq",
+        "q206_utf8_repair").foreach { name =>
       val p = planOf(name)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name decode path must not shuffle:\n$p")
