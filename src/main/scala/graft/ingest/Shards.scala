@@ -155,6 +155,33 @@ object Shards {
   case class ShardSample(doc_id: Long, shard_id: Long, n_fields: Int,
                          txt_len: Long, cls: Int, txt_bytes: Array[Byte])
 
+  /** The fabrication seam, shared by q203 and the streaming arrival
+    * staging (q207): the documents table as WebDataset tar shards,
+    * one row per shard. Fixture-only — production shards ship as blobs. */
+  def shardTable(s: SparkSession, d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    T(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey { case (id, _) => id / docsPerShard }
+      .mapGroups { (shardId, docs) =>
+        val members = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+          Seq(s"$id.txt" -> text.getBytes("UTF-8"),
+              s"$id.cls" -> (id % 7).toString.getBytes("US-ASCII"))
+        }
+        (shardId, Tar.write(members))
+      }
+  }
+
+  /** The parse seam, shared by q203 and q207: one shard blob to its
+    * per-doc sample rows — the map-only work production ingest runs. */
+  def parseShard(shardId: Long, bytes: Array[Byte]): Seq[ShardSample] =
+    Tar.samples(Tar.read(bytes)).toSeq.map { case (key, fields) =>
+      val txt = fields("txt")
+      ShardSample(key.toLong, shardId, fields.size, txt.length.toLong,
+        new String(fields("cls"), "US-ASCII").toInt, txt)
+    }
+
   val entries: Seq[Entry] = Seq(
     // Tar-shard round-trip (see [[Tar]]): build 8-doc WebDataset shards
     // from the documents table, parse them back through the
@@ -168,23 +195,8 @@ object Shards {
         |  CAST(doc_id % 7 AS INT) AS cls, md5(text) AS txt_md5
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val shards = T(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .groupByKey { case (id, _) => id / docsPerShard }
-        .mapGroups { (shardId, docs) =>
-          val members = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
-            Seq(s"$id.txt" -> text.getBytes("UTF-8"),
-                s"$id.cls" -> (id % 7).toString.getBytes("US-ASCII"))
-          }
-          (shardId, Tar.write(members))
-        }
-      shards.flatMap { case (shardId, bytes) =>
-        Tar.samples(Tar.read(bytes)).toSeq.map { case (key, fields) =>
-          val txt = fields("txt")
-          ShardSample(key.toLong, shardId, fields.size, txt.length.toLong,
-            new String(fields("cls"), "US-ASCII").toInt, txt)
-        }
+      shardTable(s, d).flatMap { case (shardId, bytes) =>
+        parseShard(shardId, bytes)
       }.toDF()
         .select(col("doc_id"), col("shard_id"), col("n_fields"),
                 col("txt_len"), col("cls"), md5(col("txt_bytes")).as("txt_md5"))
