@@ -38,6 +38,7 @@ object SparkEntry {
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
       multimodal.Spectral.entries ++
+      multimodal.Ulaw.entries ++
       ingest.Shards.entries ++
       ingest.CompressedShards.entries
     declared.map { e =>
