@@ -39,6 +39,7 @@ object SparkEntry {
       multimodal.Video.entries ++
       multimodal.Spectral.entries ++
       multimodal.Ulaw.entries ++
+      multimodal.PerceptualHash.entries ++
       ingest.Shards.entries ++
       ingest.CompressedShards.entries
     declared.map { e =>
