@@ -40,6 +40,7 @@ object SparkEntry {
       multimodal.Spectral.entries ++
       multimodal.Ulaw.entries ++
       multimodal.PerceptualHash.entries ++
+      multimodal.AspectBuckets.entries ++
       ingest.Shards.entries ++
       ingest.CompressedShards.entries
     declared.map { e =>
