@@ -279,7 +279,7 @@ class PlanShapeSpec extends GraftSuite {
     // output orderBy's range partitioning. A hashpartitioning exchange
     // means a shuffle crept into the decode path.
     Seq("q202_avi_frame_sample", "q204_audio_dominant_freq",
-        "q206_utf8_repair").foreach { name =>
+        "q206_utf8_repair", "q208_ulaw_decode").foreach { name =>
       val p = planOf(name)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name decode path must not shuffle:\n$p")
@@ -289,7 +289,11 @@ class PlanShapeSpec extends GraftSuite {
   test("q203/q205: shard entries shuffle once — the fabrication groupBy only") {
     // the single hash exchange is the fixture-side shard assembly
     // (production blobs arrive pre-sharded); the parse side adds nothing.
-    Seq("q203_tar_shards", "q205_jsonl_gz_shards").foreach { name =>
+    // q209/q210 earn their one exchange differently — it IS the operator
+    // (the dHash dedup group / the bucket plan) — but the budget is the
+    // same: exactly one hash shuffle.
+    Seq("q203_tar_shards", "q205_jsonl_gz_shards",
+        "q209_image_dhash_dedup", "q210_aspect_buckets").foreach { name =>
       val p = planOf(name)
       assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
         s"$name must carry exactly the fabrication shuffle:\n$p")
