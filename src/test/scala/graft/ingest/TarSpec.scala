@@ -53,6 +53,28 @@ class TarSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Tar.read(dir))
   }
 
+  test("fuzz: 300 random archives round-trip byte-exact") {
+    val rnd = new scala.util.Random(0xba5e)
+    (0 until 300).foreach { trial =>
+      val ms = (0 until 1 + rnd.nextInt(6)).map { i =>
+        val name = s"m${trial}_$i." + Seq("txt", "cls", "json", "bin")(rnd.nextInt(4))
+        val size = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(8)                    // tiny (incl. empty)
+          case 1 => 500 + rnd.nextInt(30)             // block boundary region
+          case 2 => rnd.nextInt(3000)                 // multi-block
+          case _ => 512 * (1 + rnd.nextInt(3))        // exact multiples
+        }
+        val data = new Array[Byte](size); rnd.nextBytes(data)
+        name -> data
+      }
+      val back = Tar.read(Tar.write(ms))
+      assert(back.map(_._1) == ms.map(_._1), s"trial $trial names")
+      back.zip(ms).foreach { case ((_, bd), (n, d)) =>
+        assert(bd.sameElements(d), s"trial $trial member $n")
+      }
+    }
+  }
+
   test("WebDataset grouping keys by basename and fields by extension") {
     val ms = Seq(
       "7.txt" -> "hello".getBytes, "7.cls" -> "3".getBytes,
