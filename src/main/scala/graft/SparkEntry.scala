@@ -41,6 +41,8 @@ object SparkEntry {
       multimodal.Ulaw.entries ++
       multimodal.PerceptualHash.entries ++
       multimodal.AspectBuckets.entries ++
+      multimodal.Vad.entries ++
+      multimodal.Resample.entries ++
       ingest.Shards.entries ++
       ingest.CompressedShards.entries
     declared.map { e =>
