@@ -279,7 +279,8 @@ class PlanShapeSpec extends GraftSuite {
     // output orderBy's range partitioning. A hashpartitioning exchange
     // means a shuffle crept into the decode path.
     Seq("q202_avi_frame_sample", "q204_audio_dominant_freq",
-        "q206_utf8_repair", "q208_ulaw_decode").foreach { name =>
+        "q206_utf8_repair", "q208_ulaw_decode",
+        "q211_audio_vad", "q212_pcm_upsample").foreach { name =>
       val p = planOf(name)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name decode path must not shuffle:\n$p")
