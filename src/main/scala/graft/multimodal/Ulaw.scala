@@ -63,6 +63,37 @@ object Ulaw {
     ~(sign | (exp << 4) | mant) & 0xff
   }
 
+  /** G.711 A-law expand (decode) — the µ-law's international twin
+    * (European telephony; same ITU-T G.711 spec, different companding
+    * constants): codeword stored XOR 0x55, bit 7 (after unmasking) SET
+    * means positive, 3-bit segment, 4-bit mantissa; segment 0 is linear
+    * (step 16, offset 8), segments 1-7 add the 0x100 chord offset and
+    * shift. Constants follow the JDK's own A-law table (alawDecode
+    * pinned against it over all 256 codes). */
+  def alawDecode(code: Int): Int = {
+    val u = code ^ 0x55
+    val exp = (u >> 4) & 0x07
+    val mant = u & 0x0f
+    var mag = (mant << 4) + 8
+    if (exp >= 1) mag += 0x100
+    if (exp > 1) mag <<= (exp - 1)
+    if ((u & 0x80) != 0) mag else -mag
+  }
+
+  /** G.711 A-law compress (encode): exact inverse of [[alawDecode]] on
+    * its codebook (A-law has no ±0 ambiguity — all 256 codes are
+    * canonical, unlike µ-law's 0x7F). */
+  def alawEncode(sample: Int): Int = {
+    val sign = if (sample >= 0) 0x80 else 0x00
+    var m = math.min(if (sample >= 0) sample else -sample, 0x7fff)
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (m & mask) == 0) { exp -= 1; mask >>= 1 }
+    val adj = if (exp == 0) 1 else exp   // segment 0 and 1 share the shift
+    val mant = (m >> (adj + 3)) & 0x0f
+    (sign | (exp << 4) | mant) ^ 0x55
+  }
+
   def nSamples(id: Long): Int = (24 + id % 40).toInt
 
   /** Codeword formula shared (as SQL) with the oracle: the Q197 noise
@@ -84,22 +115,33 @@ object Ulaw {
         ((a(off + 2) & 0xff) << 8) | (a(off + 3) & 0xff)
     }
 
+    /** AU encoding-field values (AU spec): 1 = 8-bit G.711 µ-law,
+      * 27 = 8-bit G.711 A-law. */
+    val EncUlaw = 1
+    val EncAlaw = 27
+
     /** Spec-compliant AU encode: 24-byte header (+ annotation on even
       * ids, which pushes the data offset — the decoy that keeps the
-      * offset field honest), µ-law codewords as the payload. */
-    def encodeAu(id: Long): Array[Byte] = {
+      * offset field honest), G.711 codewords as the payload. µ-law
+      * payloads are the canonicalized [[codeword]]s; A-law needs no
+      * canonicalization (all 256 codes are canonical), so the raw
+      * congruence byte is the codeword. */
+    def encodeAu(id: Long, enc: Int = EncUlaw): Array[Byte] = {
       val n = nSamples(id)
       val ann = if (id % 2 == 0) 8 else 0
       val a = new Array[Byte](24 + ann + n)
       putBE(a, 0, magic)
       putBE(a, 4, 24 + ann)              // data offset
       putBE(a, 8, n)                     // data size
-      putBE(a, 12, 1)                    // encoding: 8-bit G.711 µ-law
+      putBE(a, 12, enc)
       putBE(a, 16, 8000)                 // sample rate
       putBE(a, 20, 1)                    // channels
       if (ann > 0) "graft pad".getBytes("US-ASCII").take(8)
         .zipWithIndex.foreach { case (b, i) => a(24 + i) = b }
-      (0 until n).foreach(i => a(24 + ann + i) = codeword(id, i).toByte)
+      (0 until n).foreach { i =>
+        val c = if (enc == EncAlaw) ((id * 37 + i * 101) % 256).toInt else codeword(id, i)
+        a(24 + ann + i) = c.toByte
+      }
       a
     }
 
@@ -107,16 +149,19 @@ object Ulaw {
 
     /** Parse + expand: header fields all validated, payload located by
       * the offset field (never a fixed 24), every byte expanded through
-      * [[Ulaw.decode]]. */
+      * the companding law the HEADER declares ([[Ulaw.decode]] /
+      * [[Ulaw.alawDecode]]). */
     def decodeAu(bytes: Array[Byte]): DecodedAu = {
       require(bytes.length >= 24 && getBE(bytes, 0) == magic, "not an AU file")
       val off = getBE(bytes, 4)
       val size = getBE(bytes, 8)
-      require(getBE(bytes, 12) == 1, "not 8-bit mu-law")
+      val enc = getBE(bytes, 12)
+      require(enc == EncUlaw || enc == EncAlaw, s"unsupported AU encoding $enc")
       val sr = getBE(bytes, 16)
       require(getBE(bytes, 20) == 1, "not mono")
       require(off >= 24 && off + size <= bytes.length, "truncated AU data")
-      DecodedAu(sr, Array.tabulate(size)(i => Ulaw.decode(bytes(off + i) & 0xff)))
+      val expand: Int => Int = if (enc == EncAlaw) Ulaw.alawDecode else Ulaw.decode
+      DecodedAu(sr, Array.tabulate(size)(i => expand(bytes(off + i) & 0xff)))
     }
   }
 
@@ -161,6 +206,32 @@ object Ulaw {
       |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
   }
 
+  /** q213's oracle: the A-law expansion as SQL arithmetic — XOR 0x55
+    * unmask, segment/mantissa split, chord offset, shift, sign (bit 7
+    * SET = positive); dialect-parameterized on integer division and the
+    * XOR spelling. */
+  private def alawSql(series: (Int, String) => String, idiv: String,
+                      xor: (String, String) => String): String = {
+    s"""WITH au AS (SELECT doc_id, CAST(24 + doc_id % 40 AS INT) AS n
+      |            FROM documents WHERE doc_id % 3 = 2),
+      |iser AS (${series(64, "i")}),
+      |cw AS (SELECT doc_id, n, CAST((doc_id*37 + i*101) % 256 AS INT) AS c
+      |       FROM au, iser WHERE i < n),
+      |ex AS (SELECT doc_id, n, ${xor("c", "85")} AS u FROM cw),
+      |mg AS (SELECT doc_id, n, u,
+      |         ((u % 128) % 16) * 16 + 8 +
+      |           CASE WHEN (u % 128) $idiv 16 >= 1 THEN 256 ELSE 0 END AS base,
+      |         (u % 128) $idiv 16 AS exp
+      |       FROM ex),
+      |sm AS (SELECT doc_id, n,
+      |         (CASE WHEN u >= 128 THEN 1 ELSE -1 END) *
+      |           base * CAST(POWER(2, CASE WHEN exp > 1 THEN exp - 1 ELSE 0 END) AS BIGINT) AS s
+      |       FROM mg)
+      |SELECT doc_id, CAST(n AS INT) AS n_samples, CAST(8000 AS INT) AS sr,
+      |  CAST(SUM(s) AS BIGINT) AS sum_s, CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum
+      |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     // REAL compressed-audio decode (see [[Ulaw]]/[[Au]]): µ-law AU files
     // fabricated per audio doc, round-tripped through the big-endian
@@ -182,6 +253,30 @@ object Ulaw {
                 col("sum_s"), col("abs_sum"))
         .orderBy(col("doc_id"))
     }.sqlTwin(
-      ulawSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c", "div"))
+      ulawSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c", "div")),
+
+    // The A-law twin (see [[alawDecode]]): same AU container with the
+    // header's encoding field = 27 — the decoder dispatches the
+    // companding law from the HEADER, the q197 chunk-walk honesty
+    // argument applied to codec selection. All 256 A-law codes are
+    // canonical, so the raw congruence byte is the codeword and the
+    // oracle decodes it directly. Map-only, no shuffle before the sort.
+    Entry("q213_alaw_decode",
+      alawSql((n, c) => s"SELECT UNNEST(range($n)) AS $c", "//",
+        (a, b) => s"xor($a, $b)")) { (s, d) =>
+      import s.implicits._
+      val payloads = T(s, d, "documents")
+        .filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+        .map(id => (id, Au.encodeAu(id, Au.EncAlaw)))
+      payloads.mapPartitions { rows =>
+        val codec = UlawCodec.open()
+        rows.grouped(64).flatMap(codec.decodeBatch)
+      }.toDF()
+        .select(col("doc_id"), col("n_samples"), col("sr"),
+                col("sum_s"), col("abs_sum"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      alawSql((n, c) => s"SELECT explode(sequence(0, ${n - 1})) AS $c", "div",
+        (a, b) => s"CAST($a ^ $b AS INT)"))
   )
 }

@@ -80,6 +80,46 @@ class UlawCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("A-law expansion matches the JDK's independent converter on all 256 codes") {
+    val codes = Array.tabulate(256)(_.toByte)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes),
+      new AudioFormat(AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false),
+      codes.length.toLong)
+    val dst = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false),
+      src)
+    val bytes = dst.readAllBytes()
+    val jdk = Array.tabulate(bytes.length / 2) { i =>
+      ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
+    }
+    assert(jdk.length == 256)
+    (0 until 256).foreach { c =>
+      assert(Ulaw.alawDecode(c) == jdk(c),
+        f"code 0x$c%02x: ours=${Ulaw.alawDecode(c)} jdk=${jdk(c)}")
+    }
+  }
+
+  test("A-law encode is the exact inverse of decode on ALL 256 codes") {
+    (0 until 256).foreach { c =>
+      assert(Ulaw.alawEncode(Ulaw.alawDecode(c)) == c, f"code 0x$c%02x")
+    }
+  }
+
+  test("A-law AU container round-trips with the header-dispatched law") {
+    (0L to 60L).foreach { id =>
+      val au = Au.decodeAu(Au.encodeAu(id, Au.EncAlaw))
+      assert(au.samples.length == Ulaw.nSamples(id), s"id=$id")
+      au.samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s == Ulaw.alawDecode(((id * 37 + i * 101) % 256).toInt), s"id=$id i=$i")
+      }
+    }
+    // an unsupported encoding field fails loudly, never mis-expands
+    val bad = Au.encodeAu(3L, Au.EncAlaw)
+    bad(15) = 3   // 16-bit linear PCM
+    intercept[IllegalArgumentException](Au.decodeAu(bad))
+  }
+
   test("malformed AU bytes fail loudly") {
     val good = Au.encodeAu(6L)   // even id: annotation present
     intercept[IllegalArgumentException](Au.decodeAu(good.take(16)))

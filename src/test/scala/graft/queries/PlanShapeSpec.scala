@@ -280,7 +280,8 @@ class PlanShapeSpec extends GraftSuite {
     // means a shuffle crept into the decode path.
     Seq("q202_avi_frame_sample", "q204_audio_dominant_freq",
         "q206_utf8_repair", "q208_ulaw_decode",
-        "q211_audio_vad", "q212_pcm_upsample").foreach { name =>
+        "q211_audio_vad", "q212_pcm_upsample",
+        "q213_alaw_decode").foreach { name =>
       val p = planOf(name)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name decode path must not shuffle:\n$p")
