@@ -43,6 +43,7 @@ object SparkEntry {
       multimodal.AspectBuckets.entries ++
       multimodal.Vad.entries ++
       multimodal.Resample.entries ++
+      multimodal.Tiff.entries ++
       ingest.Shards.entries ++
       ingest.CompressedShards.entries
     declared.map { e =>
