@@ -56,6 +56,19 @@ object AspectBuckets {
 
   case class BucketRow(doc_id: Long, bucket: String)
 
+  /** Partition-scoped batch handle — the q196-q214 codec seam, so a
+    * native decoder swap covers this entry like every other one. */
+  object BucketCodec {
+    final class Handle private[BucketCodec] () {
+      def assignBatch(batch: Seq[(Long, Array[Byte])]): Seq[BucketRow] =
+        batch.map { case (id, bytes) =>
+          val img = Bmp.decode(bytes)
+          BucketRow(id, assign(img.w, img.h))
+        }
+    }
+    def open(): Handle = new Handle()
+  }
+
   /** q210's oracle: the same scaled-error argmin as SQL — the ordered
     * CASE encodes "first minimal bucket wins" exactly. */
   private def bucketSql(idiv: String): String = {
@@ -87,10 +100,10 @@ object AspectBuckets {
       val payloads = T(s, d, "documents")
         .filter(col("doc_id") % 3 === 1).select(col("doc_id")).as[Long]
         .map(id => (id, Bmp.encode(id)))
-      payloads.mapPartitions(_.map { case (id, bytes) =>
-        val img = Bmp.decode(bytes)
-        BucketRow(id, assign(img.w, img.h))
-      }).toDF()
+      payloads.mapPartitions { rows =>
+        val codec = BucketCodec.open()
+        rows.grouped(64).flatMap(codec.assignBatch)
+      }.toDF()
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_images"))
         // integer ceil-division: Column./ is double division, so floor it

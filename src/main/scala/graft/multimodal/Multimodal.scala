@@ -107,14 +107,13 @@ object Multimodal {
     def g(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 5) % 256).toInt
     def b(id: Long, x: Int, y: Int): Int = ((id * 23 + x * 3 + y * 19) % 256).toInt
 
-    private def putLE(a: Array[Byte], off: Int, v: Int, n: Int): Unit =
-      (0 until n).foreach(i => a(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    import ByteIo.putLE
 
     /** Spec-compliant BI_RGB encode: 14-byte file header + 40-byte
       * BITMAPINFOHEADER + bottom-up rows padded to 4 bytes, pixels BGR. */
     def encode(id: Long): Array[Byte] = {
       val (w, h) = (width(id), height(id))
-      val rowSize = ((3 * w + 3) / 4) * 4
+      val rowSize = ByteIo.rowSize24(w)
       val bytes = new Array[Byte](54 + rowSize * h)
       bytes(0) = 'B'; bytes(1) = 'M'
       putLE(bytes, 2, bytes.length, 4)   // file size
@@ -135,8 +134,7 @@ object Multimodal {
       bytes
     }
 
-    private def getLE(a: Array[Byte], off: Int, n: Int): Int =
-      (0 until n).foldRight(0)((i, acc) => (acc << 8) | (a(off + i) & 0xff))
+    import ByteIo.getLE
 
     /** A decoded image: header-derived dims + a pixel accessor returning
       * (r, g, b) with y=0 at the TOP (the decoder hides bottom-up order
@@ -158,7 +156,7 @@ object Multimodal {
       val h = getLE(bytes, 22, 4)
       require(getLE(bytes, 28, 2) == 24, "not 24 bpp")
       require(getLE(bytes, 30, 4) == 0, "not BI_RGB")
-      val rowSize = ((3 * w + 3) / 4) * 4
+      val rowSize = ByteIo.rowSize24(w)
       require(offset + rowSize * h <= bytes.length, "truncated pixel data")
       Decoded(w, h, bytes, offset, rowSize)
     }
@@ -189,10 +187,7 @@ object Multimodal {
     /** Sample formula shared (as SQL) with the oracle: range ±2000. */
     def sample(id: Long, i: Int): Int = ((id * 37 + i * 101) % 4001).toInt - 2000
 
-    private def putLE(a: Array[Byte], off: Int, v: Int, n: Int): Unit =
-      (0 until n).foreach(k => a(off + k) = ((v >>> (8 * k)) & 0xff).toByte)
-    private def putTag(a: Array[Byte], off: Int, tag: String): Unit =
-      tag.getBytes("US-ASCII").zipWithIndex.foreach { case (b, k) => a(off + k) = b }
+    import ByteIo.{putLE, putTag}
 
     def encode(id: Long): Array[Byte] =
       encodePcm(Array.tabulate(nSamples(id))(i => sample(id, i)), withDecoy = id % 2 == 0)
@@ -223,10 +218,7 @@ object Multimodal {
       bytes
     }
 
-    private def getLE(a: Array[Byte], off: Int, n: Int): Int =
-      (0 until n).foldRight(0)((k, acc) => (acc << 8) | (a(off + k) & 0xff))
-    private def tag(a: Array[Byte], off: Int): String =
-      new String(a.slice(off, off + 4), "US-ASCII")
+    import ByteIo.{getLE, tag}
 
     final case class DecodedWav(sampleRate: Int, samples: Array[Int])
 

@@ -115,7 +115,6 @@ object Spectral {
     val n = 64
     val amp = 12000.0
     def bin(id: Long): Int = (1 + id % 31).toInt
-    val hzPerBin: Int = Wav.sampleRate / n   // 8000 / 64 = 125
     def samples(id: Long): Array[Int] =
       Array.tabulate(n)(i => math.round(amp * math.sin(2.0 * math.Pi * bin(id) * i / n)).toInt)
   }

@@ -60,12 +60,9 @@ object Video {
       (0 until k).map(j => j * n / k)
     }
 
-    private def putLE(a: Array[Byte], off: Int, v: Int, n: Int): Unit =
-      (0 until n).foreach(k => a(off + k) = ((v >>> (8 * k)) & 0xff).toByte)
-    private def putTag(a: Array[Byte], off: Int, tag: String): Unit =
-      tag.getBytes("US-ASCII").zipWithIndex.foreach { case (c, k) => a(off + k) = c }
+    import ByteIo.{putLE, putTag}
 
-    def rowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+    def rowSize(w: Int): Int = ByteIo.rowSize24(w)
 
     /** Spec-compliant AVI encode. Layout: RIFF('AVI ') > LIST(hdrl)[avih,
       * LIST(strl)[strh, strf]] > JUNK decoy (even ids) > LIST(movi)['00db'
@@ -154,12 +151,7 @@ object Video {
       a
     }
 
-    private def getLE(a: Array[Byte], off: Int, n: Int): Int =
-      (0 until n).foldRight(0)((k, acc) => (acc << 8) | (a(off + k) & 0xff))
-    private def tag(a: Array[Byte], off: Int): String = {
-      require(off + 4 <= a.length, "truncated chunk tag")
-      new String(a.slice(off, off + 4), "US-ASCII")
-    }
+    import ByteIo.{getLE, tag}
 
     /** One decoded frame: Q196's accessor shape (y=0 at the TOP; the
       * decoder hides bottom-up order and row padding). */
