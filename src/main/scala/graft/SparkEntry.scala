@@ -45,7 +45,8 @@ object SparkEntry {
       multimodal.Resample.entries ++
       multimodal.Tiff.entries ++
       ingest.Shards.entries ++
-      ingest.CompressedShards.entries
+      ingest.CompressedShards.entries ++
+      ingest.ZipShards.entries
     declared.map { e =>
       if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None, false)
       else

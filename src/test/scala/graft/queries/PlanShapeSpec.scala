@@ -294,7 +294,7 @@ class PlanShapeSpec extends GraftSuite {
     // q209/q210 earn their one exchange differently — it IS the operator
     // (the dHash dedup group / the bucket plan) — but the budget is the
     // same: exactly one hash shuffle.
-    Seq("q203_tar_shards", "q205_jsonl_gz_shards",
+    Seq("q203_tar_shards", "q205_jsonl_gz_shards", "q215_zip_shards",
         "q209_image_dhash_dedup", "q210_aspect_buckets").foreach { name =>
       val p = planOf(name)
       assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
