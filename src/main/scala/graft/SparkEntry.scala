@@ -34,6 +34,7 @@ object SparkEntry {
       text.Text.entries ++
       text.Pipeline.entries ++
       text.Utf8Repair.entries ++
+      text.Normalize.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++

@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => VecCosine(args(0), args(1))))
     ext.injectFunction(fn("token_hash", classOf[TokenHash], 1,
       args => TokenHash(args(0))))
+    ext.injectFunction(fn("nfc_normalize", classOf[NfcNormalize], 1,
+      args => NfcNormalize(args(0))))
     ext.injectFunction(fn("word_shingles", classOf[WordShingles], 2,
       args => args(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>

@@ -281,7 +281,8 @@ class PlanShapeSpec extends GraftSuite {
     Seq("q202_avi_frame_sample", "q204_audio_dominant_freq",
         "q206_utf8_repair", "q208_ulaw_decode",
         "q211_audio_vad", "q212_pcm_upsample",
-        "q213_alaw_decode", "q214_tiff_decode").foreach { name =>
+        "q213_alaw_decode", "q214_tiff_decode",
+        "q216_unicode_nfc").foreach { name =>
       val p = planOf(name)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name decode path must not shuffle:\n$p")
