@@ -343,7 +343,7 @@ object Multimodal {
       ihdr(8) = 8; ihdr(9) = 2   // bit depth 8, color type 2 (RGB)
       chunk(out, "IHDR", ihdr)
       if (id % 2 == 0)           // decoy ancillary chunk the walk must skip
-        chunk(out, "tEXt", "Comment graft".getBytes("ISO-8859-1"))
+        chunk(out, "tEXt", "Comment\u0000graft".getBytes("ISO-8859-1"))
       val ib = idat.toByteArray
       if (id % 4 == 1 && ib.length > 1) {   // IDAT may span chunks
         chunk(out, "IDAT", ib.take(ib.length / 2))

@@ -763,13 +763,15 @@ object Text {
           i => struct(element_at(col("ws"), i + 1).as("w1"),
                       element_at(col("ws"), i + 2).as("w2")))).as("p"))
         .select(col("p.w1"), col("p.w2"))
-      val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 10)
-        .persist()   // tiny (observed vocab² pairs); feeds totals + the score join
+      // ONE pass over the bigram stream: the unfiltered pair counts feed
+      // both the total (denominator — the support cut prunes the report,
+      // not the probabilities) and the min-support report set. Deriving
+      // the total from a second explode pass doubled the corpus scan.
+      val bigAll = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+        .persist()   // tiny (observed vocab² pairs); feeds total + score join
+      val big = bigAll.filter(col("n_ab") >= 10)
       val uni = words.groupBy(col("w")).agg(count(lit(1)).as("n")).persist()
-      // totals over the UNFILTERED streams (the support cut prunes the
-      // report, not the probability denominators)
-      val tb = bigrams.agg(count(lit(1)).cast("double").as("tb"))
+      val tb = bigAll.agg(sum(col("n_ab")).cast("double").as("tb"))
       val tu = uni.agg(sum(col("n")).cast("double").as("tu"))
       val pmi = log((col("n_ab") / col("tb"))
         / ((col("ua.n") / col("tu")) * (col("ub.n") / col("tu"))))
