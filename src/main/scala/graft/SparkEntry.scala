@@ -35,6 +35,7 @@ object SparkEntry {
       text.Pipeline.entries ++
       text.Utf8Repair.entries ++
       text.Normalize.entries ++
+      text.Html.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
