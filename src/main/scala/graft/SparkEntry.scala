@@ -36,6 +36,7 @@ object SparkEntry {
       text.Utf8Repair.entries ++
       text.Normalize.entries ++
       text.Html.entries ++
+      text.Urls.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The URL canonicalization kernel (q218) pinned Spark-free: each rule at
+  * its boundary, dot-segment resolution cross-checked against
+  * java.net.URI.normalize, idempotence and param-permutation invariance
+  * under fuzz.
+  */
+class UrlCanonSpec extends AnyFunSuite {
+
+  test("scheme/host case, default ports, fragments") {
+    assert(Urls.canonicalize("HTTPS://WWW.EXAMPLE.COM/A#x") == "https://www.example.com/A")
+    assert(Urls.canonicalize("http://host.com:80/p") == "http://host.com/p")
+    assert(Urls.canonicalize("https://host.com:443/p") == "https://host.com/p")
+    assert(Urls.canonicalize("http://host.com:8080/p") == "http://host.com:8080/p")
+    assert(Urls.canonicalize("https://host.com:80/p") == "https://host.com:80/p") // 80 not https default
+    assert(Urls.canonicalize("https://host.com") == "https://host.com/")
+    // path case is significant and preserved; host case is not
+    assert(Urls.canonicalize("https://Host.com/CaseSensitive") == "https://host.com/CaseSensitive")
+  }
+
+  test("percent-escapes: unreserved decoded, reserved kept uppercase, malformed literal") {
+    assert(Urls.normalizePct("p%61ge%2fx%2F%7e") == "page%2Fx%2F~")
+    assert(Urls.normalizePct("%zz%4") == "%zz%4")       // malformed: literal
+    assert(Urls.normalizePct("%41%5A%30%5f") == "AZ0_") // alpha/digit/underscore
+  }
+
+  test("dot segments agree with java.net.URI.normalize on clean paths") {
+    val rnd = new scala.util.Random(218)
+    val parts = Vector("a", "bb", "ccc", ".", "..")
+    for (_ <- 0 until 500) {
+      val path = "/" + Seq.fill(1 + rnd.nextInt(8))(parts(rnd.nextInt(parts.size))).mkString("/")
+      val ours = Urls.removeDotSegments(path)
+      val jdk = java.net.URI.create("http://h" + path).normalize().getPath
+      // URI.normalize leaves leading "../" (relative escape) in place; a
+      // web canonicalizer clamps at the root — align before comparing.
+      val jdkClamped = "/" + jdk.split("/", -1).filterNot(s => s == "..").mkString("/").stripPrefix("/")
+      assert(ours == jdkClamped, s"path=$path ours=$ours jdk=$jdk")
+    }
+  }
+
+  test("query params: stable sort, tracking strip, valueless keys") {
+    assert(Urls.canonicalize("https://h.com/p?b=2&a=1") == "https://h.com/p?a=1&b=2")
+    assert(Urls.canonicalize("https://h.com/p?utm_source=x&a=1&gclid=9&fbclid=z") ==
+      "https://h.com/p?a=1")
+    assert(Urls.canonicalize("https://h.com/p?flag&a=1") == "https://h.com/p?a=1&flag")
+    assert(Urls.canonicalize("https://h.com/p?utm_only=1") == "https://h.com/p")
+    // duplicate keys keep both, ordered by value
+    assert(Urls.canonicalize("https://h.com/p?k=2&k=1") == "https://h.com/p?k=1&k=2")
+  }
+
+  test("idempotence + permutation invariance (fuzz)") {
+    val rnd = new scala.util.Random(42)
+    val keys = Vector("a", "b", "zz", "utm_source", "gclid", "k%41")
+    for (trial <- 0 until 500) {
+      val params = rnd.shuffle(keys).take(1 + rnd.nextInt(keys.size))
+        .map(k => s"$k=${rnd.nextInt(3)}")
+      val base = s"https://Host${rnd.nextInt(3)}.COM:${if (rnd.nextBoolean()) "443" else "7"}" +
+        s"/x/./y%2f/../p%61th?${params.mkString("&")}#f$trial"
+      val c1 = Urls.canonicalize(base)
+      assert(Urls.canonicalize(c1) == c1, s"not idempotent: $base -> $c1")
+      val c2 = Urls.canonicalize(base.replace(params.mkString("&"),
+        rnd.shuffle(params).mkString("&")))
+      assert(c1 == c2, s"param order leaked: $base")
+    }
+  }
+
+  test("the four fabrication flavors collapse to one canonical per group") {
+    for (g <- 0L until 50L) {
+      val canon = (0 until 4).map(k => Urls.canonicalize(Urls.fabricate(4 * g + k))).distinct
+      assert(canon == Seq(s"https://www.site${g % 5}.com/docs/$g/page?a=1&b=2"))
+    }
+  }
+}
