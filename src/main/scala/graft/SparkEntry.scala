@@ -37,6 +37,7 @@ object SparkEntry {
       text.Normalize.entries ++
       text.Html.entries ++
       text.Urls.entries ++
+      text.LangId.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
