@@ -123,40 +123,60 @@ object DocSync {
     changeStream.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sp = batch.sparkSession
-        // the two-shuffle fold feeds both the dirty-bucket collect and the
-        // merge: persist so it runs once per trigger, not twice
-        val inc = foldIncrement(batch)
-          .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
-          .persist()
-        try {
-          val dirty = inc.select("bucket").distinct()
-            .collect().map(_.getInt(0)).sorted
-          if (dirty.nonEmpty) {
-            val state = currentState(sp, stateDir, numBuckets,
-                onlyBuckets = Some(dirty.toSet))
-            val merged = merge(state.drop("bucket"), inc.drop("bucket"))
-              .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
-            // version ids are allocated from the DIRECTORY (max live + 1),
-            // never from batchId: compaction also allocates from the same
-            // sequence, and a batchId-named dir would collide with (and
-            // overwrite) a compacted base written after earlier batches.
-            // Batch replay after a torn write simply allocates a fresh id;
-            // the torn dir has no _coverage so it stays invisible, and the
-            // re-applied merge is content-idempotent (LWW of identical
-            // values).
-            val cur = s"$stateDir/v${nextVersionId(stateDir)}"
-            // cluster by bucket before the partitioned write: one file per
-            // bucket instead of (shuffle partitions x buckets) shards
-            merged.repartition(math.min(numBuckets, dirty.length), col("bucket"))
-              .write.mode("overwrite").partitionBy("bucket").parquet(cur)
-            Files.writeString(Paths.get(s"$cur/_coverage"), dirty.mkString(","))
-          }
-        } finally inc.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch.sparkSession, batch, stateDir, numBuckets)
       }
       .start()
+
+  /** Merge ONE change-log batch into the versioned table: fold to a
+    * per-key increment, read the current state of just the dirty buckets,
+    * merge, and commit an immutable `v<n>` with its `_coverage` marker.
+    * Shared by the streaming sink and batch/backfill writers (q220). */
+  def mergeBatch(sp: SparkSession, batch: DataFrame, stateDir: String,
+                 numBuckets: Int): Unit = {
+    // the two-shuffle fold feeds both the dirty-bucket collect and the
+    // merge: persist so it runs once per batch, not twice
+    val inc = foldIncrement(batch)
+      .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
+      .persist()
+    try {
+      val dirty = inc.select("bucket").distinct()
+        .collect().map(_.getInt(0)).sorted   // bounded: <= numBuckets rows
+      if (dirty.nonEmpty) {
+        val state = currentState(sp, stateDir, numBuckets,
+            onlyBuckets = Some(dirty.toSet))
+        val merged = merge(state.drop("bucket"), inc.drop("bucket"))
+          .withColumn("bucket", bucketOf(col("rowKey"), numBuckets))
+        // version ids are allocated from the DIRECTORY (max live + 1),
+        // never from batchId: compaction also allocates from the same
+        // sequence, and a batchId-named dir would collide with (and
+        // overwrite) a compacted base written after earlier batches.
+        // Batch replay after a torn write simply allocates a fresh id;
+        // the torn dir has no _coverage so it stays invisible, and the
+        // re-applied merge is content-idempotent (LWW of identical
+        // values).
+        val cur = s"$stateDir/v${nextVersionId(stateDir)}"
+        // cluster by bucket before the partitioned write: one file per
+        // bucket instead of (shuffle partitions x buckets) shards
+        merged.repartition(math.min(numBuckets, dirty.length), col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(cur)
+        Files.writeString(Paths.get(s"$cur/_coverage"), dirty.mkString(","))
+      }
+    } finally inc.unpersist()
+    ()
+  }
+
+  /** The doc table AS OF committed version `asOf` — newest covering
+    * version per bucket among `v0..v<asOf>`. Versions are immutable and
+    * the file list is resolved HERE, at construction: merges committed
+    * after the pin can never leak into this reader. This is the
+    * executable backing for the scroll-context disposition (SURVEY §2.2):
+    * ES's scroll holds a server-side snapshot over a mutating index; on
+    * this engine the snapshot is a pinned version of the merge table. */
+  def snapshot(spark: SparkSession, stateDir: String, asOf: Long,
+               numBuckets: Int = 16): DataFrame =
+    currentState(spark, stateDir, numBuckets, maxVersion = Some(asOf))
+      .drop("bucket")
 
   /** The assembled current doc table `(rowKey, doc)`. */
   def docTable(spark: SparkSession, stateDir: String, numBuckets: Int = 16): DataFrame =
@@ -195,9 +215,11 @@ object DocSync {
     * the bucket column is recomputed from rowKey (it is a pure function of
     * the key, so no per-dir bookkeeping is needed). */
   private def currentState(sp: SparkSession, stateDir: String, numBuckets: Int,
-                           onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+                           onlyBuckets: Option[Set[Int]] = None,
+                           maxVersion: Option[Long] = None): DataFrame = {
     val versions = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .filter(f => maxVersion.forall(f.getName.drop(1).toLong <= _))
       .sortBy(-_.getName.drop(1).toLong)
     val chosen = scala.collection.mutable.Map.empty[Int, Option[String]]
     versions.foreach { v =>

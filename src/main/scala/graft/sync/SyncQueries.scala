@@ -46,6 +46,69 @@ object SyncQueries {
         .orderBy(col("event_type"))
     },
 
+    // Snapshot (time-travel) read of the versioned merge table (SURVEY
+    // round-12 task 7): two merge batches commit v0 (the first half of the
+    // change log by seq) then v1 (the rest — batches are log-ordered, the
+    // streaming sink's contract); the entry reads the table PINNED to v0
+    // *after* v1 is committed, and the oracle replays the fold over the
+    // first half only — a hash match is possible only if the pinned reader
+    // is immune to the later merge. SnapshotReadSpec pins the stronger
+    // interleaving (reader materialized before the writer runs) and the
+    // torn-version case.
+    Entry("q220_snapshot_read",
+      """WITH puts AS (
+        |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq,
+        |         event_type,
+        |         CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value_s,
+        |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR) END AS user_id_s,
+        |         props
+        |  FROM events WHERE event_id < (SELECT MAX(event_id) // 2 FROM events)),
+        |dels AS (
+        |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+        |  FROM events
+        |  WHERE event_id % 50 = 0 AND event_id < (SELECT MAX(event_id) // 2 FROM events)),
+        |last_del AS (SELECT row_key, MAX(seq) AS del_seq FROM dels GROUP BY 1),
+        |live AS (
+        |  SELECT p.* FROM puts p LEFT JOIN last_del d USING (row_key)
+        |  WHERE d.del_seq IS NULL OR p.seq > d.del_seq)
+        |SELECT row_key,
+        |  arg_max(event_type, seq) AS event_type,
+        |  arg_max(value_s, seq) AS value,
+        |  arg_max(user_id_s, seq) FILTER (WHERE user_id_s IS NOT NULL) AS user_id,
+        |  arg_max(props, seq) FILTER (WHERE props IS NOT NULL) AS props
+        |FROM live GROUP BY row_key ORDER BY row_key""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_q220").toString
+      val log = ChangeLog.fromEvents(Tables(s, d, "events"))
+      // bounded driver scalar (1 row): the batch boundary, mirrored by the
+      // oracle's MAX(event_id)//2 subquery
+      val cutoff = Tables(s, d, "events").agg(max(col("event_id"))).head.getLong(0) / 2
+      DocSync.mergeBatch(s, log.filter(col("seq") < cutoff), dir, numBuckets = 16)
+      val pinned = DocSync.snapshot(s, dir, asOf = 0)   // resolve file list NOW
+      DocSync.mergeBatch(s, log.filter(col("seq") >= cutoff), dir, numBuckets = 16)
+      DocSync.flattenDocs(pinned)
+    }.sqlTwin(
+      """WITH puts AS (
+        |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq,
+        |         event_type,
+        |         CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value_s,
+        |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR) END AS user_id_s,
+        |         props
+        |  FROM events WHERE event_id < (SELECT MAX(event_id) div 2 FROM events)),
+        |dels AS (
+        |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+        |  FROM events
+        |  WHERE event_id % 50 = 0 AND event_id < (SELECT MAX(event_id) div 2 FROM events)),
+        |last_del AS (SELECT row_key, MAX(seq) AS del_seq FROM dels GROUP BY 1),
+        |live AS (
+        |  SELECT p.* FROM puts p LEFT JOIN last_del d USING (row_key)
+        |  WHERE d.del_seq IS NULL OR p.seq > d.del_seq)
+        |SELECT row_key,
+        |  max_by(event_type, seq) AS event_type,
+        |  max_by(value_s, seq) AS value,
+        |  max_by(user_id_s, seq) FILTER (WHERE user_id_s IS NOT NULL) AS user_id,
+        |  max_by(props, seq) FILTER (WHERE props IS NOT NULL) AS props
+        |FROM live GROUP BY row_key ORDER BY row_key""".stripMargin),
+
     Entry("q49_map_concat",
       // map_concat LWW + map_values/map_keys integrity: per doc, number of
       // fields and whether user_id is among the keys.
