@@ -195,6 +195,19 @@ object Pipeline {
       clusterPairs(Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
     }.sqlTwin(unrolledClusterTwin(6)),
 
+    // The promised 100 TB composition (q90's comment above): the SAME
+    // clusterPairs loop consuming the MinHash-LSH verified candidates
+    // (q61_minhash_lsh) instead of the exact quadratic shingle self-join
+    // — sub-quadratic candidate generation, identical pair semantics up
+    // to LSH recall. Sketch-derived pair set => bench-only;
+    // LshClusterSpec pins precision 1.0 (every LSH edge is
+    // Jaccard-verified on real shingles, so LSH clusters REFINE the
+    // exact ones — a merge across exact clusters is impossible) and
+    // co-cluster recall vs the exact q90 clustering.
+    Entry.benchOnly("q90_lsh_clusters") { (s, d) =>
+      clusterPairs(Text.minhashNearDups(s, d).select(col("doc_a"), col("doc_b")))
+    },
+
     // ---- passage-level exact dedup (RefinedWeb-style sub-document) ----
     // Document-level dedup (q60/q61) misses boilerplate REPEATED INSIDE
     // otherwise-distinct documents; passage dedup chunks each document
