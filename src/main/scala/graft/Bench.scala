@@ -119,6 +119,39 @@ object Bench {
     }
     probes(entries.size) = probe()
 
+    // ---- Expectation-based outlier retry ------------------------------
+    // The probe pair only sees transients BETWEEN entries. Rounds 10-12
+    // each had entries inflated 3-10x by contention entirely INSIDE one
+    // entry's window (r12: q201 read 6.35 s vs its 0.66 s row with clean
+    // flanking probes) — invisible to the probes by construction. Defense:
+    // tools/bench_expect.json tracks each entry's median full-sweep cost
+    // (re-recorded with BASELINE); a first-pass time above
+    // max(1.8 x expect, expect + 0.75 s) joins the retry pass and the
+    // MIN of the two runs is reported (standard transient-robust
+    // estimator). This cannot hide a real regression — a genuine plan
+    // defect is slow in BOTH runs — and the retried names are published
+    // in the "slow" field. Capped: if a third of the sweep qualifies the
+    // slowdown is global (the baseline contract is moot anyway) and only
+    // the worst offenders by ratio re-run.
+    val expect: Map[String, Double] = {
+      val f = new java.io.File("tools/bench_expect.json")
+      if (!f.exists()) Map.empty
+      else {
+        val txt = new String(Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val slowIdx: Set[Int] = entries.indices
+      .filter { i =>
+        val t = firstPass(i)._2
+        t >= 0 && expect.get(entries(i).name)
+          .exists(e => t > math.max(1.8 * e, e + 0.75))
+      }
+      .sortBy(i => -(firstPass(i)._2 / math.max(expect(entries(i).name), 0.01)))
+      .take(entries.size / 3).toSet
+
     // Baseline = the MINIMUM probe observed anywhere in the run, not the
     // startup calibration alone: contention overlapping JVM startup
     // would inflate a startup-only baseline and blind the detector for
@@ -136,11 +169,12 @@ object Bench {
       math.min(probes(i), probes(i + 1)) > contendedFactor * probe0
     }.toSet
     val failedIdx = entries.indices.filter(i => firstPass(i)._2 < 0).toSet
-    val suspect = contendedIdx ++ failedIdx
+    val suspect = contendedIdx ++ failedIdx ++ slowIdx
     if (suspect.nonEmpty)
       System.err.println(s"[bench] retrying ${suspect.size} entries " +
         s"(contended: ${contendedIdx.toSeq.sorted.map(entries(_).name).mkString(", ")}; " +
-        s"failed: ${failedIdx.toSeq.sorted.map(entries(_).name).mkString(", ")})")
+        s"failed: ${failedIdx.toSeq.sorted.map(entries(_).name).mkString(", ")}; " +
+        s"slow-vs-expect: ${slowIdx.toSeq.sorted.map(entries(_).name).mkString(", ")})")
     // The retry window is probed too: a min-of-two where both runs were
     // contended is still inflated, and that must be visible in the
     // record rather than passing as a clean number.
@@ -162,6 +196,7 @@ object Bench {
     def names(ix: Iterable[Int]): Seq[String] = ix.toSeq.sorted.map(entries(_).name)
     val retried = names(contendedIdx)
     val refailed = names(failedIdx)
+    val slowRetried = names(slowIdx)
     val retryStillContended = names(retryContended)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def f3(v: Double): String = "%.3f".format(v)
@@ -180,7 +215,7 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"probe_ms":${f3(probe0 * 1000)},"retried":${jarr(retried)},"refailed":${jarr(refailed)},"retry_contended":${jarr(retryStillContended)},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"probe_ms":${f3(probe0 * 1000)},"retried":${jarr(retried)},"refailed":${jarr(refailed)},"slow":${jarr(slowRetried)},"retry_contended":${jarr(retryStillContended)},"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -189,7 +224,7 @@ object Bench {
     val compactQs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"retries":${retried.size},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"retries":${retried.size},"slow":${slowRetried.size},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
     spark.stop()
   }
 }
