@@ -38,6 +38,7 @@ object SparkEntry {
       text.Html.entries ++
       text.Urls.entries ++
       text.LangId.entries ++
+      text.Robots.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
@@ -50,7 +51,8 @@ object SparkEntry {
       multimodal.Tiff.entries ++
       ingest.Shards.entries ++
       ingest.CompressedShards.entries ++
-      ingest.ZipShards.entries
+      ingest.ZipShards.entries ++
+      ingest.WarcShards.entries
     declared.map { e =>
       if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None, false)
       else

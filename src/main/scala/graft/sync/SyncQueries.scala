@@ -88,14 +88,14 @@ object SyncQueries {
       DocSync.flattenDocs(pinned)
     }.sqlTwin(
       """WITH puts AS (
-        |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq,
+        |  SELECT CAST(event_id % 199 AS STRING) AS row_key, event_id AS seq,
         |         event_type,
-        |         CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value_s,
-        |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR) END AS user_id_s,
+        |         CAST(CAST(value AS DECIMAL(18,6)) AS STRING) AS value_s,
+        |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS STRING) END AS user_id_s,
         |         props
         |  FROM events WHERE event_id < (SELECT MAX(event_id) div 2 FROM events)),
         |dels AS (
-        |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+        |  SELECT CAST((event_id + 25) % 199 AS STRING) AS row_key, event_id AS seq
         |  FROM events
         |  WHERE event_id % 50 = 0 AND event_id < (SELECT MAX(event_id) div 2 FROM events)),
         |last_del AS (SELECT row_key, MAX(seq) AS del_seq FROM dels GROUP BY 1),
@@ -113,12 +113,12 @@ object SyncQueries {
       // map_concat LWW + map_values/map_keys integrity: per doc, number of
       // fields and whether user_id is among the keys.
       """WITH puts AS (
-        |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq,
-        |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR) END AS user_id_s,
+        |  SELECT CAST(event_id % 199 AS STRING) AS row_key, event_id AS seq,
+        |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS STRING) END AS user_id_s,
         |         props
         |  FROM events),
         |dels AS (
-        |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+        |  SELECT CAST((event_id + 25) % 199 AS STRING) AS row_key, event_id AS seq
         |  FROM events WHERE event_id % 50 = 0),
         |last_del AS (SELECT row_key, MAX(seq) AS del_seq FROM dels GROUP BY 1),
         |live AS (

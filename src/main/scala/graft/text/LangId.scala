@@ -53,7 +53,10 @@ object LangId {
 
   /** Confusion matrix (lang, pred_lang, n) for the corpus in `docs`. */
   def confusion(docs: DataFrame): DataFrame = {
-    val bgc = bigramCounts(docs)
+    // ONE corpus pass: the (doc, bigram, count) table feeds BOTH the
+    // language profiles and the per-doc profiles — persist so the
+    // explode+agg never runs twice (bench clears the cache per entry)
+    val bgc = bigramCounts(docs).persist()
     val langProf = bgc.groupBy(col("lang"), col("g")).agg(sum(col("c")).as("c"))
       .withColumn("lr", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))))
@@ -70,11 +73,10 @@ object LangId {
       .groupBy(col("doc_id"), col("plang"))
       .agg(sum(when(col("lr").isNull, K.toLong)
         .otherwise(abs(col("dr") - col("lr")))).as("dist"))
-    val pred = dist
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dist"), col("plang"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("plang").as("pred_lang"))
+    // argmin by (dist, lang) as ONE map-side-combinable agg — a
+    // row_number window here would add a sort exchange for a top-1
+    val pred = dist.groupBy(col("doc_id"))
+      .agg(min_by(col("plang"), struct(col("dist"), col("plang"))).as("pred_lang"))
     docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
