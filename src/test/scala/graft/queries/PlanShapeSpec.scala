@@ -303,6 +303,38 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q217/q222: crawl-curation kernels stay map-only — no hash exchange before the sort") {
+    // extraction / robots evaluation are per-row; the only exchange either
+    // plan may carry is the output orderBy's range partitioning.
+    Seq("q217_html_extract", "q222_robots_filter").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle:\n$p")
+    }
+  }
+
+  test("q218/q221: one hash shuffle each — the dedup agg / the fabrication groupBy") {
+    // q218's single exchange IS the operator (the canonical-key dedup
+    // agg); q221's is the fixture-side shard assembly, exactly q203's
+    // budget — the WARC/HTTP/HTML parse side adds nothing.
+    Seq("q218_url_dedup", "q221_warc_shards").foreach { name =>
+      val p = planOf(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$name must carry exactly one hash shuffle:\n$p")
+    }
+  }
+
+  test("q219_langid_model: profiles broadcast to scoring; doc top-K rank is group-limited") {
+    val p = planOf("q219_langid_model")
+    // the language-profile and language-list joins must arrive broadcast —
+    // a hashpartitioning exchange on the scoring join key would shuffle
+    // the corpus-sized doc-profile side against a languages x 64 model
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"expected broadcast model + language list:\n$p")
+    // the per-doc top-K window must plan the rank-filter pushdown
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
