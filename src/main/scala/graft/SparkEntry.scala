@@ -39,6 +39,7 @@ object SparkEntry {
       text.Urls.entries ++
       text.LangId.entries ++
       text.Robots.entries ++
+      text.Funnel.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++

@@ -73,8 +73,14 @@ object WarcShards {
     }
 
     /** Walk every record by Content-Length framing; loud on any drift. */
-    def read(bytes: Array[Byte]): Seq[Record] = {
-      val out = Seq.newBuilder[Record]
+    def read(bytes: Array[Byte]): Seq[Record] =
+      readWithOffsets(bytes).map(_._1)
+
+    /** [[read]] plus each record's (offset, totalLength) within the file —
+      * the CDX index payload (q223): `bytes.slice(offset, offset+length)`
+      * is a complete standalone WARC record. */
+    def readWithOffsets(bytes: Array[Byte]): Seq[(Record, Long, Long)] = {
+      val out = Seq.newBuilder[(Record, Long, Long)]
       var i = 0
       def line(): String = {
         val eol = {
@@ -88,6 +94,7 @@ object WarcShards {
         s
       }
       while (i < bytes.length) {
+        val start = i
         require(line() == "WARC/1.0", s"bad WARC version line at offset $i")
         val hdrs = Iterator.continually(line()).takeWhile(_.nonEmpty).map { h =>
           val c = h.indexOf(':')
@@ -102,7 +109,7 @@ object WarcShards {
         val term = new String(bytes, i, math.min(4, bytes.length - i), "ISO-8859-1")
         require(term == CRLF + CRLF, s"missing record terminator after block at $i")
         i += 4
-        out += Record(hdrs, block)
+        out += ((Record(hdrs, block), start.toLong, (i - start).toLong))
       }
       out.result()
     }
@@ -207,6 +214,56 @@ object WarcShards {
         |  concat('https://www.site', (doc_id div 4) % 5, '.com/docs/',
         |    doc_id div 4, '/page?a=1&b=2') AS canon_url,
         |  CAST(200 AS INT) AS status, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // CDX-style random-access index over the WARC shards (SURVEY.md
+    // Q223) — what makes a WARC archive QUERYABLE: per response record,
+    // (canonical URL -> shard, record index, byte offset, length), the
+    // lookup structure web archives serve "give me THIS page" from
+    // without scanning the shard. Offsets are byte-layout-derived, so
+    // they are proven rather than oracle-replayed: the entry RE-READS
+    // each record standalone from its recorded (offset, length) slice —
+    // single-record parse, no surrounding context — and `seek_ok`
+    // asserts the random access recovered the exact document (id via the
+    // in-band title) with a byte-identical block; the oracle pins
+    // seek_ok TRUE for every row plus all arithmetic columns. rec_index
+    // counts RESPONSE records only (requests/warcinfo are index-invisible,
+    // exercising type filtering in the indexer). Same scale posture as
+    // q221: map-only per shard, index emission adds no shuffle.
+    Entry("q223_warc_cdx",
+      """SELECT doc_id, doc_id // 8 AS shard_id,
+        |  CAST(doc_id % 8 AS INT) AS rec_index,
+        |  'https://www.site' || ((doc_id // 4) % 5) || '.com/docs/'
+        |    || (doc_id // 4) || '/page?a=1&b=2' AS canon_url,
+        |  TRUE AS seek_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      T(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .groupByKey { case (id, _) => id / docsPerShard }
+        .mapGroups { (shardId, docs) => (shardId, buildShard(shardId, docs.toSeq)) }
+        .flatMap { case (shardId, bytes) =>
+          val responses = Warc.readWithOffsets(bytes)
+            .filter(_._1.headers("warc-type") == "response")
+          responses.zipWithIndex.map { case ((rec, off, len), idx) =>
+            // the random access under test: a standalone slice re-parse
+            val again = Warc.read(bytes.slice(off.toInt, (off + len).toInt))
+            val ok = again.size == 1 &&
+              java.util.Arrays.equals(again.head.block, rec.block)
+            val (_, _, body) = Warc.httpResponse(again.head.block)
+            val id = graft.text.Html.parse(new String(body, "UTF-8"))
+              .title.stripPrefix("Doc ").toLong
+            val canon = graft.text.Urls.canonicalize(rec.headers("warc-target-uri"))
+            (id, shardId, idx, canon, ok)
+          }
+        }
+        .toDF("doc_id", "shard_id", "rec_index", "canon_url", "seek_ok")
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      """SELECT doc_id, doc_id div 8 AS shard_id,
+        |  CAST(doc_id % 8 AS INT) AS rec_index,
+        |  concat('https://www.site', (doc_id div 4) % 5, '.com/docs/',
+        |    doc_id div 4, '/page?a=1&b=2') AS canon_url,
+        |  TRUE AS seek_ok
         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

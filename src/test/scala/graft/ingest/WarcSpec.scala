@@ -60,6 +60,23 @@ class WarcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Warc.httpResponse(lie.getBytes("ISO-8859-1")))
   }
 
+  test("CDX offsets: every record (any type) is standalone-readable from its slice") {
+    val docs = (0L until 8L).map(i => i -> s"cdx doc $i with some words in it number ${i * 17}")
+    val bytes = WarcShards.buildShard(3L, docs)
+    val withOff = Warc.readWithOffsets(bytes)
+    // warcinfo + 4 requests (even ids) + 8 responses
+    assert(withOff.size == 13)
+    // offsets tile the file exactly: contiguous, gap-free, covering
+    withOff.foldLeft(0L) { case (expected, (_, off, len)) =>
+      assert(off == expected, s"gap before offset $off"); off + len
+    } match { case end => assert(end == bytes.length) }
+    withOff.foreach { case (rec, off, len) =>
+      val again = Warc.read(bytes.slice(off.toInt, (off + len).toInt))
+      assert(again.size == 1 && java.util.Arrays.equals(again.head.block, rec.block))
+      assert(again.head.headers == rec.headers)
+    }
+  }
+
   test("shard round-trip: warcinfo + request records skipped, docs byte-exact") {
     val docs = (0L until 8L).map(i => i -> s"doc $i words with enough characters to keep ${i * 31}")
     val samples = WarcShards.parseShard(0L, WarcShards.buildShard(0L, docs))

@@ -1,0 +1,39 @@
+package graft.text
+
+import graft.GraftSuite
+
+/** q224 — the nested curation funnel pinned against an independent
+  * driver-side replay of the gate chain (kernels reused, plumbing
+  * reimplemented): monotone counts, correct entry total, and exact
+  * per-stage values.
+  */
+class FunnelSpec extends GraftSuite {
+
+  test("funnel counts match a brute-force nested replay; monotone") {
+    val rows = Funnel.report(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4, 5))
+    val ns = rows.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"not monotone: ${ns.toSeq}")
+
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stop = Set("the", "a", "of", "and", "to", "is", "in")
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+    val allowed = docs.filter { case (id, _) =>
+      val rules = Robots.rulesFor(Robots.parse(Robots.fabricate((id / 4) % 5)), Robots.crawlerUa)
+      Robots.decide(rules, Robots.pathOf(Urls.canonicalize(Urls.fabricate(id))))._1
+    }
+    val urlKeep = allowed.groupBy { case (id, _) => Urls.canonicalize(Urls.fabricate(id)) }
+      .values.map(_.minBy(_._1)).toSeq
+    val qual = urlKeep.filter { case (_, t) =>
+      val ws = toks(t)
+      ws.size >= 25 && ws.count(stop).toDouble / ws.size >= 0.03
+    }
+    val textUniq = qual.groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    assert(ns.toSeq == Seq(docs.length.toLong, allowed.length.toLong,
+      urlKeep.length.toLong, qual.length.toLong, textUniq.length.toLong))
+  }
+}
