@@ -40,6 +40,7 @@ object SparkEntry {
       text.LangId.entries ++
       text.Robots.entries ++
       text.Funnel.entries ++
+      text.LinkGraph.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++

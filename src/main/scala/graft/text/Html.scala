@@ -54,7 +54,8 @@ object Html {
     * many of its chars are anchor text, and its anchor count. */
   final case class Block(tag: String, text: String, linkChars: Int, links: Int)
 
-  final case class Doc(title: String, blocks: Seq[Block], totalLinks: Int)
+  final case class Doc(title: String, blocks: Seq[Block], totalLinks: Int,
+                       hrefs: Seq[String])
 
   /** Tags that establish a text block (HTML5 flow containers + headings);
     * text between them attributes to the nearest enclosing one. */
@@ -107,7 +108,9 @@ object Html {
     var curLinkChars = 0
     var curLinks = 0
     val blocks = Seq.newBuilder[Block]
+    val hrefs = Seq.newBuilder[String]
     var title = ""
+    val hrefRx = """href\s*=\s*("([^"]*)"|'([^']*)')""".r
 
     def flush(): Unit = {
       // collapse runs of whitespace; trim
@@ -176,6 +179,8 @@ object Html {
             i = afterOpen
             if (name == "a") {
               anchorDepth += 1; curLinks += 1; totalLinks += 1
+              hrefRx.findFirstMatchIn(html.substring(j, afterOpen))
+                .foreach(m => hrefs += Option(m.group(2)).getOrElse(m.group(3)))
             } else if (blockTags(name)) {
               flush()
               if (!selfClosed) stack.push(name)
@@ -198,7 +203,7 @@ object Html {
       }
     }
     flush()
-    Doc(title, blocks.result(), totalLinks)
+    Doc(title, blocks.result(), totalLinks, hrefs.result())
   }
 
   /** The density rule: content = long enough AND link-sparse. */

@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Entry
+
+/** Link-graph authority scoring (SURVEY.md Q225) — fixed-point PageRank,
+  * the canonical crawl-prioritization signal (which pages to fetch/keep
+  * first) and the engine's first ITERATIVE GRAPH SCORING operator (the
+  * dedup clustering q90 converges labels; this folds mass around cycles).
+  *
+  * Cross-engine exactness is the design constraint, solved the q219 way:
+  * the recurrence runs in SCALED INTEGER arithmetic —
+  *
+  *   r0(v)   = SCALE // N
+  *   rk+1(v) = (15*SCALE) // (100*N)  +  (85 * Σ_{u→v} rk(u) // od(u)) // 100
+  *
+  * — every operation a BIGINT division/truncation or an integer SUM, so
+  * the result is bit-identical regardless of summation order or engine
+  * (a float PageRank differs in the last ulps between any two engines
+  * and cannot be hash-checked). 8 unrolled iterations; the DuckDB oracle
+  * replays the identical recurrence as unrolled CTEs, the q90-twin
+  * pattern.
+  *
+  * The graph itself is EXTRACTED, not assumed: each doc fabricates a
+  * minimal outlink page and the edges come from [[Html.parse]]'s href
+  * capture (`/doc/<target>` anchors), so the entry also pins attribute
+  * parsing inside the q217 tokenizer. Edge formula per doc: targets
+  * (id+1) mod N and (3·id+7) mod N, deduplicated — replayable in SQL.
+  *
+  * Plan shape: per iteration ONE join (edges ⋈ ranks, both keyed on the
+  * node id) + one map-side-combinable integer-sum agg + a left join back
+  * to the node set for dangling-in-degree nodes — the textbook
+  * distributed PageRank shuffle pattern; each iteration's result is
+  * localCheckpoint'ed so the unrolled lineage cannot blow up the plan
+  * (q90's lesson). At 100 TB nodes/edges partition by id; nothing is
+  * driver-side except N (one-row count, mirrored by the oracle's
+  * COUNT(*) subquery).
+  */
+object LinkGraph {
+
+  val Scale = 1000000000000L   // 1e12: 85*SCALE fits comfortably in BIGINT
+  val Iterations = 8
+
+  /** Minimal outlink page for doc `id` over an N-node id space. */
+  def linkPage(id: Long, n: Long): String = {
+    val t1 = (id + 1) % n
+    val t2 = (3 * id + 7) % n
+    s"""<html><body><p>outlinks of $id</p>
+       |<nav><a href="/doc/$t1">next</a> <a href='/doc/$t2'>hub</a></nav>
+       |</body></html>""".stripMargin
+  }
+
+  /** Integer PageRank over an extracted edge list; returns (node, score). */
+  def pagerank(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val base = (15L * Scale) / (100L * n)
+    var r = nodes.select(col("v"), lit(Scale / n).as("r"))
+    for (_ <- 1 to Iterations) {
+      val contrib = edges.join(r, col("src") === col("v"))
+        .join(out, "src")
+        .select(col("dst"), expr("r div od").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(sums, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+        .localCheckpoint()   // truncate lineage: 8 unrolled join+agg rounds
+    }
+    r
+  }
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Unrolled oracle recurrence (DuckDB `//`; the Spark twin swaps `div`). */
+  private def oracleSql(idiv: String): String = {
+    def d(a: String, b: String) = s"(($a) $idiv ($b))"
+    val iters = (1 to Iterations).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.v,
+         |    ${d(s"15 * ${Scale}", "100 * (SELECT n FROM nn)")} +
+         |    ${d("85 * COALESCE(SUM(x.c), 0)", "100")} AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst, ${d("r.r", "o.od")} AS c
+         |    FROM edges e JOIN r${k - 1} r ON r.v = e.src
+         |    JOIN outd o ON o.src = e.src) x
+         |  ON x.dst = nodes.v GROUP BY nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |nodes AS (SELECT doc_id AS v FROM documents),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id, (3 * doc_id + 7) % (SELECT n FROM nn) FROM documents),
+       |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+       |r0 AS (SELECT v, ${d(Scale.toString, "(SELECT n FROM nn)")} AS r FROM nodes),
+       |$iters
+       |SELECT v AS node, r AS score FROM r$Iterations
+       |ORDER BY score DESC, node LIMIT 20""".stripMargin
+  }
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q225_pagerank", oracleSql("//")) { (s, d) =>
+      import s.implicits._
+      val docs = T(s, d, "documents")
+      // one-row driver scalar, mirrored by the oracle's COUNT(*) subquery
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id").as("v"))
+      val edges = docs.select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          Html.parse(linkPage(id, n)).hrefs
+            .map(h => (id, h.stripPrefix("/doc/").toLong))
+        }
+        .toDF("src", "dst").distinct()
+      pagerank(nodes, edges, n)
+        .select(col("v").as("node"), col("r").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(20)
+    }.sqlTwin(oracleSql("div"))
+  )
+}

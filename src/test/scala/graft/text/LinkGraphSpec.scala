@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSuite
+
+/** q225 — integer fixed-point PageRank pinned three ways: href capture in
+  * the HTML tokenizer, hand-verifiable graph shapes, and EXACT equality
+  * of the distributed recurrence against a driver-side integer replay on
+  * the fixture graph (possible only because the arithmetic is integral —
+  * the design point of the operator).
+  */
+class LinkGraphSpec extends GraftSuite {
+
+  test("href capture: double/single quotes, attribute order, decoys") {
+    val doc = Html.parse(
+      """<body><a class="x" href="/doc/3">a</a><a href='/doc/7'>b</a>
+        |<a name="no-href">c</a><p>href="/doc/99" is text, not a link</p></body>""".stripMargin)
+    assert(doc.hrefs == Seq("/doc/3", "/doc/7"))
+  }
+
+  test("3-cycle stays uniform; a hub's target outranks the rest") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], n: Long) = {
+      val nodes = (0L until n).toDF("v")
+      LinkGraph.pagerank(nodes, edges.toDF("src", "dst"), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cycle = run(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 3)
+    assert(cycle.values.toSet.size == 1, s"cycle must stay uniform: $cycle")
+    // 0,1,2 all point at 3; 3 points at 0. 1 and 2 have no in-links:
+    // both the hub target and the hub's own target outrank them, and
+    // symmetry holds exactly. (3-vs-0 ordering still oscillates at 8
+    // iterations — finite-iterate PageRank, not the stationary limit.)
+    val hub = run(Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 0L)), 4)
+    assert(hub(3L) > hub(1L) && hub(0L) > hub(1L) && hub(1L) == hub(2L), s"$hub")
+  }
+
+  test("distributed recurrence == driver-side integer replay on the fixture graph") {
+    import spark.implicits._
+    val n = graft.core.Tables(spark, sf, "documents").count()
+    val nodes = graft.core.Tables(spark, sf, "documents").select(col("doc_id").as("v"))
+    val edges = (0L until n).flatMap(id => Set((id + 1) % n, (3 * id + 7) % n).map(id -> _))
+    val got = LinkGraph.pagerank(nodes, edges.toDF("src", "dst"), n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent replay: plain Scala maps, same integer recurrence
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inEdges = edges.groupBy(_._2)
+    val base = (15L * LinkGraph.Scale) / (100L * n)
+    var r = (0L until n).map(_ -> LinkGraph.Scale / n).toMap
+    for (_ <- 1 to LinkGraph.Iterations)
+      r = (0L until n).map { v =>
+        val s = inEdges.getOrElse(v, Seq.empty).map { case (u, _) => r(u) / outd(u) }.sum
+        v -> (base + 85L * s / 100L)
+      }.toMap
+    assert(got == r, "distributed vs driver replay diverged")
+    // mass stays bounded by construction (damping leaks at truncation)
+    assert(r.values.sum <= LinkGraph.Scale)
+  }
+}
