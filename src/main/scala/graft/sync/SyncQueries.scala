@@ -17,6 +17,39 @@ object SyncQueries {
   def docTable(s: SparkSession, d: String): DataFrame =
     DocSync.fold(ChangeLog.fromEvents(Tables(s, d, "events")))
 
+  /** The doc-table fold as suffix-parameterized CTE text (DuckDB flavor)
+    * restricted to events satisfying `where` — q220/q227 replay one fold
+    * per table version. Yields `docs<sfx>(row_key, event_type, value,
+    * user_id, props)`. */
+  private def foldCtes(sfx: String, where: String): String =
+    s"""puts$sfx AS (
+      |  SELECT CAST(event_id % 199 AS VARCHAR) AS row_key, event_id AS seq,
+      |         event_type,
+      |         CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value_s,
+      |         CASE WHEN event_id % 3 <> 0 THEN CAST(user_id AS VARCHAR) END AS user_id_s,
+      |         props
+      |  FROM events WHERE $where),
+      |dels$sfx AS (
+      |  SELECT CAST((event_id + 25) % 199 AS VARCHAR) AS row_key, event_id AS seq
+      |  FROM events WHERE event_id % 50 = 0 AND ($where)),
+      |last_del$sfx AS (SELECT row_key, MAX(seq) AS del_seq FROM dels$sfx GROUP BY 1),
+      |live$sfx AS (
+      |  SELECT p.* FROM puts$sfx p LEFT JOIN last_del$sfx d USING (row_key)
+      |  WHERE d.del_seq IS NULL OR p.seq > d.del_seq),
+      |docs$sfx AS (
+      |  SELECT row_key,
+      |    arg_max(event_type, seq) AS event_type,
+      |    arg_max(value_s, seq) AS value,
+      |    arg_max(user_id_s, seq) FILTER (WHERE user_id_s IS NOT NULL) AS user_id,
+      |    arg_max(props, seq) FILTER (WHERE props IS NOT NULL) AS props
+      |  FROM live$sfx GROUP BY row_key)""".stripMargin
+
+  /** Spark-dialect flavor of [[foldCtes]] (STRING casts, max_by). */
+  private def foldCtesSpark(sfx: String, where: String): String =
+    foldCtes(sfx, where)
+      .replace("AS VARCHAR)", "AS STRING)")
+      .replace("arg_max(", "max_by(")
+
   val entries: Seq[Entry] = Seq(
 
     Entry("q03_merge_upsert", DocSync.oracleSqlDocTable) { (s, d) =>
@@ -108,6 +141,66 @@ object SyncQueries {
         |  max_by(user_id_s, seq) FILTER (WHERE user_id_s IS NOT NULL) AS user_id,
         |  max_by(props, seq) FILTER (WHERE props IS NOT NULL) AS props
         |FROM live GROUP BY row_key ORDER BY row_key""".stripMargin),
+
+    // Snapshot diff (SURVEY.md Q227) — the q220 follow-on every
+    // incremental consumer needs: WHAT changed between two committed
+    // versions of the merge table (added / removed / changed / unchanged
+    // keys), computable because both versions are immutable pinned reads.
+    // This is the change feed a downstream index or export job keys on
+    // instead of re-reading the full table. One full outer join on
+    // row_key between the two pinned flattens; per-field comparison is
+    // null-safe. Oracle replays BOTH folds (first half / whole log) and
+    // the same categorization.
+    Entry("q227_snapshot_diff",
+      s"""WITH ${foldCtes("0", "event_id < (SELECT MAX(event_id) // 2 FROM events)")},
+        |${foldCtes("1", "TRUE")},
+        |cat AS (
+        |  SELECT CASE
+        |    WHEN a.row_key IS NULL THEN 'added'
+        |    WHEN b.row_key IS NULL THEN 'removed'
+        |    WHEN (a.event_type IS DISTINCT FROM b.event_type)
+        |      OR (a.value IS DISTINCT FROM b.value)
+        |      OR (a.user_id IS DISTINCT FROM b.user_id)
+        |      OR (a.props IS DISTINCT FROM b.props) THEN 'changed'
+        |    ELSE 'unchanged' END AS change
+        |  FROM docs0 a FULL JOIN docs1 b ON a.row_key = b.row_key)
+        |SELECT change, COUNT(*) AS n_keys FROM cat
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_q227").toString
+      val log = ChangeLog.fromEvents(Tables(s, d, "events"))
+      val cutoff = Tables(s, d, "events").agg(max(col("event_id"))).head.getLong(0) / 2
+      DocSync.mergeBatch(s, log.filter(col("seq") < cutoff), dir, numBuckets = 16)
+      DocSync.mergeBatch(s, log.filter(col("seq") >= cutoff), dir, numBuckets = 16)
+      val v0 = DocSync.flattenDocs(DocSync.snapshot(s, dir, asOf = 0))
+      val v1 = DocSync.flattenDocs(DocSync.snapshot(s, dir, asOf = 1))
+      val a = v0.select(v0.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
+      val b = v1.select(v1.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq: _*)
+      a.join(b, col("a_row_key") === col("b_row_key"), "full")
+        .select(
+          when(col("a_row_key").isNull, "added")
+            .when(col("b_row_key").isNull, "removed")
+            .when(!(col("a_event_type") <=> col("b_event_type")) ||
+                  !(col("a_value") <=> col("b_value")) ||
+                  !(col("a_user_id") <=> col("b_user_id")) ||
+                  !(col("a_props") <=> col("b_props")), "changed")
+            .otherwise("unchanged").as("change"))
+        .groupBy(col("change")).agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("change"))
+    }.sqlTwin(
+      s"""WITH ${foldCtesSpark("0", "event_id < (SELECT MAX(event_id) div 2 FROM events)")},
+        |${foldCtesSpark("1", "TRUE")},
+        |cat AS (
+        |  SELECT CASE
+        |    WHEN a.row_key IS NULL THEN 'added'
+        |    WHEN b.row_key IS NULL THEN 'removed'
+        |    WHEN (a.event_type IS DISTINCT FROM b.event_type)
+        |      OR (a.value IS DISTINCT FROM b.value)
+        |      OR (a.user_id IS DISTINCT FROM b.user_id)
+        |      OR (a.props IS DISTINCT FROM b.props) THEN 'changed'
+        |    ELSE 'unchanged' END AS change
+        |  FROM docs0 a FULL JOIN docs1 b ON a.row_key = b.row_key)
+        |SELECT change, COUNT(*) AS n_keys FROM cat
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     Entry("q49_map_concat",
       // map_concat LWW + map_values/map_keys integrity: per doc, number of

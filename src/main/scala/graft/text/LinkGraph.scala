@@ -100,22 +100,88 @@ object LinkGraph {
        |ORDER BY score DESC, node LIMIT 20""".stripMargin
   }
 
+  /** The extracted link graph shared by q225/q226: hrefs captured by the
+    * q217 tokenizer from each doc's fabricated outlink page. */
+  def extractedEdges(s: SparkSession, d: String, n: Long): DataFrame = {
+    import s.implicits._
+    T(s, d, "documents").select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        Html.parse(linkPage(id, n)).hrefs
+          .map(h => (id, h.stripPrefix("/doc/").toLong))
+      }
+      .toDF("src", "dst").distinct()
+  }
+
+  val MaxDepth = 6
+
+  /** BFS layers from a seed set: (node, depth<=maxDepth); unreached nodes
+    * are absent — the "crawl within k hops of the seed list" frontier. */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    var labeled = seeds.select(col("v"), lit(0).as("depth")).localCheckpoint()
+    var frontier = labeled.select(col("v"))
+    for (k <- 1 to maxDepth) {
+      // one join + distinct + anti join per layer — O(frontier edges)
+      val next = frontier.join(edges, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(labeled.select(col("v").as("seen")), col("v") === col("seen"), "left_anti")
+        .select(col("v"), lit(k).as("depth"))
+        .localCheckpoint()
+      labeled = labeled.unionByName(next).localCheckpoint()
+      frontier = next.select(col("v"))
+    }
+    labeled
+  }
+
+  private def bfsOracle: String = {
+    // Each level min-combines the previous labeling with the expansion of
+    // its exact-(k-1) frontier — the q90-twin unroll pattern. No NOT IN:
+    // an anti-join per level against the exponentially-inlined prior
+    // labeling OOM'd the planner in the first formulation; MIN() absorbs
+    // rediscoveries instead, and first discovery wins by induction.
+    val layers = (1 to MaxDepth).map { k =>
+      s"""d$k AS (SELECT v, MIN(depth) AS depth FROM (
+         |  SELECT v, depth FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS v, ${k} AS depth
+         |  FROM d${k - 1} f JOIN edges e ON e.src = f.v AND f.depth = ${k - 1}
+         |) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id, (3 * doc_id + 7) % (SELECT n FROM nn) FROM documents),
+       |d0 AS (SELECT doc_id AS v, 0 AS depth FROM documents WHERE doc_id % 97 = 0),
+       |$layers
+       |SELECT v AS doc_id, CAST(depth AS INT) AS depth FROM d$MaxDepth
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q225_pagerank", oracleSql("//")) { (s, d) =>
-      import s.implicits._
       val docs = T(s, d, "documents")
       // one-row driver scalar, mirrored by the oracle's COUNT(*) subquery
       val n = docs.count()
       val nodes = docs.select(col("doc_id").as("v"))
-      val edges = docs.select(col("doc_id")).as[Long]
-        .flatMap { id =>
-          Html.parse(linkPage(id, n)).hrefs
-            .map(h => (id, h.stripPrefix("/doc/").toLong))
-        }
-        .toDF("src", "dst").distinct()
-      pagerank(nodes, edges, n)
+      pagerank(nodes, extractedEdges(s, d, n), n)
         .select(col("v").as("node"), col("r").as("score"))
         .orderBy(col("score").desc, col("node")).limit(20)
-    }.sqlTwin(oracleSql("div"))
+    }.sqlTwin(oracleSql("div")),
+
+    // Crawl-depth BFS (SURVEY.md Q226): hop distance from the seed list
+    // over the same extracted graph — the frontier schedule of a
+    // depth-limited crawl ("fetch everything within k hops of the
+    // seeds") and the layer structure recrawl prioritization keys on.
+    // Pure integer labels; the oracle unrolls the same layer-by-layer
+    // expansion (a frontier node's depth is its FIRST discovery round,
+    // pinned by the anti-join/NOT IN against all earlier layers).
+    Entry("q226_crawl_depth", bfsOracle) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val n = docs.count()
+      val seeds = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("v"))
+      bfsDepths(extractedEdges(s, d, n), seeds, MaxDepth)
+        .select(col("v").as("doc_id"), col("depth").cast("int").as("depth"))
+        .orderBy(col("doc_id"))
+    }
   )
 }

@@ -37,6 +37,17 @@ class LinkGraphSpec extends GraftSuite {
     assert(hub(3L) > hub(1L) && hub(0L) > hub(1L) && hub(1L) == hub(2L), s"$hub")
   }
 
+  test("BFS layers: path depths exact, discovery round is FIRST reach, cap honored") {
+    import spark.implicits._
+    // path 0->1->...->9 plus a shortcut 0->4: node 4 must be depth 1 (first
+    // discovery), nodes beyond the cap must be absent
+    val edges = ((0L to 8L).map(i => i -> (i + 1)) :+ (0L -> 4L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("v")
+    val got = LinkGraph.bfsDepths(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 4L -> 1, 2L -> 2, 5L -> 2, 3L -> 3, 6L -> 3))
+  }
+
   test("distributed recurrence == driver-side integer replay on the fixture graph") {
     import spark.implicits._
     val n = graft.core.Tables(spark, sf, "documents").count()
