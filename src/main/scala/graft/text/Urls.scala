@@ -97,9 +97,15 @@ object Urls {
       case e  => e
     }
     val authority = rest.substring(0, authEnd).toLowerCase
+    // split a port only when the tail is all digits: a ':' inside
+    // userinfo (user:pass@host) or an unbracketed IPv6 literal is not a
+    // port, and must pass through rather than be re-assembled wrongly
     val (host, port) = authority.lastIndexOf(':') match {
       case -1 => (authority, "")
-      case p  => (authority.substring(0, p), authority.substring(p + 1))
+      case p if authority.length > p + 1 &&
+        authority.substring(p + 1).forall(_.isDigit) =>
+        (authority.substring(0, p), authority.substring(p + 1))
+      case _ => (authority, "")
     }
     val keepPort = port.nonEmpty &&
       !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
