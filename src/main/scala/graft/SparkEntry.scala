@@ -39,6 +39,8 @@ object SparkEntry {
       text.Urls.entries ++
       text.LangId.entries ++
       text.Robots.entries ++
+      text.Sitemap.entries ++
+      text.Domains.entries ++
       text.Funnel.entries ++
       text.LinkGraph.entries ++
       vector.Vectors.entries ++

@@ -335,6 +335,26 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
   }
 
+  test("q228_sitemap_parse: only the fixture-side fabrication shuffles") {
+    // distinct(g) + groupBy(host) = the two fabrication exchanges; the
+    // index-walk + XML parse + canonicalize side is map-only and must
+    // add nothing (production reads real sitemap files — no shuffle).
+    val p = planOf("q228_sitemap_parse")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"q228 must carry exactly the two fabrication shuffles:\n$p")
+  }
+
+  test("q229_sitemap_coverage: audit joins listed-vs-crawled as a full-outer SMJ") {
+    // both sides are corpus-sized URL sets keyed on the canonical string —
+    // a sort-merge join on the key is the scale shape (never a broadcast
+    // of either side, never a nested loop).
+    val p = planOf("q229_sitemap_coverage")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected full-outer sort-merge join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audit must not plan a product join:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
