@@ -51,6 +51,54 @@ object Text {
     s"""toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
       |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)""".stripMargin
 
+  /** Shared oracle CTE text for the 16-bit SimHash (q67/q231): tokens →
+    * per-doc token tf → weighted bit votes → fingerprint. One copy so the
+    * fingerprint and its dedup application cannot desynchronize. */
+  val simhashCtesSql: String =
+    s"""toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+      |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+      |hashed AS (SELECT doc_id, $tokenHashSql AS h, COUNT(*) AS tf
+      |           FROM words GROUP BY 1, 2),
+      |bits AS (SELECT doc_id, i,
+      |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
+      |         FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS i) g GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** Spark-dialect twin of [[simhashCtesSql]] (explode, registered
+    * token_hash kernel, div/pow bit extraction — the bridge's own
+    * translations, spelled explicitly because q231's bands/xor layer is
+    * outside the bridge's rule set). */
+  val simhashSparkCtesSql: String =
+    s"""toks AS (SELECT doc_id, ${graft.queries.Dialect.tokensSparkSql} AS ws FROM documents),
+      |words AS (SELECT doc_id, explode(ws) AS w FROM toks),
+      |hashed AS (SELECT doc_id, token_hash(w) AS h, COUNT(*) AS tf
+      |           FROM words GROUP BY 1, 2),
+      |bits AS (SELECT doc_id, i,
+      |           SUM(CASE WHEN (h div CAST(pow(2, i) AS BIGINT)) % 2 = 1 THEN tf ELSE -tf END) AS s
+      |         FROM hashed CROSS JOIN (SELECT explode(sequence(0, 15)) AS i) g GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM bits GROUP BY 1)""".stripMargin
+
+  /** q67's fingerprint as a DataFrame (doc_id, simhash) — the weighted
+    * bit-vote SimHash over the ingest-staged token index; q231 blocks
+    * and verifies on it. */
+  def simhashOf(s: SparkSession, d: String): DataFrame = {
+    val words = TokenIndex.words(s, d).select(col("doc_id"), col("w"))
+    val hashed = words.groupBy(col("doc_id"), tokenHash(col("w")).as("h"))
+      .agg(count(lit(1)).as("tf"))
+    val bit = (col("h").cast("double") / pow(lit(2.0), col("i"))).cast("bigint") % 2
+    val bits = hashed
+      .select(col("doc_id"), col("h"), col("tf"), explode(sequence(lit(0), lit(15))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(when(bit === 1, col("tf")).otherwise(-col("tf"))).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("i")).cast("bigint")).otherwise(0L))
+        .cast("bigint").as("simhash"))
+  }
+
   /** TF-IDF working set for a fixed term list — ONE copy of the
     * tf/df/corpus-count machinery shared by q64_tfidf and q135_rescore
     * (a scoring change lands in both or neither). Returns the persisted
@@ -213,29 +261,70 @@ object Text {
 
     // ---- training-data ops: lang-ID, quality, token counts, fingerprint, simhash ----
     Entry("q67_simhash",
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-        |words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
-        |hashed AS (SELECT doc_id, $tokenHashSql AS h, COUNT(*) AS tf
-        |           FROM words GROUP BY 1, 2),
-        |bits AS (SELECT doc_id, i,
-        |           SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
-        |         FROM hashed CROSS JOIN (SELECT unnest(range(16)) AS i) g GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val words = TokenIndex.words(s, d).select(col("doc_id"), col("w"))
-      val hashed = words.groupBy(col("doc_id"), tokenHash(col("w")).as("h"))
-        .agg(count(lit(1)).as("tf"))
-      val bit = (col("h").cast("double") / pow(lit(2.0), col("i"))).cast("bigint") % 2
-      val bits = hashed
-        .select(col("doc_id"), col("h"), col("tf"), explode(sequence(lit(0), lit(15))).as("i"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(when(bit === 1, col("tf")).otherwise(-col("tf"))).as("s"))
-      bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, pow(lit(2.0), col("i")).cast("bigint")).otherwise(0L))
-          .cast("bigint").as("simhash"))
-        .orderBy(col("doc_id"))
+      s"""WITH $simhashCtesSql
+        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin) { (s, d) =>
+      simhashOf(s, d).orderBy(col("doc_id"))
     },
+
+    // SimHash near-dup DEDUP (SURVEY Q231) — the application tier over
+    // q67's fingerprint, completing the dedup family (exact q60, MinHash
+    // q61, n-gram Jaccard q61_neardup, embedding q72): banded blocking
+    // (4 bands; Hamming <= 3 implies a band collides by pigeonhole, so
+    // banding has EXACT recall at this radius; the fixture verifies at
+    // radius 1) then exact Hamming verification on candidates only, then
+    // q60's keep-min-id posture over the verified neighborhood. At 100 TB
+    // the hash is 64-bit with 4x16-bit bands (65k buckets/band); the
+    // 16-bit fixture hash is the oracle-replayability choice — the plan
+    // (band explode, self-join per band bucket, bit_count verify, one
+    // agg) is width-independent.
+    Entry("q231_simhash_neardup",
+      s"""WITH $simhashCtesSql,
+        |bands AS (SELECT doc_id, simhash, i AS b, (simhash >> (4*i)) & 15 AS bv
+        |          FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i) g2),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |           a.simhash AS ha, b.simhash AS hb
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |           AND a.doc_id <> b.doc_id),
+        |near AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 1)
+        |SELECT s.doc_id,
+        |  LEAST(s.doc_id, COALESCE(MIN(n.db), s.doc_id)) AS keeper_id,
+        |  COUNT(n.db) AS n_near
+        |FROM sh s LEFT JOIN near n ON n.da = s.doc_id
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val sh = simhashOf(s, d)
+      val bands = sh.select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bv", expr("(simhash div cast(pow(2, 4*b) as bigint)) % 16"))
+      val cand = bands.select(col("doc_id").as("da"), col("simhash").as("ha"),
+          col("b"), col("bv"))
+        .join(bands.select(col("doc_id").as("db"), col("simhash").as("hb"),
+          col("b"), col("bv")), Seq("b", "bv"))
+        .filter(col("da") =!= col("db"))
+        .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
+      val near = cand.filter(expr("bit_count(ha ^ hb) <= 1"))
+      sh.select(col("doc_id"))
+        .join(near, col("doc_id") === col("da"), "left")
+        .groupBy(col("doc_id"))
+        .agg(min(col("db")).as("mn"), count(col("db")).as("n_near"))
+        .select(col("doc_id"),
+          least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("keeper_id"),
+          col("n_near"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      s"""WITH $simhashSparkCtesSql,
+        |bands AS (SELECT doc_id, simhash, i AS b,
+        |            shiftright(simhash, CAST(4*i AS INT)) & 15 AS bv
+        |          FROM sh CROSS JOIN (SELECT explode(sequence(0, 3)) AS i) g2),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |           a.simhash AS ha, b.simhash AS hb
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |           AND a.doc_id <> b.doc_id),
+        |near AS (SELECT da, db FROM cand WHERE bit_count(ha ^ hb) <= 1)
+        |SELECT s.doc_id,
+        |  LEAST(s.doc_id, COALESCE(MIN(n.db), s.doc_id)) AS keeper_id,
+        |  COUNT(n.db) AS n_near
+        |FROM sh s LEFT JOIN near n ON n.da = s.doc_id
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
 
     Entry("q68_langid",
       """WITH scored AS (
