@@ -355,6 +355,18 @@ class PlanShapeSpec extends GraftSuite {
       s"audit must not plan a product join:\n$p")
   }
 
+  test("q231_simhash_neardup: banded blocking joins on the bucket key, never all-pairs") {
+    // the whole point of banding is that candidate generation is a keyed
+    // join on (band, value) — a product join would be the quadratic plan
+    // the operator exists to avoid; the Hamming check must stay a filter
+    // on candidates (bit_count in the plan), not a join condition that
+    // degrades to a nested loop.
+    val p = planOf("q231_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join degraded to a product:\n$p")
+    assert(p.contains("bit_count"), s"expected bit_count verify filter:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
