@@ -56,7 +56,7 @@ object Domains {
         |  COUNT(*) AS n_docs,
         |  COUNT(DISTINCT g) AS n_urls,
         |  1000 - (1000 * COUNT(DISTINCT g)) // COUNT(*) AS dup_pm,
-        |  SUM(score_ppm) // COUNT(*) AS mean_score_ppm,
+        |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
         |  (SUM(score_ppm) // COUNT(*)) < 500000 AS flagged
         |FROM s GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
       val toks = Text.tokens(col("text"))

@@ -27,8 +27,13 @@ import graft.queries.Entry
   * The graph itself is EXTRACTED, not assumed: each doc fabricates a
   * minimal outlink page and the edges come from [[Html.parse]]'s href
   * capture (`/doc/<target>` anchors), so the entry also pins attribute
-  * parsing inside the q217 tokenizer. Edge formula per doc: targets
-  * (id+1) mod N and (3·id+7) mod N, deduplicated — replayable in SQL.
+  * parsing inside the q217 tokenizer. Edge formula per doc (replayable
+  * in SQL): always (id+1) mod N; (3·id+7) mod N unless id%13==0; plus
+  * (7·id+3) mod N when id%3==0 — the conditional edges vary out- and
+  * in-degree so PageRank scores SPREAD and the oracle hash pins mass
+  * propagation over real graph structure (the round-13 all-bijection
+  * formula converged to one uniform score, leaving join direction and
+  * src/dst orientation untested).
   *
   * Plan shape: per iteration ONE join (edges ⋈ ranks, both keyed on the
   * node id) + one map-side-combinable integer-sum agg + a left join back
@@ -44,12 +49,21 @@ object LinkGraph {
   val Scale = 1000000000000L   // 1e12: 85*SCALE fits comfortably in BIGINT
   val Iterations = 8
 
+  /** Conditional edge targets for doc `id` over an N-node id space (may
+    * contain duplicates; every consumer dedups — extractedEdges'
+    * distinct, the oracle's UNION, the spec replay's Set). */
+  def edgeTargets(id: Long, n: Long): Seq[Long] =
+    Seq((id + 1) % n) ++
+      (if (id % 13 != 0) Seq((3 * id + 7) % n) else Seq.empty) ++
+      (if (id % 3 == 0) Seq((7 * id + 3) % n) else Seq.empty)
+
   /** Minimal outlink page for doc `id` over an N-node id space. */
   def linkPage(id: Long, n: Long): String = {
-    val t1 = (id + 1) % n
-    val t2 = (3 * id + 7) % n
+    val anchors = edgeTargets(id, n).zipWithIndex.map { case (t, i) =>
+      if (i % 2 == 0) s"""<a href="/doc/$t">t$t</a>""" else s"<a href='/doc/$t'>t$t</a>"
+    }.mkString(" ")
     s"""<html><body><p>outlinks of $id</p>
-       |<nav><a href="/doc/$t1">next</a> <a href='/doc/$t2'>hub</a></nav>
+       |<nav>$anchors</nav>
        |</body></html>""".stripMargin
   }
 
@@ -73,14 +87,29 @@ object LinkGraph {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** SQL replay of [[edgeTargets]] — shared by the q225/q226 oracles and
+    * q233's anchor aggregation (UNION dedups, mirroring extractedEdges'
+    * distinct). Valid in both DuckDB and Spark dialects. */
+  private[text] val edgesSql: String =
+    """edges AS (
+      |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+      |  UNION
+      |  SELECT doc_id, (3 * doc_id + 7) % (SELECT n FROM nn) FROM documents WHERE doc_id % 13 <> 0
+      |  UNION
+      |  SELECT doc_id, (7 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
   /** Unrolled oracle recurrence (DuckDB `//`; the Spark twin swaps `div`). */
   private def oracleSql(idiv: String): String = {
     def d(a: String, b: String) = s"(($a) $idiv ($b))"
+    // CAST pins each iteration's r to BIGINT: DuckDB SUM(BIGINT) returns
+    // HUGEINT, which pandas renders float64 and the driver hashes as
+    // "…0.0" against Spark's int64 — the round-13 red-row class (q66/q224
+    // discipline). Arithmetic is unchanged (values fit BIGINT throughout).
     val iters = (1 to Iterations).map { k =>
       s"""r$k AS (
          |  SELECT nodes.v,
-         |    ${d(s"15 * ${Scale}", "100 * (SELECT n FROM nn)")} +
-         |    ${d("85 * COALESCE(SUM(x.c), 0)", "100")} AS r
+         |    CAST(${d(s"15 * ${Scale}", "100 * (SELECT n FROM nn)")} +
+         |    ${d("85 * COALESCE(SUM(x.c), 0)", "100")} AS BIGINT) AS r
          |  FROM nodes LEFT JOIN (
          |    SELECT e.dst, ${d("r.r", "o.od")} AS c
          |    FROM edges e JOIN r${k - 1} r ON r.v = e.src
@@ -89,10 +118,7 @@ object LinkGraph {
     }.mkString(",\n")
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
        |nodes AS (SELECT doc_id AS v FROM documents),
-       |edges AS (
-       |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
-       |  UNION
-       |  SELECT doc_id, (3 * doc_id + 7) % (SELECT n FROM nn) FROM documents),
+       |$edgesSql,
        |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
        |r0 AS (SELECT v, ${d(Scale.toString, "(SELECT n FROM nn)")} AS r FROM nodes),
        |$iters
@@ -147,10 +173,7 @@ object LinkGraph {
          |) GROUP BY v)""".stripMargin
     }.mkString(",\n")
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-       |edges AS (
-       |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
-       |  UNION
-       |  SELECT doc_id, (3 * doc_id + 7) % (SELECT n FROM nn) FROM documents),
+       |$edgesSql,
        |d0 AS (SELECT doc_id AS v, 0 AS depth FROM documents WHERE doc_id % 97 = 0),
        |$layers
        |SELECT v AS doc_id, CAST(depth AS INT) AS depth FROM d$MaxDepth

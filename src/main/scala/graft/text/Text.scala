@@ -281,31 +281,35 @@ object Text {
       s"""WITH $simhashCtesSql,
         |bands AS (SELECT doc_id, simhash, i AS b, (simhash >> (4*i)) & 15 AS bv
         |          FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i) g2),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-        |           a.simhash AS ha, b.simhash AS hb
+        |near AS (SELECT a.doc_id AS da, b.doc_id AS db
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-        |           AND a.doc_id <> b.doc_id),
-        |near AS (SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 1)
+        |           AND a.doc_id <> b.doc_id
+        |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)
         |SELECT s.doc_id,
         |  LEAST(s.doc_id, COALESCE(MIN(n.db), s.doc_id)) AS keeper_id,
-        |  COUNT(n.db) AS n_near
+        |  COUNT(DISTINCT n.db) AS n_near
         |FROM sh s LEFT JOIN near n ON n.da = s.doc_id
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
       val sh = simhashOf(s, d)
       val bands = sh.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bv", expr("(simhash div cast(pow(2, 4*b) as bigint)) % 16"))
-      val cand = bands.select(col("doc_id").as("da"), col("simhash").as("ha"),
+      // band-duplicate pairs (same pair colliding in 2+ bands) flow through
+      // UN-deduplicated: the final agg's COUNT(DISTINCT db)/MIN(db) absorb
+      // them, saving the corpus-pair-volume DISTINCT exchange the round-13
+      // plan paid before the Hamming filter (the bit_count filter itself is
+      // per-row arithmetic — re-running it on a duplicate is free; a
+      // pair-level shuffle is not)
+      val near = bands.select(col("doc_id").as("da"), col("simhash").as("ha"),
           col("b"), col("bv"))
         .join(bands.select(col("doc_id").as("db"), col("simhash").as("hb"),
           col("b"), col("bv")), Seq("b", "bv"))
-        .filter(col("da") =!= col("db"))
-        .select(col("da"), col("db"), col("ha"), col("hb")).distinct()
-      val near = cand.filter(expr("bit_count(ha ^ hb) <= 1"))
+        .filter(col("da") =!= col("db") && expr("bit_count(ha ^ hb) <= 1"))
+        .select(col("da"), col("db"))
       sh.select(col("doc_id"))
         .join(near, col("doc_id") === col("da"), "left")
         .groupBy(col("doc_id"))
-        .agg(min(col("db")).as("mn"), count(col("db")).as("n_near"))
+        .agg(min(col("db")).as("mn"), countDistinct(col("db")).as("n_near"))
         .select(col("doc_id"),
           least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("keeper_id"),
           col("n_near"))
@@ -315,14 +319,13 @@ object Text {
         |bands AS (SELECT doc_id, simhash, i AS b,
         |            shiftright(simhash, CAST(4*i AS INT)) & 15 AS bv
         |          FROM sh CROSS JOIN (SELECT explode(sequence(0, 3)) AS i) g2),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-        |           a.simhash AS ha, b.simhash AS hb
+        |near AS (SELECT a.doc_id AS da, b.doc_id AS db
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-        |           AND a.doc_id <> b.doc_id),
-        |near AS (SELECT da, db FROM cand WHERE bit_count(ha ^ hb) <= 1)
+        |           AND a.doc_id <> b.doc_id
+        |         WHERE bit_count(a.simhash ^ b.simhash) <= 1)
         |SELECT s.doc_id,
         |  LEAST(s.doc_id, COALESCE(MIN(n.db), s.doc_id)) AS keeper_id,
-        |  COUNT(n.db) AS n_near
+        |  COUNT(DISTINCT n.db) AS n_near
         |FROM sh s LEFT JOIN near n ON n.da = s.doc_id
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
 

@@ -52,7 +52,7 @@ class LinkGraphSpec extends GraftSuite {
     import spark.implicits._
     val n = graft.core.Tables(spark, sf, "documents").count()
     val nodes = graft.core.Tables(spark, sf, "documents").select(col("doc_id").as("v"))
-    val edges = (0L until n).flatMap(id => Set((id + 1) % n, (3 * id + 7) % n).map(id -> _))
+    val edges = (0L until n).flatMap(id => LinkGraph.edgeTargets(id, n).toSet.map((t: Long) => id -> t))
     val got = LinkGraph.pagerank(nodes, edges.toDF("src", "dst"), n)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
@@ -69,5 +69,11 @@ class LinkGraphSpec extends GraftSuite {
     assert(got == r, "distributed vs driver replay diverged")
     // mass stays bounded by construction (damping leaks at truncation)
     assert(r.values.sum <= LinkGraph.Scale)
+    // the fixture graph must NOT be degenerate: conditional edges vary
+    // in-degree, so scores spread and the oracle hash pins real mass
+    // propagation (round-13's all-bijection graph converged to ONE value,
+    // leaving src/dst orientation untested)
+    assert(r.values.toSet.size > 10,
+      s"fixture PageRank degenerate: only ${r.values.toSet.size} distinct scores")
   }
 }

@@ -14,6 +14,11 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 import datetime
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical-STRING frame, dtype-sensitive like the driver's hash:
+    int64 576600 renders '576600' but float64 renders '576600.0', so a
+    DuckDB HUGEINT/DECIMAL leak (-> pandas float64) FAILS against a Spark
+    int column instead of being masked by a numeric compare (the round-13
+    q225/q230 defect class)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -26,11 +31,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(s).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:
             df[c] = s.map(lambda v: str(v) if v is not None else None)
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.map(lambda v: None if pd.isna(v) else str(bool(v)))
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
+            # +0.0 folds -0.0 into 0.0 (equal under the old exact compare);
+            # repr keeps full precision so exactness is preserved
+            df[c] = s.map(lambda v: None if pd.isna(v) else repr(float(v) + 0.0))
         elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("Int64")
+            df[c] = s.map(lambda v: None if pd.isna(v) else str(int(v)))
+        else:
+            df[c] = s.map(lambda v: None if v is None else str(v))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+# DuckDB types that silently widen past the parquet type system: a SUM(BIGINT)
+# is HUGEINT, which pandas renders float64 and the driver hashes as '...0'.
+WIDE_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def wide_oracle_cols(con, sql):
+    """Columns of the oracle result whose DuckDB type leaks past BIGINT —
+    each needs an explicit CAST in the oracle SQL."""
+    try:
+        desc = con.sql(f"DESCRIBE ({sql})").df()
+    except Exception:
+        return []
+    return [f"{r.column_name}:{r.column_type}" for r in desc.itertuples()
+            if any(t in str(r.column_type).upper() for t in WIDE_ORACLE_TYPES)]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -62,9 +87,13 @@ def main():
         if len(got) != len(want):
             failed.append((name, f"rows: spark={len(got)} oracle={len(want)}"))
             continue
+        wide = wide_oracle_cols(con, oracle[name])
+        if wide:
+            failed.append((name, f"oracle type leak (add CAST .. AS BIGINT): {wide}"))
+            continue
         g, w = canon(got), canon(want)
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, w, check_exact=True)
             passed.append(name)
         except AssertionError as e:
             diff = (g != w) & ~(g.isna() & w.isna())
