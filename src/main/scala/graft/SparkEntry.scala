@@ -43,6 +43,9 @@ object SparkEntry {
       text.Domains.entries ++
       text.Funnel.entries ++
       text.LinkGraph.entries ++
+      text.Anchors.entries ++
+      text.QualityModel.entries ++
+      text.Unigram.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
@@ -56,7 +59,8 @@ object SparkEntry {
       ingest.Shards.entries ++
       ingest.CompressedShards.entries ++
       ingest.ZipShards.entries ++
-      ingest.WarcShards.entries
+      ingest.WarcShards.entries ++
+      ingest.Redirects.entries
     declared.map { e =>
       if (e.sparkSqlOverride.nonEmpty || e.oracle.isEmpty) (e, None, false)
       else

@@ -54,8 +54,13 @@ object Html {
     * many of its chars are anchor text, and its anchor count. */
   final case class Block(tag: String, text: String, linkChars: Int, links: Int)
 
+  /** One captured anchor: its href and its whitespace-normalized enclosed
+    * text — the unit of anchor-text aggregation (q233): what OTHER pages
+    * say about a target is the classic web relevance/quality signal. */
+  final case class Anchor(href: String, text: String)
+
   final case class Doc(title: String, blocks: Seq[Block], totalLinks: Int,
-                       hrefs: Seq[String])
+                       hrefs: Seq[String], anchors: Seq[Anchor])
 
   /** Tags that establish a text block (HTML5 flow containers + headings);
     * text between them attributes to the nearest enclosing one. */
@@ -109,6 +114,9 @@ object Html {
     var curLinks = 0
     val blocks = Seq.newBuilder[Block]
     val hrefs = Seq.newBuilder[String]
+    val anchors = Seq.newBuilder[Anchor]
+    var anchorHref: String = null        // href of the OUTERMOST open <a>
+    val anchorText = new java.lang.StringBuilder
     var title = ""
     val hrefRx = """href\s*=\s*("([^"]*)"|'([^']*)')""".r
 
@@ -158,7 +166,16 @@ object Html {
         } else if (c1 == '/') {
           val (name, j) = tagNameAt(i + 2)
           i = skipTag(j)
-          if (name == "a") { if (anchorDepth > 0) anchorDepth -= 1 }
+          if (name == "a") {
+            if (anchorDepth > 0) {
+              anchorDepth -= 1
+              if (anchorDepth == 0 && anchorHref != null) {
+                anchors += Anchor(anchorHref,
+                  anchorText.toString.replaceAll("\\s+", " ").trim)
+                anchorHref = null
+              }
+            }
+          }
           else if (blockTags(name)) {
             flush()
             // pop to the matching open if present (tolerates misnesting)
@@ -172,15 +189,34 @@ object Html {
           val afterOpen = skipTag(j)
           val selfClosed = html.substring(i, afterOpen).endsWith("/>")
           if (rawTextTags(name)) {
-            // raw text: content runs verbatim to the matching end tag
-            val close = html.toLowerCase.indexOf(s"</$name", afterOpen)
+            // raw text: content runs verbatim to the matching end tag.
+            // Bounded case-insensitive scan (no per-element toLowerCase
+            // allocation), and the char after the name must terminate the
+            // tag name — "</scripty>" must NOT end a <script> element.
+            var k = afterOpen
+            var close = -1
+            while (close < 0 && k + 1 < n) {
+              if (html(k) == '<' && html(k + 1) == '/' &&
+                  html.regionMatches(true, k + 2, name, 0, name.length)) {
+                val after = k + 2 + name.length
+                if (after >= n || html(after) == '>' || html(after) == '/' ||
+                    html(after).isWhitespace)
+                  close = k
+              }
+              k += 1
+            }
             i = if (close < 0) n else skipTag(close + 2 + name.length)
           } else {
             i = afterOpen
             if (name == "a") {
+              val href = hrefRx.findFirstMatchIn(html.substring(j, afterOpen))
+                .map(m => Option(m.group(2)).getOrElse(m.group(3)))
+              href.foreach(hrefs += _)
+              if (anchorDepth == 0) {          // nested <a> is illegal HTML;
+                anchorHref = href.orNull       // inner text folds into outer
+                anchorText.setLength(0)
+              }
               anchorDepth += 1; curLinks += 1; totalLinks += 1
-              hrefRx.findFirstMatchIn(html.substring(j, afterOpen))
-                .foreach(m => hrefs += Option(m.group(2)).getOrElse(m.group(3)))
             } else if (blockTags(name)) {
               flush()
               if (!selfClosed) stack.push(name)
@@ -192,18 +228,27 @@ object Html {
         entity(html, i) match {
           case Some((ch, next)) =>
             sb.append(ch)
-            if (anchorDepth > 0 && !ch.isWhitespace) curLinkChars += 1
+            if (anchorDepth > 0) {
+              anchorText.append(ch)
+              if (!ch.isWhitespace) curLinkChars += 1
+            }
             i = next
-          case None => sb.append(c); if (anchorDepth > 0) curLinkChars += 1; i += 1
+          case None =>
+            sb.append(c)
+            if (anchorDepth > 0) { anchorText.append(c); curLinkChars += 1 }
+            i += 1
         }
       } else {
         sb.append(c)
-        if (anchorDepth > 0 && !c.isWhitespace) curLinkChars += 1
+        if (anchorDepth > 0) {
+          anchorText.append(c)
+          if (!c.isWhitespace) curLinkChars += 1
+        }
         i += 1
       }
     }
     flush()
-    Doc(title, blocks.result(), totalLinks, hrefs.result())
+    Doc(title, blocks.result(), totalLinks, hrefs.result(), anchors.result())
   }
 
   /** The density rule: content = long enough AND link-sparse. */
@@ -242,6 +287,16 @@ object Html {
     * ids%3==0. Every hazard the parser claims to handle is present in
     * every fixture page. */
   def fabricate(id: Long, text: String): String = {
+    // The q217/q221 md5 round-trip REQUIRES the fixture text to survive
+    // parse-side whitespace normalization unchanged and to clear the
+    // content-length floor; assert the invariant here so a fixture change
+    // fails with a named message instead of an opaque hash mismatch.
+    require(text == text.replaceAll("\\s+", " ").trim,
+      s"fixture doc $id text is not single-space normalized; the HTML " +
+        "round-trip oracle would hash-mismatch")
+    require(text.length >= minContentChars,
+      s"fixture doc $id text shorter than minContentChars=$minContentChars; " +
+        "its only block would be dropped by isContent")
     val chunks = chunkWords(text.split(' ').toSeq)
     val ps = chunks.zipWithIndex.map { case (ws, ci) =>
       val body =

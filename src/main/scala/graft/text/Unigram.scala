@@ -1,0 +1,238 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Entry
+
+/** Unigram-LM (SentencePiece-style) subword tokenizer (SURVEY.md
+  * Q235/Q236) — the other mainstream subword algorithm beside BPE
+  * (q161/q162): instead of greedy pair merges, a PIECE INVENTORY is
+  * selected and each word is segmented by the piece sequence that
+  * maximizes a per-piece additive objective (Kudo, ACL 2018: Viterbi
+  * segmentation under a unigram language model; SentencePiece seeds its
+  * vocabulary from the most frequent substrings, which is exactly the
+  * selection below).
+  *
+  * Float log-probabilities are summation-order-dependent and unhashable
+  * across engines, so the objective is the q219/q225 integer discipline:
+  * each selected piece p carries the integer value
+  *
+  *   v(p) = cnt(p) * (len(p) - 1) * 1024 - 1
+  *
+  * (weighted substring count x characters saved, scaled; the -1 charges
+  * one unit per emitted piece) and single characters always segment with
+  * v = -1. Maximizing the additive total W = 1024*S - n therefore
+  * maximizes coverage score S and, among S-optimal paths, minimizes the
+  * piece count n — recoverable arithmetically from W alone, since
+  * n <= MaxLen < 1024: S = (W + 16) div 1024, n = 1024*S - W (W >= -MaxLen
+  * keeps the dividend nonnegative, so truncating and floor division
+  * agree across engines).
+  *
+  * Training (q236) is ONE pass over the weighted surface-form vocab —
+  * the corpus is never re-read (BPE's q161 posture): substring counting
+  * over a bounded window (first MaxLen chars, pieces of 2..4 chars),
+  * then top-V selection by (cnt x saved-chars, piece). Encoding (q237)
+  * runs the integer Viterbi DP per DISTINCT word and charges the corpus
+  * only a (word -> result) equi-join + per-doc sum — q162's shape.
+  *
+  * The DuckDB oracle replays the identical derivation: the same counting
+  * window, the same selection, and the DP as MaxLen unrolled CTEs (the
+  * q225 pattern), each position taking GREATEST over the l=1..4 ways to
+  * end there (both engines' GREATEST ignores the NULL of an absent
+  * piece). Both oracles share one chain string so train and encode can
+  * never drift apart.
+  *
+  * Scale posture: counting is explode+agg on the VOCAB (not the corpus),
+  * map-side combinable; selection is a TakeOrdered top-V; the model is
+  * V=24 rows — a driver artifact like q161's merge table (O(V) collect,
+  * documented bound) broadcast into a map-only per-word DP; the corpus
+  * is charged one equi-join on the word key and one per-doc agg. At
+  * 100 TB: identical plan — train on the ingest-staged vocab, ship the
+  * piece table with every encode job.
+  */
+object Unigram {
+
+  val MaxLen = 12      // DP window; longer words fall back to chars
+  val V = 24           // piece inventory size
+  val PieceMin = 2
+  val PieceMax = 4
+
+  final case class Rule(rnk: Int, piece: String, cnt: Long, v: Long)
+
+  /** Integer Viterbi: best additive value for segmenting `w` with the
+    * piece values `pv` (single chars implicit at -1). Mirrors the
+    * oracle's unrolled dp CTEs exactly. */
+  def dpValue(w: String, pv: Map[String, Long]): Long = {
+    if (w.length > MaxLen) return -w.length.toLong
+    val dp = new Array[Long](w.length + 1)
+    var i = 1
+    while (i <= w.length) {
+      var best = dp(i - 1) - 1
+      var l = PieceMin
+      while (l <= PieceMax && l <= i) {
+        pv.get(w.substring(i - l, i)) match {
+          case Some(v) => val c = dp(i - l) + v; if (c > best) best = c
+          case None    => ()
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(w.length)
+  }
+
+  /** (score, n_pieces) decomposition of a word's DP value — pure
+    * arithmetic, no back-pointers needed (see object doc). */
+  def decompose(w: String, value: Long): (Long, Long) =
+    if (w.length > MaxLen) (0L, w.length.toLong)
+    else {
+      val s = (value + 16L) / 1024L
+      (s, 1024L * s - value)
+    }
+
+  /** The learned piece table, memoized per corpus dir (q161's artifact
+    * posture: train once, every encode job consumes the table). */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Rule]]
+
+  def rules(s: SparkSession, d: String): Seq[Rule] =
+    cache.getOrElseUpdate(d, train(s, d))
+
+  /** The measured training job: substring counting over the weighted
+    * vocab, top-V selection. Driver state is the V-row piece table. */
+  def train(s: SparkSession, d: String): Seq[Rule] = {
+    val wf = TokenIndex.words(s, d).groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val pc = wf
+      .select(col("w"), col("f"),
+        explode(sequence(lit(PieceMin), lit(PieceMax))).as("l"))
+      .select(col("w"), col("f"), col("l"),
+        explode(sequence(lit(1), lit(MaxLen - 1))).as("i"))
+      .filter(expr(s"i + l - 1 <= least(length(w), $MaxLen)"))
+      .select(expr("substr(w, i, l)").as("p"), col("f"))
+      .groupBy(col("p")).agg(sum(col("f")).as("cnt"))
+    // TakeOrdered top-V, then an O(V)=24-row collect — the q161 bound
+    val top = pc
+      .orderBy((col("cnt") * (length(col("p")) - 1)).desc, col("p"))
+      .limit(V).collect()
+    top.zipWithIndex.map { case (r, ix) =>
+      val p = r.getString(0)
+      val c = r.getLong(1)
+      Rule(ix + 1, p, c, c * (p.length - 1) * 1024L - 1L)
+    }.toSeq
+  }
+
+  // ---- shared oracle chain (DuckDB + Spark dialects) -------------------
+
+  /** wf .. wv CTEs. Differences between dialects: the tokenizer spelling,
+    * integer-range explosion, and the `//` vs `div` spelling (only used
+    * downstream). The dp CTEs are engine-neutral text. */
+  private def chainSql(duck: Boolean): String = {
+    val ws = if (duck) Text.tokensSql else graft.queries.Dialect.tokensSparkSql
+    val un = if (duck) "unnest" else "explode"
+    val ls = if (duck) s"range(${PieceMin}, ${PieceMax + 1})" else s"sequence(${PieceMin}, ${PieceMax})"
+    val is = if (duck) s"range(1, ${MaxLen})" else s"sequence(1, ${MaxLen - 1})"
+    // Each dp CTE references ONLY dp{k-1} (the prior three bests ride as
+    // b1/b2/b3 state columns), so CTE inlining stays a LINEAR chain — the
+    // first formulation joined dp{k-2}/dp{k-3}/dp{k-4} directly and the
+    // inlined plan tree grew 4^MaxLen, OOMing the oracle engine (the q226
+    // bfs lesson, relearned). Rows for words shorter than k stop evolving
+    // via the frozen `value` column; boundary l > k terms are excluded by
+    // generation (and would be NULL-killed by their b column anyway).
+    val dps = (1 to MaxLen).map { k =>
+      val terms = Seq("d.best - 1") ++
+        (PieceMin to PieceMax).filter(_ <= k).map(l => s"d.b${l - 1} + s$l.v")
+      val joins = (PieceMin to PieceMax).filter(_ <= k).map { l =>
+        s"  LEFT JOIN sel s$l ON s$l.p = substr(d.w, ${k - l + 1}, $l)"
+      }.mkString("\n")
+      // Spark's GREATEST requires >= 2 args (DuckDB accepts 1): the k=1
+      // position has only the single-char term — emit it bare
+      val g = if (terms.size == 1) terms.head
+              else s"GREATEST(${terms.mkString(", ")})"
+      s"""dp$k AS (
+         |  SELECT d.w, $g AS best,
+         |    d.best AS b1, d.b1 AS b2, d.b2 AS b3,
+         |    CASE WHEN length(d.w) = $k THEN $g ELSE d.value END AS value
+         |  FROM dp${k - 1} d
+         |$joins)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (SELECT doc_id, $ws AS ws FROM documents),
+       |words AS (SELECT doc_id, $un(ws) AS w FROM toks),
+       |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
+       |pc AS (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS p,
+       |         CAST(SUM(f) AS BIGINT) AS cnt
+       |  FROM wf
+       |  CROSS JOIN (SELECT $un($ls) AS l) gl
+       |  CROSS JOIN (SELECT $un($is) AS i) gi
+       |  WHERE i + l - 1 <= LEAST(length(w), $MaxLen)
+       |  GROUP BY 1),
+       |sel AS (
+       |  SELECT p, cnt, CAST(cnt * (length(p) - 1) * 1024 - 1 AS BIGINT) AS v, rnk
+       |  FROM (SELECT p, cnt,
+       |          ROW_NUMBER() OVER (ORDER BY cnt * (length(p) - 1) DESC, p) AS rnk
+       |        FROM pc)
+       |  WHERE rnk <= $V),
+       |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS best,
+       |          CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+       |          CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS value
+       |        FROM wf WHERE length(w) <= $MaxLen),
+       |$dps,
+       |wv AS (SELECT w, value FROM dp$MaxLen)""".stripMargin
+  }
+
+  private def trainSql(idiv: String, duck: Boolean): String =
+    s"""WITH ${chainSql(duck)}
+       |SELECT CAST(rnk AS INT) AS rnk, p AS piece, cnt,
+       |  CAST((1000000 * cnt) $idiv (SELECT SUM(cnt) FROM sel) AS BIGINT) AS prob_ppm
+       |FROM sel ORDER BY rnk""".stripMargin
+
+  private def encodeSql(idiv: String, duck: Boolean): String =
+    s"""WITH ${chainSql(duck)}
+       |SELECT t.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(CASE WHEN length(t.w) > $MaxLen THEN length(t.w)
+       |           ELSE 1024 * ((v.value + 16) $idiv 1024) - v.value END) AS BIGINT)
+       |    AS n_pieces,
+       |  CAST(SUM(CASE WHEN length(t.w) > $MaxLen THEN 0
+       |           ELSE (v.value + 16) $idiv 1024 END) AS BIGINT) AS score
+       |FROM words t LEFT JOIN wv v ON v.w = t.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+    // q236: the training job — measure substring counting + selection,
+    // refresh the artifact cache, surface the piece table with its
+    // integer-scaled unigram probabilities.
+    Entry("q235_unigram_train", trainSql("//", duck = true)) { (s, d) =>
+      import s.implicits._
+      val rs = train(s, d)
+      cache.put(d, rs)
+      val total = rs.map(_.cnt).sum
+      rs.map(r => (r.rnk, r.piece, r.cnt, 1000000L * r.cnt / total))
+        .toDF("rnk", "piece", "cnt", "prob_ppm")
+        .orderBy(col("rnk"))
+    }.sqlTwin(trainSql("div", duck = false)),
+
+    // q237: the apply path — per-DISTINCT-word integer Viterbi under the
+    // broadcast piece table, then one corpus equi-join + per-doc sum.
+    Entry("q236_unigram_encode", encodeSql("//", duck = true)) { (s, d) =>
+      import s.implicits._
+      val pv = rules(s, d).map(r => r.piece -> r.v).toMap
+      val wordVals = TokenIndex.words(s, d).select(col("w")).distinct()
+        .as[String]
+        .map { w =>
+          val (score, n) = decompose(w, dpValue(w, pv))
+          (w, score, n)
+        }
+        .toDF("w", "s", "n")
+      TokenIndex.words(s, d).join(wordVals, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n")).as("n_pieces"), sum(col("s")).as("score"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(encodeSql("div", duck = false))
+  )
+}

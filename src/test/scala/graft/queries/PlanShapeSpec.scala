@@ -365,6 +365,51 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"banded candidate join degraded to a product:\n$p")
     assert(p.contains("bit_count"), s"expected bit_count verify filter:\n$p")
+    // the round-14 fold: no pair-level DISTINCT exchange before the Hamming
+    // filter — band-duplicate pairs are absorbed by the final agg's
+    // COUNT(DISTINCT)/MIN instead of a corpus-pair shuffle keyed on (da, db)
+    assert(!p.contains("hashpartitioning(da"),
+      s"pair-keyed exchange reappeared before the verify filter:\n$p")
+  }
+
+  test("q232_anchor_text: fabrication+parse map-only; only dedup + target agg shuffle") {
+    // anchor extraction must ride the scan (production: the q221 ingest
+    // pass); the entry's only exchanges are the (target, src) distinct and
+    // the per-target aggregation — q60's dedup shape on the anchor signal
+    val p = planOf("q232_anchor_text")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"q233 must carry exactly the dedup + agg shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q234_quality_model: model joins back broadcast; no product joins") {
+    // training reduces to O(signals x 10) rows; scoring must join that
+    // tiny posterior table BROADCAST (at 100 TB the model is still ~50
+    // rows) — a shuffle join keyed on (sig, b) would move the corpus-
+    // sized unpivot for nothing
+    val p = planOf("q234_quality_model")
+    assert(p.contains("BroadcastExchange"), s"posterior table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q236_unigram_encode: vocab-level DP results broadcast into the corpus join") {
+    // the Viterbi DP runs per DISTINCT word (vocab-sized); the corpus is
+    // charged one equi-join on `w` — the build side must broadcast here
+    // (at a 100M-word vocab it degrades to a shuffle join, still never
+    // corpus-quadratic), plus the per-doc aggregation
+    val p = planOf("q236_unigram_encode")
+    assert(p.contains("BroadcastExchange"), s"word-value side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q233_redirect_resolve: hop joins stay equi-joins; redirect map broadcasts") {
+    // each hop is one equi-join of the state against the redirect map;
+    // the map is the 3xx fraction of records (small at any crawl scale)
+    // and must plan as a broadcast build side, never a product join
+    val p = planOf("q233_redirect_resolve")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hop resolution degraded to a product join:\n$p")
+    assert(p.contains("BroadcastExchange"), s"redirect map should broadcast:\n$p")
   }
 
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
