@@ -46,6 +46,7 @@ object SparkEntry {
       text.Anchors.entries ++
       text.QualityModel.entries ++
       text.Unigram.entries ++
+      text.Sentences.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++
