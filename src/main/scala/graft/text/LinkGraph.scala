@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -67,23 +67,40 @@ object LinkGraph {
        |</body></html>""".stripMargin
   }
 
-  /** Integer PageRank over an extracted edge list; returns (node, score). */
-  def pagerank(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame = {
+  /** The shared integer power-iteration: rk+1(v) = b(v) + 85·Σ//100.
+    * PageRank and TrustRank differ ONLY in the per-node base/init mass
+    * (`base` must carry (v, b); `init` carries (v, r)). */
+  def rankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val base = (15L * Scale) / (100L * n)
-    var r = nodes.select(col("v"), lit(Scale / n).as("r"))
+    var r = init
     for (_ <- 1 to Iterations) {
       val contrib = edges.join(r, col("src") === col("v"))
         .join(out, "src")
         .select(col("dst"), expr("r div od").as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(sums, col("v") === col("dst"), "left")
+      r = base.join(sums, col("v") === col("dst"), "left")
         .select(col("v"),
-          (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+          (col("b") + expr("85 * coalesce(s, 0L) div 100")).as("r"))
         .localCheckpoint()   // truncate lineage: 8 unrolled join+agg rounds
     }
     r
   }
+
+  /** Integer PageRank over an extracted edge list; returns (node, score). */
+  def pagerank(nodes: DataFrame, edges: DataFrame, n: Long): DataFrame =
+    rankFixpoint(edges,
+      nodes.select(col("v"), lit((15L * Scale) / (100L * n)).as("b")),
+      nodes.select(col("v"), lit(Scale / n).as("r")))
+
+  /** Integer TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004):
+    * the same recurrence with ALL base/init mass on the trusted seed
+    * set — trust flows only along links out of seeds. */
+  def trustrank(nodes: DataFrame, edges: DataFrame, seedPred: Column, ns: Long): DataFrame =
+    rankFixpoint(edges,
+      nodes.select(col("v"),
+        when(seedPred, lit((15L * Scale) / (100L * ns))).otherwise(0L).as("b")),
+      nodes.select(col("v"),
+        when(seedPred, lit(Scale / ns)).otherwise(0L).as("r")))
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
@@ -98,32 +115,64 @@ object LinkGraph {
       |  UNION
       |  SELECT doc_id, (7 * doc_id + 3) % (SELECT n FROM nn) FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
-  /** Unrolled oracle recurrence (DuckDB `//`; the Spark twin swaps `div`). */
-  private def oracleSql(idiv: String): String = {
+  // CAST pins each iteration's r to BIGINT: DuckDB SUM(BIGINT) returns
+  // HUGEINT, which pandas renders float64 and the driver hashes as
+  // "…0.0" against Spark's int64 — the round-13 red-row class (q66/q224
+  // discipline). Arithmetic is unchanged (values fit BIGINT throughout).
+  /** Unrolled power-iteration CTEs `<prefix>1..<prefix>Iterations` over a
+    * per-node base-mass expression — shared by the q225 PageRank and
+    * q238 TrustRank oracles (they differ only in `baseSql`/`initSql`). */
+  private def iterCtes(idiv: String, prefix: String, baseSql: String): String = {
     def d(a: String, b: String) = s"(($a) $idiv ($b))"
-    // CAST pins each iteration's r to BIGINT: DuckDB SUM(BIGINT) returns
-    // HUGEINT, which pandas renders float64 and the driver hashes as
-    // "…0.0" against Spark's int64 — the round-13 red-row class (q66/q224
-    // discipline). Arithmetic is unchanged (values fit BIGINT throughout).
-    val iters = (1 to Iterations).map { k =>
-      s"""r$k AS (
+    (1 to Iterations).map { k =>
+      s"""$prefix$k AS (
          |  SELECT nodes.v,
-         |    CAST(${d(s"15 * ${Scale}", "100 * (SELECT n FROM nn)")} +
+         |    CAST($baseSql +
          |    ${d("85 * COALESCE(SUM(x.c), 0)", "100")} AS BIGINT) AS r
          |  FROM nodes LEFT JOIN (
          |    SELECT e.dst, ${d("r.r", "o.od")} AS c
-         |    FROM edges e JOIN r${k - 1} r ON r.v = e.src
+         |    FROM edges e JOIN $prefix${k - 1} r ON r.v = e.src
          |    JOIN outd o ON o.src = e.src) x
          |  ON x.dst = nodes.v GROUP BY nodes.v)""".stripMargin
     }.mkString(",\n")
+  }
+
+  private def prBase(idiv: String) = s"((15 * ${Scale}) $idiv (100 * (SELECT n FROM nn)))"
+  private def trBase(idiv: String) =
+    s"(CASE WHEN nodes.v % 97 = 0 THEN ((15 * ${Scale}) $idiv (100 * (SELECT ns FROM sn))) ELSE 0 END)"
+
+  /** Unrolled oracle recurrence (DuckDB `//`; the Spark twin swaps `div`). */
+  private def oracleSql(idiv: String): String = {
+    def d(a: String, b: String) = s"(($a) $idiv ($b))"
     s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
        |nodes AS (SELECT doc_id AS v FROM documents),
        |$edgesSql,
        |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
        |r0 AS (SELECT v, ${d(Scale.toString, "(SELECT n FROM nn)")} AS r FROM nodes),
-       |$iters
+       |${iterCtes(idiv, "r", prBase(idiv))}
        |SELECT v AS node, r AS score FROM r$Iterations
        |ORDER BY score DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** q238 oracle: BOTH recurrences (PageRank chain p*, TrustRank chain
+    * t*) plus the spam-mass composition — `1e6·max(pr−tr,0)//pr`. */
+  private def trustOracleSql(idiv: String): String = {
+    def d(a: String, b: String) = s"(($a) $idiv ($b))"
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |sn AS (SELECT COUNT(*) AS ns FROM documents WHERE doc_id % 97 = 0),
+       |nodes AS (SELECT doc_id AS v FROM documents),
+       |$edgesSql,
+       |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+       |p0 AS (SELECT v, ${d(Scale.toString, "(SELECT n FROM nn)")} AS r FROM nodes),
+       |${iterCtes(idiv, "p", prBase(idiv))},
+       |t0 AS (SELECT v,
+       |  CASE WHEN v % 97 = 0 THEN ${d(Scale.toString, "(SELECT ns FROM sn)")} ELSE 0 END AS r
+       |  FROM nodes),
+       |${iterCtes(idiv, "t", trBase(idiv))}
+       |SELECT p.v AS node, p.r AS pr, t.r AS tr,
+       |  CAST(${d("1000000 * GREATEST(p.r - t.r, 0)", "p.r")} AS BIGINT) AS spam_ppm
+       |FROM p$Iterations p JOIN t$Iterations t ON t.v = p.v
+       |ORDER BY spam_ppm DESC, pr DESC, node LIMIT 20""".stripMargin
   }
 
   /** The extracted link graph shared by q225/q226: hrefs captured by the
@@ -205,6 +254,35 @@ object LinkGraph {
       bfsDepths(extractedEdges(s, d, n), seeds, MaxDepth)
         .select(col("v").as("doc_id"), col("depth").cast("int").as("depth"))
         .orderBy(col("doc_id"))
-    }
+    },
+
+    // TrustRank + spam mass (SURVEY.md Q238) — the link-spam demotion
+    // tier (Gyöngyi/Garcia-Molina/Pedersen, "Combating Web Spam with
+    // TrustRank", VLDB 2004): re-run the q225 recurrence with ALL base
+    // mass on a trusted seed list (q226's crawl seeds), then per node
+    // compute spam mass — the fraction of its PageRank NOT backed by
+    // trust, `1e6·max(pr−tr,0)//pr` — the standard spam-demotion
+    // signal. Both recurrences share rankFixpoint and the extracted
+    // graph; the oracle replays BOTH unrolled chains plus the
+    // composition, so the hash pins trust propagation (reachability
+    // from seeds included: unreached nodes sit at exactly 1e6 ppm) AND
+    // the two chains' relative arithmetic. Cost class: 2× q225 (16
+    // materialized join+agg rounds, each localCheckpoint'ed).
+    Entry("q238_trustrank", trustOracleSql("//")) { (s, d) =>
+      val docs = T(s, d, "documents")
+      // two one-row driver scalars, mirrored by the oracle's COUNT(*)s
+      val n = docs.count()
+      val ns = docs.filter(col("doc_id") % 97 === 0).count()
+      val nodes = docs.select(col("doc_id").as("v"))
+      val edges = extractedEdges(s, d, n).persist() // both chains consume
+      val pr = pagerank(nodes, edges, n)
+        .select(col("v").as("node"), col("r").as("pr"))
+      val tr = trustrank(nodes, edges, col("v") % 97 === 0, ns)
+        .select(col("v").as("node"), col("r").as("tr"))
+      pr.join(tr, "node")
+        .select(col("node"), col("pr"), col("tr"),
+          expr("CAST((1000000 * GREATEST(pr - tr, 0L)) div pr AS BIGINT)").as("spam_ppm"))
+        .orderBy(col("spam_ppm").desc, col("pr").desc, col("node")).limit(20)
+    }.sqlTwin(trustOracleSql("div"))
   )
 }

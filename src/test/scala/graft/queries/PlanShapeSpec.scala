@@ -382,6 +382,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q238_trustrank: composition is an equi-join + TakeOrdered, no product") {
+    // both rank chains end localCheckpoint'ed; the spam-mass composition
+    // must plan one node-keyed equi-join and a top-k heap — never a
+    // product join or a global sort
+    val p = planOf("q238_trustrank")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q234_quality_model: model joins back broadcast; no product joins") {
     // training reduces to O(signals x 10) rows; scoring must join that
     // tiny posterior table BROADCAST (at 100 TB the model is still ~50

@@ -76,4 +76,28 @@ class LinkGraphSpec extends GraftSuite {
     assert(r.values.toSet.size > 10,
       s"fixture PageRank degenerate: only ${r.values.toSet.size} distinct scores")
   }
+
+  test("trustrank: mass confined to the seed-reachable set; driver replay agrees") {
+    import spark.implicits._
+    // 0 -> 1 -> 2 -> 3 cycle back to 0; 4 -> 5 isolated from the seed
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (4L, 5L))
+    val nodes = (0L until 6L).toDF("v")
+    val got = LinkGraph.trustrank(nodes, edges.toDF("src", "dst"),
+        org.apache.spark.sql.functions.col("v") === 0L, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nodes 4,5 are unreachable from the seed: zero trust, exactly
+    assert(got(4L) == 0L && got(5L) == 0L, s"trust leaked off-seed: $got")
+    assert(got(0L) > 0L && got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+    // independent integer replay of the seeded recurrence
+    val outd = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inE = edges.groupBy(_._2)
+    def base(v: Long) = if (v == 0L) 15L * LinkGraph.Scale / 100L else 0L
+    var r = (0L until 6L).map(v => v -> (if (v == 0L) LinkGraph.Scale else 0L)).toMap
+    for (_ <- 1 to LinkGraph.Iterations)
+      r = (0L until 6L).map { v =>
+        val s = inE.getOrElse(v, Seq.empty).map { case (u, _) => r(u) / outd(u) }.sum
+        v -> (base(v) + 85L * s / 100L)
+      }.toMap
+    assert(got == r, "trust replay diverged")
+  }
 }
