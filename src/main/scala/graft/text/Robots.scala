@@ -133,7 +133,10 @@ object Robots {
   def fabricate(hostIdx: Long): String = {
     val extra =
       if (hostIdx % 2 == 1) "DisAllow: /docs/*1/page$\nDisAllow: /docs/*3/page$\n"
-      else ""
+      // even hosts: an extra Sitemap line MID-GROUP, mixed-case field,
+      // obfuscated URL (q218 rules) — q239 must capture it from inside
+      // the group without the skipped field ending the group for q222
+      else s"SiteMap: HTTPS://WWW.SITE$hostIdx.COM/sitemap-extra.xml?utm_source=robots\n"
     s"""# robots for site$hostIdx — fabricated, deterministic
       |User-agent: *
       |Disallow: /
@@ -146,6 +149,19 @@ object Robots {
       |Sitemap: https://www.site$hostIdx.com/sitemap.xml
       |""".stripMargin
   }
+
+  /** RFC 9309 §2.3 `Sitemap:` discovery — the lines are INDEPENDENT of
+    * groups (valid anywhere in the file, including mid-group, where the
+    * group parser skips them), so extraction is a separate line scan.
+    * Raw values; q239 canonicalizes with q218's kernel. */
+  def sitemaps(txt: String): Seq[String] =
+    txt.split("\n").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap"))
+        Some(line.substring(c + 1).trim).filter(_.nonEmpty)
+      else None
+    }
 
   /** Path component of an absolute URL (no query/fragment). */
   def pathOf(url: String): String = {
@@ -198,6 +214,50 @@ object Robots {
         |       WHEN (((doc_id div 4) % 5) % 2 = 1) AND ((doc_id div 4) % 10 = 3)
         |         THEN '/docs/*3/page$'
         |       ELSE '/docs/*/page$' END AS rule
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Sitemap discovery from robots.txt (SURVEY.md Q239) — RFC 9309
+    // §2.3: `Sitemap:` lines are the protocol bridge between the
+    // permission tier (q222) and the discovery tier (q228): a compliant
+    // crawler learns WHERE each host's sitemap lives from the same file
+    // that grants fetch permission. Lines are group-INDEPENDENT, so the
+    // extractor is a separate scan: the fixture plants one line in the
+    // file footer on every host and, on even hosts, a second line
+    // MID-GROUP with a mixed-case field name and a q218-obfuscated URL
+    // (uppercase scheme+host, tracking param) — capture position,
+    // case-insensitive field match, and canonicalization are each
+    // load-bearing for the hash, and the mid-group line doubles as
+    // q222's skipped-field hazard. Per-HOST work over O(hosts) rows —
+    // map-only at any scale (the robots cache already holds the bodies).
+    Entry("q239_sitemap_discovery",
+      """WITH h AS (SELECT DISTINCT (doc_id // 4) % 5 AS host_idx FROM documents)
+        |SELECT host_idx, sitemap_url FROM (
+        |  SELECT host_idx,
+        |    'https://www.site' || host_idx || '.com/sitemap.xml' AS sitemap_url
+        |  FROM h
+        |  UNION ALL
+        |  SELECT host_idx,
+        |    'https://www.site' || host_idx || '.com/sitemap-extra.xml'
+        |  FROM h WHERE host_idx % 2 = 0)
+        |ORDER BY host_idx, sitemap_url""".stripMargin) { (s, d) =>
+      import s.implicits._
+      T(s, d, "documents")
+        .select(expr("(doc_id div 4) % 5").as("h")).distinct().as[Long]
+        .flatMap { h =>
+          sitemaps(fabricate(h)).map(u => (h, Urls.canonicalize(u)))
+        }
+        .toDF("host_idx", "sitemap_url")
+        .orderBy(col("host_idx"), col("sitemap_url"))
+    }.sqlTwin(
+      """WITH h AS (SELECT DISTINCT (doc_id div 4) % 5 AS host_idx FROM documents)
+        |SELECT host_idx, sitemap_url FROM (
+        |  SELECT host_idx,
+        |    concat('https://www.site', host_idx, '.com/sitemap.xml') AS sitemap_url
+        |  FROM h
+        |  UNION ALL
+        |  SELECT host_idx,
+        |    concat('https://www.site', host_idx, '.com/sitemap-extra.xml')
+        |  FROM h WHERE host_idx % 2 = 0)
+        |ORDER BY host_idx, sitemap_url""".stripMargin)
   )
 }

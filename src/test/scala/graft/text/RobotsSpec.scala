@@ -62,6 +62,21 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.decide(tie, "/abc")._1)
   }
 
+  test("sitemap discovery: footer + mid-group lines, case-insensitive field, canonical") {
+    // even host: the mid-group mixed-case obfuscated line AND the footer line
+    val even = Robots.sitemaps(Robots.fabricate(2)).map(Urls.canonicalize)
+    assert(even.sorted == Seq(
+      "https://www.site2.com/sitemap-extra.xml", "https://www.site2.com/sitemap.xml"))
+    // odd host: footer line only; the extra Disallows must not leak in
+    val odd = Robots.sitemaps(Robots.fabricate(1))
+    assert(odd == Seq("https://www.site1.com/sitemap.xml"))
+    // the mid-group line must not have ended the graftbot group (q222's
+    // skipped-field hazard): the group still carries its Disallow tail
+    val rules = Robots.rulesFor(Robots.parse(Robots.fabricate(2)), Robots.crawlerUa)
+    assert(rules.exists(r => !r.allow && r.pattern == "/docs/"),
+      s"mid-group Sitemap line ended the group: $rules")
+  }
+
   test("fabricated hosts: decisions match the oracle formula brute force") {
     for (id <- 0L until 400L) {
       val g = id / 4
