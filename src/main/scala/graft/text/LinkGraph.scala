@@ -102,6 +102,31 @@ object LinkGraph {
       nodes.select(col("v"),
         when(seedPred, lit(Scale / ns)).otherwise(0L).as("r")))
 
+  /** BOTH rank vectors through ONE join+agg per iteration: the edge
+    * scan, the per-edge division, the shuffle, and the dangling left
+    * join are shared — running the chains separately pays every one of
+    * those twice (the first q238 cut did, at 2x the wall time). base
+    * carries (v, bp, bt); init carries (v, pr, tr); result likewise.
+    * The per-vector arithmetic is unchanged, so the separate-chain
+    * oracle replays it exactly. */
+  def dualRankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    var r = init
+    for (_ <- 1 to Iterations) {
+      val contrib = edges.join(r, col("src") === col("v"))
+        .join(out, "src")
+        .select(col("dst"), expr("pr div od").as("cp"), expr("tr div od").as("ct"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg(sum(col("cp")).as("sp"), sum(col("ct")).as("st"))
+      r = base.join(sums, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (col("bp") + expr("85 * coalesce(sp, 0L) div 100")).as("pr"),
+          (col("bt") + expr("85 * coalesce(st, 0L) div 100")).as("tr"))
+        .localCheckpoint()   // truncate lineage: 8 unrolled join+agg rounds
+    }
+    r
+  }
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   /** SQL replay of [[edgeTargets]] — shared by the q225/q226 oracles and
@@ -262,25 +287,27 @@ object LinkGraph {
     // mass on a trusted seed list (q226's crawl seeds), then per node
     // compute spam mass — the fraction of its PageRank NOT backed by
     // trust, `1e6·max(pr−tr,0)//pr` — the standard spam-demotion
-    // signal. Both recurrences share rankFixpoint and the extracted
-    // graph; the oracle replays BOTH unrolled chains plus the
-    // composition, so the hash pins trust propagation (reachability
-    // from seeds included: unreached nodes sit at exactly 1e6 ppm) AND
-    // the two chains' relative arithmetic. Cost class: 2× q225 (16
-    // materialized join+agg rounds, each localCheckpoint'ed).
+    // signal. Both vectors ride the SAME 8 join+agg rounds
+    // (dualRankFixpoint) — q225's cost class, not twice it; the oracle
+    // replays BOTH chains unrolled plus the composition, so the hash
+    // pins trust propagation (reachability from seeds included:
+    // unreached nodes sit at exactly 1e6 ppm) AND the two chains'
+    // relative arithmetic.
     Entry("q238_trustrank", trustOracleSql("//")) { (s, d) =>
       val docs = T(s, d, "documents")
       // two one-row driver scalars, mirrored by the oracle's COUNT(*)s
       val n = docs.count()
       val ns = docs.filter(col("doc_id") % 97 === 0).count()
       val nodes = docs.select(col("doc_id").as("v"))
-      val edges = extractedEdges(s, d, n).persist() // both chains consume
-      val pr = pagerank(nodes, edges, n)
-        .select(col("v").as("node"), col("r").as("pr"))
-      val tr = trustrank(nodes, edges, col("v") % 97 === 0, ns)
-        .select(col("v").as("node"), col("r").as("tr"))
-      pr.join(tr, "node")
-        .select(col("node"), col("pr"), col("tr"),
+      val seed = col("v") % 97 === 0
+      val base = nodes.select(col("v"),
+        lit((15L * Scale) / (100L * n)).as("bp"),
+        when(seed, lit((15L * Scale) / (100L * ns))).otherwise(0L).as("bt"))
+      val init = nodes.select(col("v"),
+        lit(Scale / n).as("pr"),
+        when(seed, lit(Scale / ns)).otherwise(0L).as("tr"))
+      dualRankFixpoint(extractedEdges(s, d, n), base, init)
+        .select(col("v").as("node"), col("pr"), col("tr"),
           expr("CAST((1000000 * GREATEST(pr - tr, 0L)) div pr AS BIGINT)").as("spam_ppm"))
         .orderBy(col("spam_ppm").desc, col("pr").desc, col("node")).limit(20)
     }.sqlTwin(trustOracleSql("div"))
