@@ -37,6 +37,12 @@ import WarcShards.Warc
   * corpus does not advance (there is no record to fetch) — both sides
   * guard the hop on target existence.
   *
+  * Q240 composes the two tiers: dedup (q218's group-on-key + keep-min-id
+  * posture) on the RESOLVED final URL, collapsing every redirecting alias
+  * of a page into one cluster. Both entries consume the same [[resolved]]
+  * pipeline and the same oracle CTE chain, so the composition cannot
+  * drift from the resolution it is built on.
+  *
   * Scale posture: WARC fabrication + HTTP/Location parsing are map-only
   * per shard (production: rides the q221 ingest scan). Resolution is k=4
   * bounded rounds of ONE equi-join each on the canonical-URL key with
@@ -101,15 +107,15 @@ object Redirects {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  private def oracleSql(idiv: String): String = {
+  /** The shared oracle CTE chain (redirect map + k unrolled hop rounds) —
+    * q233 and q240 wrap different SELECTs around the same recurrence, so
+    * resolution and resolved-key dedup cannot desynchronize. */
+  private def chainCtes: String = {
     val hops = (1 to MaxHops).map { k =>
       s"""r$k AS (SELECT r.doc_id, COALESCE(d.tgt, r.cur) AS cur,
          |  r.hops + CASE WHEN d.tgt IS NULL THEN 0 ELSE 1 END AS hops
          |  FROM r${k - 1} r LEFT JOIN red d ON d.src = r.cur)""".stripMargin
     }.mkString(",\n")
-    val concat =
-      if (idiv == "duck") "'https://www.site' || (r.cur % 5) || '.com/r/' || r.cur"
-      else "concat('https://www.site', r.cur % 5, '.com/r/', r.cur)"
     s"""WITH red AS (
        |  SELECT d.doc_id AS src, t.doc_id AS tgt FROM (
        |    SELECT doc_id,
@@ -120,46 +126,92 @@ object Redirects {
        |    FROM documents) d
        |  JOIN documents t ON t.doc_id = d.tgt0),
        |r0 AS (SELECT doc_id, doc_id AS cur, 0 AS hops FROM documents),
-       |$hops
-       |SELECT r.doc_id, $concat AS final_url,
+       |$hops""".stripMargin
+  }
+
+  private def finalUrlExpr(idiv: String): String =
+    if (idiv == "duck") "'https://www.site' || (r.cur % 5) || '.com/r/' || r.cur"
+    else "concat('https://www.site', r.cur % 5, '.com/r/', r.cur)"
+
+  /** `cur` still sits on a 3xx page (the unresolved/loop condition). */
+  private val stillRedirecting =
+    "(r.cur % 100 = 9 OR r.cur % 100 = 10 OR r.cur % 10 IN (1, 2, 3))"
+
+  private def oracleSql(idiv: String): String =
+    s"""$chainCtes
+       |SELECT r.doc_id, ${finalUrlExpr(idiv)} AS final_url,
        |  CAST(r.hops AS INT) AS n_hops,
-       |  NOT (r.cur % 100 = 9 OR r.cur % 100 = 10 OR r.cur % 10 IN (1, 2, 3))
-       |    AS resolved
+       |  NOT $stillRedirecting AS resolved
        |FROM r$MaxHops r ORDER BY r.doc_id""".stripMargin
+
+  private def dedupOracleSql(idiv: String): String =
+    s"""$chainCtes
+       |SELECT ${finalUrlExpr(idiv)} AS final_url,
+       |  MIN(r.doc_id) AS keeper_id, COUNT(*) AS n_aliases,
+       |  COUNT(CASE WHEN r.hops > 0 THEN 1 END) AS n_chained
+       |FROM r$MaxHops r
+       |WHERE NOT $stillRedirecting
+       |GROUP BY 1 ORDER BY final_url""".stripMargin
+
+  /** The full resolution pipeline: WARC fabricate+parse, redirect-map
+    * extraction, MaxHops rounds of one equi-join each. Shared by q233
+    * (per-doc resolution report) and q240 (dedup on the resolved key). */
+  def resolved(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val recs = T(s, d, "documents").select(col("doc_id")).as[Long]
+      .groupByKey(_ / docsPerShard)
+      .mapGroups { (shardId, ids) => buildShard(shardId, ids.toSeq) }
+      .flatMap(parseShard _)
+      .toDF("url", "doc_id", "is3xx", "loc_canon")
+      .persist()   // one WARC parse feeds the redirect map AND the state
+    // the redirect map: 3xx records whose canonical Location exists in
+    // the corpus (an off-corpus Location has no record to fetch — the
+    // chain cannot advance); join on CANONICAL URL strings, so q218's
+    // kernel is load-bearing for every hop
+    val redirects = recs.filter(col("is3xx"))
+      .join(recs.select(col("url").as("tgt_url"), col("doc_id").as("tgt")),
+        col("loc_canon") === col("tgt_url"))
+      .select(col("doc_id").as("src"), col("tgt"))
+    var state = recs.select(col("doc_id"), col("doc_id").as("cur"),
+      lit(0).as("hops")).localCheckpoint()
+    for (_ <- 1 to MaxHops) {
+      state = state.join(redirects, col("cur") === col("src"), "left")
+        .select(col("doc_id"), coalesce(col("tgt"), col("cur")).as("cur"),
+          (col("hops") + when(col("tgt").isNull, 0).otherwise(1)).as("hops"))
+        .localCheckpoint()   // truncate the unrolled join lineage (q225)
+    }
+    state
+      .join(recs.select(col("doc_id").as("cur"), col("url").as("final_url"),
+        col("is3xx")), "cur")
+      .select(col("doc_id"), col("final_url"),
+        col("hops").cast("int").as("n_hops"), (!col("is3xx")).as("resolved"))
   }
 
   val entries: Seq[Entry] = Seq(
     Entry("q233_redirect_resolve", oracleSql("duck")) { (s, d) =>
-      import s.implicits._
-      val recs = T(s, d, "documents").select(col("doc_id")).as[Long]
-        .groupByKey(_ / docsPerShard)
-        .mapGroups { (shardId, ids) => buildShard(shardId, ids.toSeq) }
-        .flatMap(parseShard _)
-        .toDF("url", "doc_id", "is3xx", "loc_canon")
-        .persist()   // one WARC parse feeds the redirect map AND the state
-      // the redirect map: 3xx records whose canonical Location exists in
-      // the corpus (an off-corpus Location has no record to fetch — the
-      // chain cannot advance); join on CANONICAL URL strings, so q218's
-      // kernel is load-bearing for every hop
-      val redirects = recs.filter(col("is3xx"))
-        .join(recs.select(col("url").as("tgt_url"), col("doc_id").as("tgt")),
-          col("loc_canon") === col("tgt_url"))
-        .select(col("doc_id").as("src"), col("tgt"))
-      var state = recs.select(col("doc_id"), col("doc_id").as("cur"),
-        lit(0).as("hops")).localCheckpoint()
-      for (_ <- 1 to MaxHops) {
-        state = state.join(redirects, col("cur") === col("src"), "left")
-          .select(col("doc_id"), coalesce(col("tgt"), col("cur")).as("cur"),
-            (col("hops") + when(col("tgt").isNull, 0).otherwise(1)).as("hops"))
-          .localCheckpoint()   // truncate the unrolled join lineage (q225)
-      }
-      val out = state
-        .join(recs.select(col("doc_id").as("cur"), col("url").as("final_url"),
-          col("is3xx")), "cur")
-        .select(col("doc_id"), col("final_url"),
-          col("hops").cast("int").as("n_hops"), (!col("is3xx")).as("resolved"))
-        .orderBy(col("doc_id"))
-      out
-    }.sqlTwin(oracleSql("spark"))
+      resolved(s, d).orderBy(col("doc_id"))
+    }.sqlTwin(oracleSql("spark")),
+
+    // Resolved-final-URL dedup (SURVEY.md Q240) — the composition the two
+    // tiers exist for: q233 collapses each 3xx chain onto the URL that
+    // served content, then q218's dedup posture (group on the resolved
+    // key, keep min doc_id) folds every redirecting alias of a page into
+    // ONE cluster. Without the resolution pass, URL-level dedup sees each
+    // alias as a distinct resource and the duplicate slips through to the
+    // expensive text tiers. Loop/capped starts (still on a 3xx after
+    // MaxHops) are excluded — they never served content, so there is no
+    // resolved key to collapse onto; a production pipeline routes them to
+    // a retry/drop queue instead. `n_chained` counts the aliases that
+    // arrived via >=1 redirect hop — the direct fetch is the remainder.
+    // Cost on top of q233: ONE map-side-combinable agg keyed on the
+    // resolved URL (MIN/COUNT partials collapse before the exchange).
+    Entry("q240_resolved_dedup", dedupOracleSql("duck")) { (s, d) =>
+      resolved(s, d).filter(col("resolved"))
+        .groupBy(col("final_url"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_aliases"),
+          count(when(col("n_hops") > 0, 1)).as("n_chained"))
+        .orderBy(col("final_url"))
+    }.sqlTwin(dedupOracleSql("spark"))
   )
 }

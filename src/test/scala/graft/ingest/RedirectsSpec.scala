@@ -50,4 +50,35 @@ class RedirectsSpec extends AnyFunSuite {
     assert(resolve(9)  == (9L, 4, false))   // 9<->10 2-cycle, cap honored
     assert(resolve(24) == (24L, 0, true))   // terminal stays put
   }
+
+  test("q240 replay: resolved-key dedup groups aliases; loop starts excluded") {
+    // same pure-Scala recurrence, then q218's posture on the resolved key
+    val n = 30L
+    def resolve(start: Long): (Long, Int, Boolean) = {
+      var cur = start; var hops = 0
+      for (_ <- 1 to Redirects.MaxHops)
+        Redirects.targetOf(cur).filter(t => t >= 0 && t < n).foreach { t =>
+          cur = t; hops += 1
+        }
+      (cur, hops, Redirects.targetOf(cur).isEmpty)
+    }
+    val rows = (0L until n).map(id => (id, resolve(id)))
+    val groups = rows.filter(_._2._3)
+      .groupBy(_._2._1)
+      .map { case (fin, rs) =>
+        fin -> (rs.map(_._1).min, rs.size, rs.count(_._2._2 > 0))
+      }
+    // the x20 decade is the clean alias cluster: 20 fetched direct,
+    // 21/22/23 arrived via 301 chains — one keeper, three chained aliases
+    assert(groups(20L) == (20L, 4, 3))
+    assert(groups(0L) == (0L, 4, 3))
+    // mid-decade terminals are singleton clusters with zero chained
+    assert(groups(24L) == (24L, 1, 0))
+    // loop members (9, 10) and the chains draining into them (11, 12, 13)
+    // never resolve — no resolved key exists for them
+    assert(!groups.contains(9L) && !groups.contains(10L))
+    assert(Seq(9L, 10L, 11L, 12L, 13L).forall(id => !resolve(id)._3))
+    // alias accounting is lossless over the resolved population
+    assert(groups.values.map(_._2).sum == rows.count(_._2._3))
+  }
 }

@@ -421,6 +421,17 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("BroadcastExchange"), s"redirect map should broadcast:\n$p")
   }
 
+  test("q240_resolved_dedup: partial agg on the resolved key; no product joins") {
+    // the composition's only cost on top of q233 is one keyed aggregation
+    // — MIN/COUNT partials must collapse map-side before the exchange,
+    // and the hop machinery keeps q233's broadcast/equi-join shape
+    val p = planOf("q240_resolved_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"resolution degraded to a product join:\n$p")
+    assert(p.contains("partial_min") || "HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side partial aggregate on the resolved key:\n$p")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
