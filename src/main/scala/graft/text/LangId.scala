@@ -22,14 +22,22 @@ import graft.queries.Entry
   * argmax near ties — unverifiable by hash against an independent
   * engine). The statistical behavior is the published C-T result.
   *
-  * Plan shape: ONE pass over the corpus builds (doc_id, g, c) bigram
-  * counts (map-side combinable hash agg); the language profiles re-
-  * aggregate that table (docs carry their lang, so no second text scan),
-  * and scoring joins the per-doc top-K against the BROADCAST lang
-  * profiles (languages × K rows — tiny by construction). Per-doc top-K
-  * is a rank-filtered window, which Spark executes with WindowGroupLimit
-  * pushdown. At 100 TB the profiles are trained on a sample at ingest
-  * and only the scoring scan remains — identical shape.
+  * Plan shape (round 14 — this was the heaviest non-streaming single-pass
+  * entry, and the cost was pure shuffle machinery, not arithmetic):
+  * TRAINING reduces the corpus to the language profiles in ONE map-side-
+  * combinable agg — per-doc bigram counts from a compiled kernel,
+  * exploded and summed by (lang, g) — plus a window over the already-tiny
+  * (langs × distinct-bigrams) frame, and the O(langs × K) result is
+  * collected as a driver artifact (q234's broadcast-model posture; q235's
+  * O(V)-row bound). SCORING is then map-ONLY: each document is classified
+  * from its own row (count → top-K rank profile → out-of-place distance
+  * against the dense model riding the closure), so the former
+  * doc_id-window shuffle and the docProf × languages cross-join are gone
+  * entirely. The corpus is never hash-partitioned: the only exchange in
+  * the scoring plan is the final O(langs²) confusion-matrix agg
+  * (PlanShapeSpec pins map-only + single exchange). At 100 TB the
+  * profiles are trained on a sample at ingest and only the map-only
+  * scoring scan remains — identical shape.
   *
   * Training is resubstitution over the fixture corpus (deterministic,
   * oracle-replayable — the DuckDB oracle retrains the identical model in
@@ -42,42 +50,102 @@ object LangId {
 
   val K = 64
 
-  /** Per-doc char-bigram counts — the shared base for both profiles. */
-  private def bigramCounts(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), length(col("text")) - 1),
-          i => col("text").substr(i, lit(2)))).as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("g"))
-      .agg(count(lit(1)).as("c"))
+  /** Distinct char bigrams of `text` with their counts, iteration order
+    * unspecified (consumers aggregate or sort). A compiled Scala kernel:
+    * the same counting expressed as interpreted higher-order array
+    * functions measured ~0.66 ms/doc (3.3 s over the sf0.1 corpus) —
+    * per-element lambda interpretation, not arithmetic, was the entire
+    * cost, so this is the documented UDF exception, not the default.
+    * Char-unit bigrams == codepoint bigrams for the BMP-only fixtures
+    * (and the reference's ES analyzers are UTF-16-unit-based too).
+    */
+  private val countsOf = udf { (text: String) =>
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i < text.length - 1) {
+      val g = text.substring(i, i + 2)
+      m.update(g, m.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    m.toSeq
+  }
+
+  /** Classify one document given the dense model: count bigrams, rank the
+    * top-K by (count desc, bigram asc) — the oracle's ROW_NUMBER order —
+    * then per language the MATCHED adjustment A = sum over profile hits
+    * of (K - |dr - lr|); distance = K x |topk| - A, so argmin(distance) =
+    * argmax(A) with the oracle's (dist, lang) tie order (strict `<` keeps
+    * the first = lexicographically smallest language on ties).
+    */
+  private def predOf(model: Map[String, Array[Int]], langs: Seq[String]) =
+    udf { (text: String) =>
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i < text.length - 1) {
+        val g = text.substring(i, i + 2)
+        m.update(g, m.getOrElse(g, 0) + 1)
+        i += 1
+      }
+      val top = m.toSeq.sortBy { case (g, c) => (-c, g) }.take(K)
+      val n = langs.length
+      val a = new Array[Long](n)
+      var dr = 0
+      top.foreach { case (g, _) =>
+        dr += 1
+        model.get(g).foreach { vec =>
+          var j = 0
+          while (j < n) {
+            val lr = vec(j)
+            if (lr != 0) a(j) += K - math.abs(dr - lr)
+            j += 1
+          }
+        }
+      }
+      var best = 0
+      var bestDist = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val d = K.toLong * top.size - a(j)
+        if (d < bestDist) { bestDist = d; best = j }
+        j += 1
+      }
+      langs(best)
+    }
 
   /** Confusion matrix (lang, pred_lang, n) for the corpus in `docs`. */
   def confusion(docs: DataFrame): DataFrame = {
-    // ONE corpus pass: the (doc, bigram, count) table feeds BOTH the
-    // language profiles and the per-doc profiles — persist so the
-    // explode+agg never runs twice (bench clears the cache per entry)
-    val bgc = bigramCounts(docs).persist()
-    val langProf = bgc.groupBy(col("lang"), col("g")).agg(sum(col("c")).as("c"))
+    // ---- training: ONE map-side-combined agg -> O(langs x K) artifact
+    // (the oracle's `langs` CTE is a DISTINCT over documents, so a lang
+    // whose docs are all sub-bigram-length still competes at distance
+    // K x |doc profile| — collect the language list independently)
+    val langs: Seq[String] = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val profRows = docs.filter(length(col("text")) >= 2)
+      .select(col("lang"), explode(countsOf(col("text"))).as("gc"))
+      .groupBy(col("lang"), col("gc._1").as("g")).agg(sum(col("gc._2")).as("c"))
       .withColumn("lr", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))))
       .filter(col("lr") <= K)
-      .select(col("lang").as("plang"), col("g"), col("lr").cast("long").as("lr"))
-    val docProf = bgc
-      .withColumn("dr", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))))
-      .filter(col("dr") <= K)
-      .select(col("doc_id"), col("g"), col("dr").cast("long").as("dr"))
-    val langs = docs.select(col("lang")).distinct().select(col("lang").as("plang"))
-    val dist = docProf.crossJoin(broadcast(langs))
-      .join(broadcast(langProf), Seq("plang", "g"), "left")
-      .groupBy(col("doc_id"), col("plang"))
-      .agg(sum(when(col("lr").isNull, K.toLong)
-        .otherwise(abs(col("dr") - col("lr")))).as("dist"))
-    // argmin by (dist, lang) as ONE map-side-combinable agg — a
-    // row_number window here would add a sort exchange for a top-1
-    val pred = dist.groupBy(col("doc_id"))
-      .agg(min_by(col("plang"), struct(col("dist"), col("plang"))).as("pred_lang"))
-    docs.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .select(col("lang"), col("g"), col("lr"))
+      .collect()
+    val langIdx = langs.zipWithIndex.toMap
+    val nLangs = langs.length
+    // g -> DENSE per-language rank vector (0 = not in that profile): one
+    // hash lookup + one flat pass over the language slots per scored
+    // top-K element
+    val model: Map[String, Array[Int]] = profRows
+      .map(r => (r.getString(1), (langIdx(r.getString(0)), r.getInt(2))))
+      .groupBy(_._1).map { case (g, xs) =>
+        val v = Array.fill(nLangs)(0)
+        xs.foreach { case (_, (j, lr)) => v(j) = lr }
+        g -> v
+      }
+
+    // ---- scoring: map-only — the model rides the closure, the corpus
+    // is never hash-partitioned (re-counting bigrams in the compiled
+    // kernel is microseconds/doc; cheaper than caching a counts table)
+    docs.filter(length(col("text")) >= 2)
+      .select(col("lang"), predOf(model, langs)(col("text")).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))

@@ -324,15 +324,17 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
-  test("q219_langid_model: profiles broadcast to scoring; doc top-K rank is group-limited") {
+  test("q219_langid_model: scoring is map-only — the corpus never hash-shuffles") {
+    // the model is a driver artifact folded in as a literal map (q234's
+    // broadcast-model posture), and each document's top-K rank profile is
+    // computed from its own row with array kernels — so the returned
+    // scoring plan must carry NO window, NO join, and exactly ONE
+    // hashpartitioning exchange (the final O(langs^2) confusion agg)
     val p = planOf("q219_langid_model")
-    // the language-profile and language-list joins must arrive broadcast —
-    // a hashpartitioning exchange on the scoring join key would shuffle
-    // the corpus-sized doc-profile side against a languages x 64 model
-    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
-      s"expected broadcast model + language list:\n$p")
-    // the per-doc top-K window must plan the rank-filter pushdown
-    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert(!p.contains("Window"), s"doc-side window survived the fold:\n$p")
+    assert(!p.contains("Join"), s"scoring should join nothing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"scoring must carry only the confusion-matrix exchange:\n$p")
   }
 
   test("q228_sitemap_parse: only the fixture-side fabrication shuffles") {
