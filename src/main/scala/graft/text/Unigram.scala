@@ -93,6 +93,50 @@ object Unigram {
       (s, 1024L * s - value)
     }
 
+  /** The pieces on `w`'s OPTIMAL segmentation path (q241's E-step): the
+    * forward DP of [[dpValue]], then a deterministic backtrack — at each
+    * position the SMALLEST length whose move reproduces dp(i) wins
+    * (single char checked first), so Spark and the oracle's unrolled
+    * backward chain walk the identical path even between value-tied
+    * segmentations. A piece used twice on one path is emitted twice;
+    * overlong words contribute nothing (char fallback, no inventory use).
+    */
+  def piecesUsed(w: String, pv: Map[String, Long]): Seq[String] = {
+    if (w.length > MaxLen) return Nil
+    val dp = new Array[Long](w.length + 1)
+    var i = 1
+    while (i <= w.length) {
+      var best = dp(i - 1) - 1
+      var l = PieceMin
+      while (l <= PieceMax && l <= i) {
+        pv.get(w.substring(i - l, i)) match {
+          case Some(v) => val c = dp(i - l) + v; if (c > best) best = c
+          case None    => ()
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    i = w.length
+    while (i > 0) {
+      if (dp(i) == dp(i - 1) - 1) i -= 1
+      else {
+        var l = PieceMin
+        var taken = false
+        while (!taken && l <= PieceMax && l <= i) {
+          val p = w.substring(i - l, i)
+          if (pv.get(p).exists(v => dp(i) == dp(i - l) + v)) {
+            out += p; i -= l; taken = true
+          } else l += 1
+        }
+        require(taken, s"backtrack stuck at $i in '$w'")   // unreachable by DP construction
+      }
+    }
+    out.toList
+  }
+
   /** The learned piece table, memoized per corpus dir (q161's artifact
     * posture: train once, every encode job consumes the table). */
   private val cache =
@@ -200,6 +244,100 @@ object Unigram {
        |FROM words t LEFT JOIN wv v ON v.w = t.w
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q241: one hard-EM round, oracle-replayed ------------------------
+
+  /** dp value at position (pos - `off`), read from the carried p0..pMaxLen
+    * state columns of the backward chain (alias `d`). Positions outside
+    * 0..MaxLen fall through to NULL, which the guards upstream kill. */
+  private def dpAt(off: Int): String =
+    (0 to MaxLen).map(j => s"WHEN $j THEN d.p$j")
+      .mkString(s"(CASE d.pos - $off ", " ", " END)")
+
+  /** The E-step's backward walk + M-step re-estimation. Shares `sel` and
+    * `wf` with the train/encode chain (one copy — the EM round cannot
+    * drift from the seed selection it refines). Structure mirrors the
+    * forward chain's hard-won linearity: the FULL per-position dp vector
+    * rides as state columns p0..pMaxLen (the 3-column sliding window of
+    * dp1..dp12 is not enough to walk backward), and each backward CTE
+    * bk_k references ONLY bk_{k-1}, emitting at most one piece per step
+    * into its own e_k column — emitted pieces as UNIONed per-CTE selects
+    * would multiply every reference and re-inline the chain
+    * exponentially (the q226/q235 lesson, third sighting). The final
+    * unpivot is one CROSS JOIN over step indices against bk$MaxLen alone.
+    */
+  private def emSql(idiv: String, duck: Boolean): String = {
+    val un = if (duck) "unnest" else "explode"
+    val steps = if (duck) s"range(1, ${MaxLen + 1})" else s"sequence(1, $MaxLen)"
+    val pCols = (0 to MaxLen).map(j => s"p$j")
+    // forward chain carrying the full dp vector: dpf_k adds p_k
+    val dpfs = (1 to MaxLen).map { k =>
+      val terms = Seq(s"d.p${k - 1} - 1") ++
+        (PieceMin to PieceMax).filter(_ <= k).map(l => s"d.p${k - l} + s$l.v")
+      val joins = (PieceMin to PieceMax).filter(_ <= k).map { l =>
+        s"  LEFT JOIN sel s$l ON s$l.p = substr(d.w, ${k - l + 1}, $l)"
+      }.mkString("\n")
+      val g = if (terms.size == 1) terms.head
+              else s"GREATEST(${terms.mkString(", ")})"
+      val carried = (0 until k).map(j => s"d.p$j").mkString(", ")
+      s"""dpf$k AS (
+         |  SELECT d.w, $carried,
+         |    CASE WHEN length(d.w) >= $k THEN $g END AS p$k
+         |  FROM dpf${k - 1} d
+         |$joins)""".stripMargin
+    }.mkString(",\n")
+    // backward chain: smallest-length-first move selection (single char
+    // checked before pieces), matching Unigram.piecesUsed exactly
+    val lstar =
+      s"""CASE
+         |      WHEN d.pos <= 0 THEN 0
+         |      WHEN ${dpAt(0)} = ${dpAt(1)} - 1 THEN 1
+         |      WHEN d.pos >= 2 AND s2.v IS NOT NULL AND ${dpAt(0)} = ${dpAt(2)} + s2.v THEN 2
+         |      WHEN d.pos >= 3 AND s3.v IS NOT NULL AND ${dpAt(0)} = ${dpAt(3)} + s3.v THEN 3
+         |      ELSE 4 END""".stripMargin
+    val bks = (1 to MaxLen).map { k =>
+      val carriedP = pCols.map(c => s"x.$c").mkString(", ")
+      val carriedE = (1 until k).map(j => s"x.e$j").map(e => s"$e,").mkString(" ")
+      val joins = (PieceMin to PieceMax).map { l =>
+        s"    LEFT JOIN sel s$l ON s$l.p = substr(d.w, d.pos - ${l - 1}, $l)"
+      }.mkString("\n")
+      s"""bk$k AS (
+         |  SELECT x.w, $carriedP,
+         |    CASE WHEN x.lstar > 0 THEN x.pos - x.lstar ELSE x.pos END AS pos,
+         |    $carriedE
+         |    CASE WHEN x.lstar >= 2
+         |         THEN substr(x.w, x.pos - x.lstar + 1, x.lstar) END AS e$k
+         |  FROM (
+         |    SELECT d.*, $lstar AS lstar
+         |    FROM bk${k - 1} d
+         |$joins) x)""".stripMargin
+    }.mkString(",\n")
+    val unpivot = (1 to MaxLen).map(j => s"WHEN $j THEN b.e$j")
+      .mkString("CASE gi.i ", " ", " END")
+    s"""WITH ${chainSql(duck)},
+       |dpf0 AS (SELECT w, CAST(0 AS BIGINT) AS p0 FROM wf WHERE length(w) <= $MaxLen),
+       |$dpfs,
+       |bk0 AS (SELECT w, ${pCols.mkString(", ")}, length(w) AS pos FROM dpf$MaxLen),
+       |$bks,
+       |em_pieces AS (
+       |  SELECT b.w, $unpivot AS p
+       |  FROM bk$MaxLen b CROSS JOIN (SELECT $un($steps) AS i) gi),
+       |usage AS (
+       |  SELECT e.p AS piece, CAST(SUM(f.f) AS BIGINT) AS used
+       |  FROM em_pieces e JOIN wf f ON f.w = e.w
+       |  WHERE e.p IS NOT NULL GROUP BY 1),
+       |sel2 AS (
+       |  SELECT piece, used,
+       |    ROW_NUMBER() OVER (ORDER BY used * (length(piece) - 1) DESC, piece) AS rnk2
+       |  FROM usage)
+       |SELECT CAST(s.rnk AS INT) AS rnk, s.p AS piece, s.cnt,
+       |  CAST(COALESCE(u.used, 0) AS BIGINT) AS used,
+       |  CAST(u.rnk2 AS INT) AS rnk2,
+       |  CAST((1000000 * u.used) $idiv (SELECT CAST(SUM(used) AS BIGINT) FROM sel2)
+       |    AS BIGINT) AS prob2_ppm
+       |FROM sel s LEFT JOIN sel2 u ON u.piece = s.p
+       |ORDER BY rnk""".stripMargin
+  }
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   val entries: Seq[Entry] = Seq(
@@ -233,6 +371,41 @@ object Unigram {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n")).as("n_pieces"), sum(col("s")).as("score"))
         .orderBy(col("doc_id"))
-    }.sqlTwin(encodeSql("div", duck = false))
+    }.sqlTwin(encodeSql("div", duck = false)),
+
+    // q241: one hard-EM (Viterbi) round over the seed inventory — the
+    // refinement loop SentencePiece actually runs (Kudo, ACL 2018 §3.2;
+    // hard assignment instead of forward-backward expectations so every
+    // count is an INTEGER the oracle can replay). E-step: walk each
+    // distinct word's optimal path (deterministic smallest-length-first
+    // backtrack) and accumulate frequency-weighted USAGE per piece —
+    // unlike the seed's overlapping substring counts, path usage never
+    // double-counts, which is exactly why EM reorders the table. M-step:
+    // re-rank by used x saved-chars, prune never-used seeds, re-scale
+    // probabilities over survivors. Vocab-sized work end-to-end (the
+    // corpus is never re-read): one wf agg + a per-word compiled kernel
+    // + one O(V) usage agg; the output is the V-row fate table.
+    Entry("q241_unigram_em", emSql("//", duck = true)) { (s, d) =>
+      import s.implicits._
+      val rs = rules(s, d)
+      val pv = rs.map(r => r.piece -> r.v).toMap
+      val usage: Map[String, Long] = TokenIndex.words(s, d)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .as[(String, Long)]
+        .flatMap { case (w, f) => piecesUsed(w, pv).map(p => (p, f)) }
+        .toDF("p", "f")
+        .groupBy(col("p")).agg(sum(col("f")).as("used"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totalUsed = usage.values.sum
+      val rnk2 = usage.toSeq
+        .sortBy { case (p, u) => (-(u * (p.length - 1)), p) }
+        .zipWithIndex.map { case ((p, _), i) => p -> (i + 1) }.toMap
+      rs.map { r =>
+        val u = usage.getOrElse(r.piece, 0L)
+        (r.rnk, r.piece, r.cnt, u, rnk2.get(r.piece),
+          if (u > 0) Some(1000000L * u / totalUsed) else None)
+      }.toDF("rnk", "piece", "cnt", "used", "rnk2", "prob2_ppm")
+        .orderBy(col("rnk"))
+    }.sqlTwin(emSql("div", duck = false))
   )
 }

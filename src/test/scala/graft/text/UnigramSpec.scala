@@ -55,6 +55,41 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.decompose("abcd", v) == (15L, 1L))
   }
 
+  test("backtrack path reproduces the DP value exactly (q241 E-step, fuzzed)") {
+    // the emitted pieces plus single-char fallback for uncovered chars
+    // must re-sum to dpValue — the invariant that makes usage counting
+    // lossless; also pins that every emitted piece is in the inventory
+    val alpha = Gen.choose(1, Unigram.MaxLen).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pieces = Gen.mapOfN(6, Gen.zip(
+      Gen.choose(Unigram.PieceMin, Unigram.PieceMax).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+      pieceGen))
+    val prop = Prop.forAll(alpha, pieces) { (w: String, pv: Map[String, Long]) =>
+      val used = Unigram.piecesUsed(w, pv)
+      val covered = used.map(_.length).sum
+      val pathValue = used.map(pv).sum - (w.length - covered)
+      used.forall(pv.contains) && pathValue == Unigram.dpValue(w, pv)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300).withWorkers(1), prop)
+    assert(res.passed, s"scalacheck: ${res.status}")
+  }
+
+  test("backtrack tie-break: smallest length first, single char before pieces") {
+    // a three-way tie at the last position: "aaaa" with v(aa)=v2 and
+    // v(aaa)=2*v2+1 gives dp(4) = dp(3)-1 = dp(2)+v2 = dp(1)+v3 = 2*v2
+    // (char after "aaa", "aa"+"aa", and char-then-"aaa" all tie). The
+    // backtrack checks the single-char move FIRST, so the walked path is
+    // char at 4 then the "aaa" piece — NOT "aa"+"aa" — and the oracle's
+    // unrolled chain must walk the same one.
+    val v2 = 2L * 1024 - 1                       // aa
+    val v3 = 2 * v2 + 1                          // aaa
+    val pv = Map("aa" -> v2, "aaa" -> v3)
+    assert(Unigram.dpValue("aaaa", pv) == 2 * v2)
+    assert(Unigram.piecesUsed("aaaa", pv) == Seq("aaa"))
+  }
+
   test("unknown text falls back to chars; overlong words fall back arithmetically") {
     assert(Unigram.dpValue("zzz", Map.empty) == -3L)
     assert(Unigram.decompose("zzz", -3L) == (0L, 3L))
