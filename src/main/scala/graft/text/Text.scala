@@ -84,20 +84,17 @@ object Text {
 
   /** q67's fingerprint as a DataFrame (doc_id, simhash) — the weighted
     * bit-vote SimHash over the ingest-staged token index; q231 blocks
-    * and verifies on it. */
-  def simhashOf(s: SparkSession, d: String): DataFrame = {
-    val words = TokenIndex.words(s, d).select(col("doc_id"), col("w"))
-    val hashed = words.groupBy(col("doc_id"), tokenHash(col("w")).as("h"))
-      .agg(count(lit(1)).as("tf"))
-    val bit = (col("h").cast("double") / pow(lit(2.0), col("i"))).cast("bigint") % 2
-    val bits = hashed
-      .select(col("doc_id"), col("h"), col("tf"), explode(sequence(lit(0), lit(15))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(when(bit === 1, col("tf")).otherwise(-col("tf"))).as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("i")).cast("bigint")).otherwise(0L))
-        .cast("bigint").as("simhash"))
-  }
+    * and verifies on it. MAP-ONLY since round 14: the
+    * [[graft.functions.SimHash16]] kernel folds the fingerprint into the
+    * scan (the former explode/tf-agg/bit-explode pipeline paid three
+    * corpus-keyed shuffles for per-row arithmetic — tf-weighting
+    * distributes over token instances). The zero-token filter preserves
+    * the exploded formulation's semantics, where an empty doc never
+    * produced a row; the DuckDB oracle and the SQL twin still replay the
+    * exploded tf-weighted derivation, cross-pinning the kernel. */
+  def simhashOf(s: SparkSession, d: String): DataFrame =
+    TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
+      .select(col("doc_id"), graft.functions.vec.simhash16(col("ws")).as("simhash"))
 
   /** TF-IDF working set for a fixed term list — ONE copy of the
     * tf/df/corpus-count machinery shared by q64_tfidf and q135_rescore

@@ -86,6 +86,40 @@ class VectorKernelSpec extends GraftSuite {
     assert(got === toks.map(refTokenHash))
   }
 
+  private def refSimHash(toks: Seq[String]): Long = {
+    // the EXPLODED tf-weighted formulation the oracle replays: distinct
+    // hashes with term frequencies, +-tf votes per bit, s > 0 sets the bit
+    val tf = toks.map(refTokenHash).groupBy(identity).view.mapValues(_.size.toLong)
+    (0 until 16).map { i =>
+      val s = tf.map { case (h, f) => if (((h >> i) & 1L) == 1L) f else -f }.sum
+      if (s > 0) 1L << i else 0L
+    }.sum
+  }
+
+  for (codegen <- Seq(true, false)) {
+    test(s"simhash16 matches the exploded tf-weighted reference (codegen=$codegen)") {
+      import spark.implicits._
+      val r = new scala.util.Random(67)
+      val vocab = Seq("data", "stream", "merge", "batch", "scan", "x", "yz")
+      val cases: Seq[Seq[String]] = Seq.fill(200)(
+        Seq.fill(1 + r.nextInt(30))(vocab(r.nextInt(vocab.length))))
+      val got = withCodegen(codegen) {
+        cases.toDF("toks").select(vec.simhash16(col("toks"))).as[Long].collect().toSeq
+      }
+      assert(got === cases.map(refSimHash))
+    }
+  }
+
+  test("simhash16: vote ties leave the bit clear; fingerprint is 16-bit") {
+    import spark.implicits._
+    // two tokens with complementary bit votes tie every differing bit to 0
+    val rows = Seq(Seq.empty[String], Seq("data", "data", "stream"))
+    val got = rows.toDF("toks").select(vec.simhash16(col("toks"))).as[Long].collect()
+    assert(got(0) == 0L)                       // no votes -> all ties -> 0
+    assert(got(1) == refSimHash(rows(1)))
+    assert(got.forall(h => h >= 0 && h < (1L << 16)))
+  }
+
   test("kernels are registered as SQL functions via GraftExtensions") {
     val r = spark.sql(
       """SELECT vec_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d,
