@@ -104,12 +104,11 @@ object QualityModel {
       |  CAST(MAX(score) AS BIGINT) AS max_score
       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Confusion matrix of the bucket-posterior model over `docs` (must
-    * have doc_id + text). Exposed for QualityModelSpec's synthetic
-    * separation pin. */
-  def confusion(docs: DataFrame): DataFrame = {
+  /** The map-only per-doc (label, bucket vector) frame — the shared base
+    * of training, scoring, and the q242 self-training round. */
+  def bucketFrame(docs: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
-    val f = docs
+    docs
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tok"),
         size(filter(toks, w => w.isin("the", "a", "of", "and", "to", "is", "in")))
@@ -119,7 +118,7 @@ object QualityModel {
           .as("n_punct"),
         size(array_distinct(toks)).cast("long").as("n_uniq"))
       .filter(col("n_tok") > 0)
-    val u = f.select(col("doc_id"),
+      .select(col("doc_id"),
         when(col("n_tok") >= 25 && lit(1000) * col("n_stop") >= lit(30) * col("n_tok"), 1)
           .otherwise(0).as("label"),
         expr("LEAST(n_tok div 16, 9)").as("b0"),
@@ -127,6 +126,13 @@ object QualityModel {
         expr("LEAST(((1000 * n_punct) div n_char) div 10, 9)").as("b2"),
         expr("LEAST(((1000 * n_uniq) div n_tok) div 100, 9)").as("b3"),
         expr("LEAST((((n_char - n_punct) * 10) div n_tok) div 5, 9)").as("b4"))
+  }
+
+  /** Confusion matrix of the bucket-posterior model over `docs` (must
+    * have doc_id + text). Exposed for QualityModelSpec's synthetic
+    * separation pin. */
+  def confusion(docs: DataFrame): DataFrame = {
+    val u = bucketFrame(docs)
       // per-row unpivot — generates 5 (sig, bucket) rows with NO shuffle
       .selectExpr("doc_id", "label",
         "stack(5, 0, b0, 1, b1, 2, b2, 3, b3, 4, b4) AS (sig, b)")
@@ -148,10 +154,102 @@ object QualityModel {
       .orderBy(col("label"), col("pred"))
   }
 
+  /** Confidence gates for the q242 pseudo-label round: only documents the
+    * round-1 model is SURE about join the round-2 training set (the
+    * classic self-training recipe — training on every prediction lets the
+    * majority class snowball: ungated, the fixture's 93%-positive round-1
+    * predictions push every round-2 posterior above threshold and pred2
+    * collapses to all-1, measured before gating was added). */
+  val PseudoNeg = 2400000L
+  val PseudoPos = 3500000L
+
+  /** q242's oracle: the q234 chain, then pseudo-label the confident
+    * tails of its score distribution, retrain the posteriors on them,
+    * re-score everyone, and report both generations side by side. One
+    * copy of the round-0 chain — the self-training round cannot drift
+    * from the model it bootstraps from. Buckets observed in scoring but
+    * absent from the gated training set fall back to the Laplace prior
+    * 500000 (LEFT JOIN + COALESCE), matching the Spark side's dense
+    * lookup-array default. */
+  private def selftrainSql(idiv: String, duck: Boolean): String =
+    s"""WITH ${chain(idiv, duck)},
+       |p1 AS (SELECT doc_id, label, score,
+       |    CASE WHEN score >= 2500000 THEN 1 ELSE 0 END AS pred1 FROM sc),
+       |u2 AS (SELECT u.doc_id,
+       |    CASE WHEN p.score >= $PseudoPos THEN 1 ELSE 0 END AS pseudo,
+       |    u.sig, u.b
+       |  FROM u JOIN p1 p ON p.doc_id = u.doc_id
+       |  WHERE p.score < $PseudoNeg OR p.score >= $PseudoPos),
+       |m2 AS (SELECT sig, b,
+       |    CAST((1000000 * (SUM(pseudo) + 1)) $idiv (COUNT(*) + 2) AS BIGINT) AS ppm
+       |  FROM u2 GROUP BY 1, 2),
+       |sc2 AS (SELECT u.doc_id,
+       |    CAST(SUM(COALESCE(m2.ppm, 500000)) AS BIGINT) AS score2
+       |  FROM u LEFT JOIN m2 ON m2.sig = u.sig AND m2.b = u.b
+       |  GROUP BY 1)
+       |SELECT p.label, p.pred1,
+       |  CASE WHEN s.score2 >= 2500000 THEN 1 ELSE 0 END AS pred2,
+       |  COUNT(*) AS n,
+       |  CAST(MIN(s.score2) AS BIGINT) AS min_score2,
+       |  CAST(MAX(s.score2) AS BIGINT) AS max_score2
+       |FROM p1 p JOIN sc2 s ON s.doc_id = p.doc_id
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q234_quality_model",
       s"WITH ${chain("//", duck = true)}\n$finalSelect") { (s, d) =>
       confusion(T(s, d, "documents"))
-    }.sqlTwin(s"WITH ${chain("div", duck = false)}\n$finalSelect")
+    }.sqlTwin(s"WITH ${chain("div", duck = false)}\n$finalSelect"),
+
+    // q242: one SELF-TRAINING round over the q234 model — the classifier
+    // bootstrap every FineWeb-Edu-class pipeline runs (rule labels train
+    // model 1; model 1's CONFIDENT predictions pseudo-label the round-2
+    // training set, diluting the rule's hard thresholds with the model's
+    // own generalization; q241 is the same move for the tokenizer). The
+    // confidence gate is load-bearing: ungated self-training snowballs
+    // the majority class (see PseudoNeg/PseudoPos). Spark side uses the
+    // driver-artifact posture both rounds: each posterior table is one
+    // map-side-combined agg collapsed to O(signals x deciles) rows,
+    // collected, and folded back as per-signal literal lookup arrays —
+    // so unlike the oracle's join formulation the corpus is NEVER
+    // doc-keyed-shuffled, and extra rounds cost one tiny agg each.
+    // Output pins both generations: (rule label, round-1 pred, round-2
+    // pred) cells with round-2 score extrema — pred1/pred2 flips land in
+    // their own rows.
+    Entry("q242_quality_selftrain", selftrainSql("//", duck = true)) { (s, d) =>
+      val g = bucketFrame(T(s, d, "documents")).persist()
+      // Laplace-smoothed P(positive | sig, bucket) in ppm as dense
+      // per-signal lookup arrays; buckets unseen by this round's training
+      // set keep the Laplace prior 500000 (the oracle's COALESCE arm)
+      def trainOn(df: DataFrame, labelCol: String): Seq[Seq[Long]] = {
+        val rows = df.selectExpr(labelCol,
+            "stack(5, 0, b0, 1, b1, 2, b2, 3, b3, 4, b4) AS (sig, b)")
+          .groupBy(col("sig"), col("b"))
+          .agg(expr(s"CAST((1000000 * (SUM($labelCol) + 1)) div (COUNT(*) + 2) AS BIGINT)")
+            .as("ppm"))
+          .collect()
+        val arr = Array.fill(5)(Array.fill(10)(500000L))
+        rows.foreach(r => arr(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+        arr.map(_.toSeq).toSeq
+      }
+      def scoreCol(m: Seq[Seq[Long]]): org.apache.spark.sql.Column =
+        (0 to 4).map(i =>
+          element_at(typedLit(m(i)), col(s"b$i").cast("int") + 1)).reduce(_ + _)
+      val m1 = trainOn(g, "label")
+      val g1 = g.withColumn("score1", scoreCol(m1))
+      val m2 = trainOn(
+        g1.filter(col("score1") < PseudoNeg || col("score1") >= PseudoPos)
+          .withColumn("pseudo", when(col("score1") >= PseudoPos, 1).otherwise(0)),
+        "pseudo")
+      g1.select(col("label"),
+          when(col("score1") >= 2500000L, 1).otherwise(0).as("pred1"),
+          when(scoreCol(m2) >= 2500000L, 1).otherwise(0).as("pred2"),
+          scoreCol(m2).as("score2"))
+        .groupBy(col("label"), col("pred1"), col("pred2"))
+        .agg(count(lit(1)).as("n"),
+          min(col("score2")).as("min_score2"),
+          max(col("score2")).as("max_score2"))
+        .orderBy(col("label"), col("pred1"), col("pred2"))
+    }.sqlTwin(selftrainSql("div", duck = false))
   )
 }

@@ -40,4 +40,23 @@ class QualityModelSpec extends GraftSuite {
     // a perfect diagonal would mean the model just replayed the rule
     assert(correct < total, s"suspiciously perfect — rule replay? $got")
   }
+
+  test("q242 self-training round: complete, non-degenerate, threshold straddled") {
+    val rows = graft.SparkEntry.queries("q242_quality_selftrain")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = graft.core.Tables(spark, sf, "documents").count()
+    // every document is re-scored and lands in exactly one cell
+    assert(rows.map(_._4).sum == docs, s"lost documents: ${rows.toSeq}")
+    // the confidence gate must prevent the majority-class collapse the
+    // ungated round exhibited (pred2 all-1): both round-2 classes occur
+    assert(rows.map(_._3).distinct.length == 2,
+      s"round-2 predictions degenerate: ${rows.toSeq}")
+    // the round-2 threshold is real: scores on both sides of 2.5e6
+    assert(rows.map(_._5).min < 2500000L && rows.map(_._6).max >= 2500000L)
+    // self-training moved SOMETHING: at least one pred1/pred2 flip cell
+    assert(rows.exists(r => r._2 != r._3),
+      s"round 2 is a no-op relabel: ${rows.toSeq}")
+  }
 }
