@@ -338,6 +338,27 @@ object Unigram {
        |ORDER BY rnk""".stripMargin
   }
 
+  /** q243's oracle: the shared encode chain aggregated at q230's host
+    * key instead of per doc — tokenizer FERTILITY (pieces per word) by
+    * domain, the corpus-noise signal tokenizer papers report per source
+    * (noisy hosts segment into more pieces per word). */
+  private def fertilitySql(idiv: String, duck: Boolean): String = {
+    val host =
+      if (duck) "'www.site' || ((t.doc_id // 4) % 5) || '.com'"
+      else "concat('www.site', (t.doc_id div 4) % 5, '.com')"
+    val pieces =
+      s"""SUM(CASE WHEN length(t.w) > $MaxLen THEN length(t.w)
+         |      ELSE 1024 * ((v.value + 16) $idiv 1024) - v.value END)""".stripMargin
+    s"""WITH ${chainSql(duck)}
+       |SELECT $host AS host,
+       |  COUNT(DISTINCT t.doc_id) AS n_docs,
+       |  COUNT(*) AS n_words,
+       |  CAST($pieces AS BIGINT) AS n_pieces,
+       |  CAST((1000 * $pieces) $idiv COUNT(*) AS BIGINT) AS fert_pm
+       |FROM words t LEFT JOIN wv v ON v.w = t.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   val entries: Seq[Entry] = Seq(
@@ -406,6 +427,34 @@ object Unigram {
           if (u > 0) Some(1000000L * u / totalUsed) else None)
       }.toDF("rnk", "piece", "cnt", "used", "rnk2", "prob2_ppm")
         .orderBy(col("rnk"))
-    }.sqlTwin(emSql("div", duck = false))
+    }.sqlTwin(emSql("div", duck = false)),
+
+    // q243: tokenizer FERTILITY by host — pieces-per-word at q230's
+    // domain key, the per-source corpus-noise signal tokenizer reports
+    // publish (noisy domains segment into more pieces per word; a host
+    // whose fertility spikes is boilerplate/garble the piece inventory
+    // was not trained for). Same cost shape as q236: the per-distinct-
+    // word DP is vocab-sized map work, the corpus pays one broadcast
+    // word-keyed join, and the rollup is ONE host-keyed agg (q230's
+    // posture — O(hosts) output, integer per-mille fertility so the
+    // rollup is order-independent and hash-exact).
+    Entry("q243_token_fertility", fertilitySql("//", duck = true)) { (s, d) =>
+      import s.implicits._
+      val pv = rules(s, d).map(r => r.piece -> r.v).toMap
+      val wordVals = TokenIndex.words(s, d).select(col("w")).distinct()
+        .as[String]
+        .map { w => (w, decompose(w, dpValue(w, pv))._2) }
+        .toDF("w", "n")
+      TokenIndex.words(s, d)
+        .select(expr("concat('www.site', (doc_id div 4) % 5, '.com')").as("host"),
+          col("doc_id"), col("w"))
+        .join(wordVals, "w")
+        .groupBy(col("host"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(col("n")).as("n_pieces"),
+          expr("CAST((1000 * SUM(n)) div COUNT(*) AS BIGINT)").as("fert_pm"))
+        .orderBy(col("host"))
+    }.sqlTwin(fertilitySql("div", duck = false))
   )
 }

@@ -418,6 +418,21 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q243_token_fertility: q236's broadcast join, ONE host-keyed rollup") {
+    // fertility rides the encode shape: vocab-sized DP broadcast into the
+    // corpus word join, then a single host-keyed aggregation (q230's
+    // posture; count-distinct plans the standard two-phase expand)
+    val p = planOf("q243_token_fertility")
+    assert(p.contains("BroadcastExchange"), s"word-value side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // count-distinct plans the two-phase distinct: a partial agg keyed on
+    // (host, doc_id) collapses duplicates map-side before the host agg —
+    // the corpus word rows never shuffle raw
+    assert(p.contains("hashpartitioning(host") &&
+      "hashpartitioning\\(host[^)]*doc_id".r.findFirstIn(p).isDefined,
+      s"expected the (host, doc_id) two-phase distinct:\n$p")
+  }
+
   test("q233_redirect_resolve: hop joins stay equi-joins; redirect map broadcasts") {
     // each hop is one equi-join of the state against the redirect map;
     // the map is the 3xx fraction of records (small at any crawl scale)
