@@ -40,6 +40,12 @@ object GraftSession {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    // The unrolled linear-recursion oracles (q226 BFS, q235/q236 Viterbi,
+    // q241 EM backward walk) legitimately stack 30-45 chained CTEs; each
+    // nesting level costs analyzer iterations, and the q241 twin crosses
+    // the default cap of 100. The cap is a runaway-rule safety valve, not
+    // a semantic bound — raise it for the SQL entry path.
+    .config("spark.sql.analyzer.maxIterations", "400")
     .config("spark.ui.enabled", "false")
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to `n`,

@@ -820,6 +820,64 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Kneser-Ney smoothed bigram NLL (SURVEY Q244) — the KenLM-class
+    // perplexity filter CCNet-style pipelines actually run (q108/q118 are
+    // raw MLE; production LM filtering smooths, because MLE assigns rare
+    // continuations their raw frequency while KN discounts every seen
+    // bigram by d=0.75 and redistributes that mass via the CONTINUATION
+    // probability — "how many distinct contexts does w2 follow" — the
+    // Chen & Goodman 1999 formulation):
+    //   P(w2|w1) = max(c(w1w2)-d, 0)/c(w1.) + (d*N1+(w1.)/c(w1.)) * Pcont
+    //   Pcont(w2) = N1+(.w2) / N1+(..)
+    // All components are exact integer counts (three map-side-combinable
+    // vocab-sized aggs over the staged index); the probability itself is
+    // double with the q118 posture: identical expression text on both
+    // engines, ROUND(AVG(-ln p), 4) per doc. Resubstitution scoring means
+    // every scored bigram was seen (no backoff-to-unigram branch needed —
+    // the discount still reshapes NLL away from MLE everywhere). The
+    // count tables are vocab^2-bounded and broadcast back; the corpus
+    // pays map work + one per-doc agg.
+    Entry("q244_kn_bigram_nll",
+      s"""WITH $wordsCtesSql,
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bg GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bg GROUP BY 1),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+        |tt AS (SELECT COUNT(*) AS t FROM cb)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(-ln(
+        |    GREATEST(CAST(cab AS DOUBLE) - 0.75, 0.0) / c1 +
+        |    ((0.75 * n1p) / c1) * (CAST(np2 AS DOUBLE) / t))), 4) AS kn_nll
+        |FROM bg JOIN cb USING (w1, w2) JOIN cw1 USING (w1) JOIN cw2 USING (w2)
+        |CROSS JOIN tt
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val bg = TokenIndex.toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), size(col("ws")) - 2),
+            i => struct(element_at(col("ws"), i + 1).as("w1"),
+                        element_at(col("ws"), i + 2).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val cw1 = bg.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+      val cw2 = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val tt = cb.agg(count(lit(1)).as("t"))
+      val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
+        ((lit(0.75) * col("n1p")) / col("c1")) *
+          (col("np2").cast("double") / col("t"))
+      bg.join(broadcast(cb), Seq("w1", "w2"))
+        .join(broadcast(cw1), "w1")
+        .join(broadcast(cw2), "w2")
+        .crossJoin(broadcast(tt))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             round(avg(-log(p)), 4).as("kn_nll"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- Q143 PMI collocation ranking (BPE merge-candidate signal) ----
     // Tokenizer-vocabulary induction starts from exactly this statistic:
     // the token pairs whose joint frequency most exceeds independence —

@@ -174,10 +174,6 @@ object Unigram {
     * integer-range explosion, and the `//` vs `div` spelling (only used
     * downstream). The dp CTEs are engine-neutral text. */
   private def chainSql(duck: Boolean): String = {
-    val ws = if (duck) Text.tokensSql else graft.queries.Dialect.tokensSparkSql
-    val un = if (duck) "unnest" else "explode"
-    val ls = if (duck) s"range(${PieceMin}, ${PieceMax + 1})" else s"sequence(${PieceMin}, ${PieceMax})"
-    val is = if (duck) s"range(1, ${MaxLen})" else s"sequence(1, ${MaxLen - 1})"
     // Each dp CTE references ONLY dp{k-1} (the prior three bests ride as
     // b1/b2/b3 state columns), so CTE inlining stays a LINEAR chain — the
     // first formulation joined dp{k-2}/dp{k-3}/dp{k-4} directly and the
@@ -202,6 +198,26 @@ object Unigram {
          |  FROM dp${k - 1} d
          |$joins)""".stripMargin
     }.mkString(",\n")
+    s"""${prefixSql(duck)},
+       |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS best,
+       |          CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+       |          CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS value
+       |        FROM wf WHERE length(w) <= $MaxLen),
+       |$dps,
+       |wv AS (SELECT w, value FROM dp$MaxLen)""".stripMargin
+  }
+
+  /** toks..sel — the vocabulary + piece-selection prefix shared by every
+    * unigram oracle. Split from [[chainSql]] so q241's EM oracle (which
+    * stacks its OWN 24 forward+backward CTEs) does not also carry the
+    * encode DP's 13 unused CTEs: Spark analyzes unreferenced CTE
+    * definitions too, and the combined depth crossed the analyzer's
+    * iteration cap. */
+  private def prefixSql(duck: Boolean): String = {
+    val ws = if (duck) Text.tokensSql else graft.queries.Dialect.tokensSparkSql
+    val un = if (duck) "unnest" else "explode"
+    val ls = if (duck) s"range(${PieceMin}, ${PieceMax + 1})" else s"sequence(${PieceMin}, ${PieceMax})"
+    val is = if (duck) s"range(1, ${MaxLen})" else s"sequence(1, ${MaxLen - 1})"
     s"""toks AS (SELECT doc_id, $ws AS ws FROM documents),
        |words AS (SELECT doc_id, $un(ws) AS w FROM toks),
        |wf AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
@@ -218,13 +234,7 @@ object Unigram {
        |  FROM (SELECT p, cnt,
        |          ROW_NUMBER() OVER (ORDER BY cnt * (length(p) - 1) DESC, p) AS rnk
        |        FROM pc)
-       |  WHERE rnk <= $V),
-       |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS best,
-       |          CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
-       |          CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS value
-       |        FROM wf WHERE length(w) <= $MaxLen),
-       |$dps,
-       |wv AS (SELECT w, value FROM dp$MaxLen)""".stripMargin
+       |  WHERE rnk <= $V)""".stripMargin
   }
 
   private def trainSql(idiv: String, duck: Boolean): String =
@@ -313,7 +323,7 @@ object Unigram {
     }.mkString(",\n")
     val unpivot = (1 to MaxLen).map(j => s"WHEN $j THEN b.e$j")
       .mkString("CASE gi.i ", " ", " END")
-    s"""WITH ${chainSql(duck)},
+    s"""WITH ${prefixSql(duck)},
        |dpf0 AS (SELECT w, CAST(0 AS BIGINT) AS p0 FROM wf WHERE length(w) <= $MaxLen),
        |$dpfs,
        |bk0 AS (SELECT w, ${pCols.mkString(", ")}, length(w) AS pos FROM dpf$MaxLen),
