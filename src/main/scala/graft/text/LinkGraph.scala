@@ -127,6 +127,82 @@ object LinkGraph {
     r
   }
 
+  val HitsIterations = 4
+
+  /** Integer HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
+    * Environment", JACM 1999) — the third classic link-analysis signal
+    * beside PageRank (q225) and TrustRank (q238), and a structurally
+    * DIFFERENT recurrence: hubs and authorities are MUTUALLY recursive
+    * (authority = in-link sum of hub scores; hub = out-link sum of
+    * authority scores), and each half-step L1-NORMALIZES its vector —
+    * the step PageRank's damping makes unnecessary but HITS requires
+    * for convergence. Normalization under the integer discipline:
+    * x' = (1e6 * x) div Σx, a global one-row scalar per half-step that
+    * broadcasts back (at 100 TB this is a 1-row broadcast join — the
+    * cheapest possible coordination). Values stay well inside BIGINT:
+    * each normalized vector sums to <= 1e6, so a raw re-expansion is
+    * bounded by 1e6 x max-degree.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // one half-step: re-expand `vec` across edges (joinKey side consumes,
+    // groupKey side accumulates), then L1-normalize to 1e6
+    def half(vec: DataFrame, joinKey: String, groupKey: String): DataFrame = {
+      val raw = nodes.select(col("v")).join(
+          edges.join(vec.select(col("v").as("vv"), col("x")),
+              col(joinKey) === col("vv"))
+            .groupBy(col(groupKey)).agg(sum(col("x")).as("s")),
+          col("v") === col(groupKey), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("x"))
+        .localCheckpoint()   // reused by the norm scalar AND the next step
+      raw.crossJoin(broadcast(raw.agg(sum(col("x")).as("t"))))
+        .select(col("v"), expr("1000000 * x div t").as("x"))
+    }
+    var h = nodes.select(col("v"), lit(1000000L).as("x"))
+    var a: DataFrame = h
+    for (_ <- 1 to HitsIterations) {
+      a = half(h, "src", "dst")   // authority: hub mass over in-links
+      h = half(a, "dst", "src")   // hub: authority mass over out-links
+    }
+    nodes.select(col("v"))
+      .join(h.select(col("v").as("hv"), col("x").as("hub")), col("v") === col("hv"))
+      .join(a.select(col("v").as("av"), col("x").as("auth")), col("v") === col("av"))
+      .select(col("v").as("node"), col("hub"), col("auth"))
+  }
+
+  /** q245 oracle: the unrolled mutual recursion. The L1 scalar rides as
+    * `SUM(x) OVER ()` so each CTE is referenced exactly ONCE by its
+    * successor (a scalar subquery on the same CTE would double every
+    * level and re-inline the chain exponentially — the q226/q235/q241
+    * lesson, fourth sighting); only the final a/h pair is referenced
+    * twice, which costs one extra inline of the prefix, not 2^k. */
+  private def hitsOracleSql(idiv: String): String = {
+    def norm(src: String) =
+      s"SELECT v, CAST(((1000000 * x) $idiv (SUM(x) OVER ())) AS BIGINT) AS x FROM $src"
+    val rounds = (1 to HitsIterations).map { k =>
+      s"""ar$k AS (
+         |  SELECT nodes.v, COALESCE(SUM(y.x), 0) AS x
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS t, h.x FROM edges e JOIN h${k - 1} h ON h.v = e.src) y
+         |  ON y.t = nodes.v GROUP BY nodes.v),
+         |a$k AS (${norm(s"ar$k")}),
+         |hr$k AS (
+         |  SELECT nodes.v, COALESCE(SUM(y.x), 0) AS x
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS t, a.x FROM edges e JOIN a$k a ON a.v = e.dst) y
+         |  ON y.t = nodes.v GROUP BY nodes.v),
+         |h$k AS (${norm(s"hr$k")})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       |nodes AS (SELECT doc_id AS v FROM documents),
+       |$edgesSql,
+       |h0 AS (SELECT v, CAST(1000000 AS BIGINT) AS x FROM nodes),
+       |$rounds
+       |SELECT n.v AS node, h.x AS hub, a.x AS auth
+       |FROM nodes n JOIN h$HitsIterations h ON h.v = n.v
+       |JOIN a$HitsIterations a ON a.v = n.v
+       |ORDER BY node""".stripMargin
+  }
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   /** SQL replay of [[edgeTargets]] — shared by the q225/q226 oracles and
@@ -310,6 +386,23 @@ object LinkGraph {
         .select(col("v").as("node"), col("pr"), col("tr"),
           expr("CAST((1000000 * GREATEST(pr - tr, 0L)) div pr AS BIGINT)").as("spam_ppm"))
         .orderBy(col("spam_ppm").desc, col("pr").desc, col("node")).limit(20)
-    }.sqlTwin(trustOracleSql("div"))
+    }.sqlTwin(trustOracleSql("div")),
+
+    // HITS hubs & authorities (SURVEY.md Q245) — link-analysis signal #3
+    // over the same extracted graph: where PageRank scores "endorsed
+    // pages" and TrustRank "trust-backed pages", HITS separates DIRECTORY
+    // pages (hubs: link to many good targets) from CONTENT pages
+    // (authorities: linked from many good hubs) — the split crawl
+    // schedulers use to fetch directory pages early. Mutually recursive
+    // with per-half-step integer L1 normalization (see [[hits]]); the
+    // oracle replays all 4 unrolled rounds including the normalization
+    // scalars, so the hash pins the mutual recursion, the truncating
+    // normalizations, and both join directions.
+    Entry("q245_hits", hitsOracleSql("//")) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val n = docs.count()   // one-row driver scalar (oracle: COUNT(*))
+      val nodes = docs.select(col("doc_id").as("v"))
+      hits(nodes, extractedEdges(s, d, n)).orderBy(col("node"))
+    }.sqlTwin(hitsOracleSql("div"))
   )
 }

@@ -48,6 +48,45 @@ class LinkGraphSpec extends GraftSuite {
     assert(got == Map(0L -> 0, 1L -> 1, 4L -> 1, 2L -> 2, 5L -> 2, 3L -> 3, 6L -> 3))
   }
 
+  test("HITS: hubs and authorities separate; mutual recursion == driver replay") {
+    import spark.implicits._
+    // bipartite-ish shape: 1,2,3 all point at 0 and 4 — pure hubs with
+    // identical out-profiles; 0 and 4 are pure authorities. HITS must
+    // give the spokes equal positive hub mass and zero authority, and
+    // the targets equal positive authority and zero hub mass.
+    val edges = Seq(1L -> 0L, 1L -> 4L, 2L -> 0L, 2L -> 4L, 3L -> 0L, 3L -> 4L)
+    val got = LinkGraph.hits((0L to 4L).toDF("v"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 > 0 && got(1L) == got(2L) && got(2L) == got(3L), s"$got")
+    assert(got(0L)._2 > 0 && got(0L) == got(4L), s"$got")
+    assert(got(1L)._2 == 0 && got(0L)._1 == 0, s"$got")
+
+    // fixture graph: distributed == independent driver integer replay
+    val n = graft.core.Tables(spark, sf, "documents").count()
+    val fEdges = (0L until n).flatMap(id =>
+      LinkGraph.edgeTargets(id, n).toSet.map((t: Long) => id -> t))
+    val dist = LinkGraph.hits(
+        graft.core.Tables(spark, sf, "documents").select(col("doc_id").as("v")),
+        fEdges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val inE = fEdges.groupBy(_._2)
+    val outE = fEdges.groupBy(_._1)
+    def l1(m: Map[Long, Long]): Map[Long, Long] = {
+      val t = m.values.sum
+      m.map { case (v, x) => v -> 1000000L * x / t }
+    }
+    var h = (0L until n).map(_ -> 1000000L).toMap
+    var a = h
+    for (_ <- 1 to LinkGraph.HitsIterations) {
+      a = l1((0L until n).map(v =>
+        v -> inE.getOrElse(v, Seq.empty).map { case (u, _) => h(u) }.sum).toMap)
+      h = l1((0L until n).map(v =>
+        v -> outE.getOrElse(v, Seq.empty).map { case (_, w) => a(w) }.sum).toMap)
+    }
+    assert(dist == (0L until n).map(v => v -> (h(v), a(v))).toMap,
+      "distributed HITS vs driver replay diverged")
+  }
+
   test("distributed recurrence == driver-side integer replay on the fixture graph") {
     import spark.implicits._
     val n = graft.core.Tables(spark, sf, "documents").count()
