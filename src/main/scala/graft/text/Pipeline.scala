@@ -170,7 +170,81 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q246's oracle: one GROUPING SETS pass over per-doc curation signals.
+    * The q96 keep rule in its integer form (q234's chain) as a dimension;
+    * measures are counts plus the integer mean doc length `SUM div COUNT`
+    * (truncating — order-independent where a float AVG would drift), so
+    * the multi-granularity card hashes exactly. (An exact-dup measure was
+    * considered and REJECTED: the fixture corpus has zero duplicate
+    * texts, so it would pin nothing — the q225 degenerate-fixture
+    * lesson.) */
+  private def cardSql(idiv: String, duck: Boolean): String = {
+    val ws = if (duck) Text.tokensSql else Dialect.tokensSparkSql
+    val len = if (duck) "len" else "size"
+    val stop = if (duck)
+      "len(list_filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in')))"
+    else
+      "size(filter(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in')))"
+    val sv = if (duck) "VARCHAR" else "STRING"
+    s"""WITH t AS (SELECT doc_id, lang, source, $ws AS ws FROM documents),
+       |f AS (SELECT lang, source,
+       |    CAST($len(ws) AS BIGINT) AS n_tok,
+       |    CASE WHEN $len(ws) >= 25 AND 1000 * $stop >= 30 * $len(ws)
+       |         THEN 1 ELSE 0 END AS keep
+       |  FROM t WHERE $len(ws) > 0)
+       |SELECT CAST(GROUPING(lang) AS INT) AS g_lang,
+       |  CAST(GROUPING(source) AS INT) AS g_source,
+       |  CAST(GROUPING(keep) AS INT) AS g_keep,
+       |  COALESCE(lang, '(all)') AS lang,
+       |  COALESCE(source, '(all)') AS source,
+       |  COALESCE(CAST(keep AS $sv), '(all)') AS keep,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_tok) $idiv COUNT(*) AS BIGINT) AS mean_tok
+       |FROM f
+       |GROUP BY GROUPING SETS ((lang, source, keep), (lang, source), (lang), ())
+       |ORDER BY g_lang, g_source, g_keep, lang, source, keep""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
+
+    // Corpus data card (SURVEY.md Q246) — the multi-granularity release
+    // report every corpus publication carries (totals by language, by
+    // language x source, by language x source x keep-decision): document
+    // counts, token counts, and integer mean doc length at EVERY
+    // granularity in ONE pass — GROUPING SETS plans a single Expand + one
+    // aggregation exchange where k separate GROUP BYs would re-scan and
+    // re-shuffle the corpus k times. The keep dimension is the q96 rule
+    // in its integer form; the grouping-flag columns disambiguate
+    // '(all)' rollup rows from data values.
+    Entry("q246_corpus_card", cardSql("//", duck = true)) { (s, d) =>
+      val stops = Seq("the", "a", "of", "and", "to", "is", "in")
+      val f0 = T(s, d, "documents")
+        .select(col("lang"), col("source"), Text.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val f = f0.select(col("lang"), col("source"),
+        size(col("ws")).cast("long").as("n_tok"),
+        when(size(col("ws")) >= 25 &&
+             lit(1000) * size(filter(col("ws"), w => w.isin(stops: _*))) >=
+               lit(30) * size(col("ws")), 1).otherwise(0).as("keep"))
+      f.groupingSets(
+          Seq(Seq(col("lang"), col("source"), col("keep")),
+              Seq(col("lang"), col("source")), Seq(col("lang")), Seq.empty),
+          col("lang"), col("source"), col("keep"))
+        .agg(grouping(col("lang")).cast("int").as("g_lang"),
+             grouping(col("source")).cast("int").as("g_source"),
+             grouping(col("keep")).cast("int").as("g_keep"),
+             count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).as("n_tokens"),
+             expr("CAST(SUM(n_tok) div COUNT(*) AS BIGINT)").as("mean_tok"))
+        .select(col("g_lang"), col("g_source"), col("g_keep"),
+             coalesce(col("lang"), lit("(all)")).as("lang"),
+             coalesce(col("source"), lit("(all)")).as("source"),
+             coalesce(col("keep").cast("string"), lit("(all)")).as("keep"),
+             col("n_docs"), col("n_tokens"), col("mean_tok"))
+        .orderBy(col("g_lang"), col("g_source"), col("g_keep"),
+             col("lang"), col("source"), col("keep"))
+    }.sqlTwin(cardSql("div", duck = false)),
 
     // ---- near-dup clustering: pairwise dups -> components -> keep-one ----
     // The declared query derives its pair set EXACTLY (hashed-shingle

@@ -418,6 +418,18 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q246_corpus_card: all granularities in one Expand pass — one exchange") {
+    // four grouping sets must plan a single Expand feeding ONE
+    // aggregation exchange; k separate GROUP BYs would re-scan and
+    // re-shuffle the corpus k times
+    val p = planOf("q246_corpus_card")
+    assert(p.contains("Expand"), s"grouping sets should plan an Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the card must carry exactly one aggregation exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the card is a pure scan + grouped agg:\n$p")
+  }
+
   test("q243_token_fertility: q236's broadcast join, ONE host-keyed rollup") {
     // fertility rides the encode shape: vocab-sized DP broadcast into the
     // corpus word join, then a single host-keyed aggregation (q230's
