@@ -529,7 +529,11 @@ object Streams {
     // route stays bench-only (q61_minhash_lsh): banding recall < 1
     // can't meet a hash-equality contract.
     Entry("q142_stream_neardup_ingest", graft.text.Text.neardupPairsOracleSql) { (s, d) =>
-      val shStatic = graft.text.TokenIndex.shingles3(s, d)   // (doc_id, h)
+      // persist the static index side: every micro-batch probes it, and
+      // without the pin each of the three batches re-reads the staged
+      // parquet — standard stream-static join practice (the block-manager
+      // copy is what a production executor would hold anyway)
+      val shStatic = graft.text.TokenIndex.shingles3(s, d).persist()   // (doc_id, h)
       val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val src = stageQ142(s, d)
       val out = newStageDir("graft_neardup_out")

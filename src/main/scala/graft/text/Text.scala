@@ -831,12 +831,16 @@ object Text {
     //   Pcont(w2) = N1+(.w2) / N1+(..)
     // All components are exact integer counts (three map-side-combinable
     // vocab-sized aggs over the staged index); the probability itself is
-    // double with the q118 posture: identical expression text on both
-    // engines, ROUND(AVG(-ln p), 4) per doc. Resubstitution scoring means
-    // every scored bigram was seen (no backoff-to-unigram branch needed —
-    // the discount still reshapes NLL away from MLE everywhere). The
-    // count tables are vocab^2-bounded and broadcast back; the corpus
-    // pays map work + one per-doc agg.
+    // double, and the per-doc NLL is reported in integer MICRO-NATS —
+    // FLOOR(1e6 * -ln p) per row, then an order-independent integer SUM
+    // (see q247's scaladoc for why ROUND(AVG(...)) is parity-fragile
+    // here: bare decimal literals like 0.75 parse as DECIMAL in SQL but
+    // double in the Column API, and DuckDB's double->BIGINT CAST rounds
+    // where Spark truncates — `0.75e0` + FLOOR pin both). Resubstitution
+    // scoring means every scored bigram was seen (no backoff branch —
+    // that's q247's job); the discount still reshapes NLL away from MLE
+    // everywhere. The count tables are vocab^2-bounded and broadcast
+    // back; the corpus pays map work + one per-doc agg.
     Entry("q244_kn_bigram_nll",
       s"""WITH $wordsCtesSql,
         |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
@@ -846,9 +850,10 @@ object Text {
         |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
         |tt AS (SELECT COUNT(*) AS t FROM cb)
         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-        |  ROUND(AVG(-ln(
-        |    GREATEST(CAST(cab AS DOUBLE) - 0.75, 0.0) / c1 +
-        |    ((0.75 * n1p) / c1) * (CAST(np2 AS DOUBLE) / t))), 4) AS kn_nll
+        |  CAST(SUM(CAST(FLOOR(1000000 * -ln(
+        |    GREATEST(CAST(cab AS DOUBLE) - 0.75e0, 0.0e0) / c1 +
+        |    ((0.75e0 * n1p) / c1) * (CAST(np2 AS DOUBLE) / t))) AS BIGINT)) AS BIGINT)
+        |    AS nll_unat
         |FROM bg JOIN cb USING (w1, w2) JOIN cw1 USING (w1) JOIN cw2 USING (w2)
         |CROSS JOIN tt
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
@@ -874,7 +879,86 @@ object Text {
         .crossJoin(broadcast(tt))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-             round(avg(-log(p)), 4).as("kn_nll"))
+             sum(floor(lit(1000000) * -log(p))).as("nll_unat"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Held-out Kneser-Ney scoring (SURVEY Q247) — q244 deployment-shaped:
+    // the model trains on HALF the corpus (even doc_ids) and scores the
+    // OTHER half, which is what forces the full KN backoff structure
+    // that resubstitution never exercises: an unseen (w1,w2) pair keeps
+    // only the redistributed continuation mass, an unseen CONTEXT w1
+    // backs off to the continuation probability alone, and an unseen
+    // continuation w2 survives via add-one smoothing over the
+    // (vocab+1)-sized continuation space — every branch fires on the
+    // fixture (7 unseen pairs, 1 unseen context at sf0.01; counted
+    // before the entry was written, the q225 degenerate-fixture lesson).
+    // Exactly the CCNet deployment: the KenLM model ships trained on a
+    // reference corpus and scores NEW documents. Same plan economics as
+    // q244 (vocab-sized count aggs broadcast back, one per-doc agg).
+    //
+    // The NLL is reported in integer MICRO-NATS, not a rounded float
+    // average — the q244 posture (ROUND(AVG(-ln p), 4)) failed the SQL
+    // twin HERE by one final digit on 3 docs: the DataFrame plan and the
+    // twin's plan merge partial float sums in different partition
+    // orders, and with 267 entries the rounding boundary eventually
+    // lands on someone. Quantizing PER ROW (-ln p is bit-identical
+    // everywhere because the scalar expression text is identical) and
+    // summing INTEGERS is order-independent by construction — the same
+    // discipline as q225/q230, applied to a log-space measure.
+    Entry("q247_kn_heldout",
+      s"""WITH $wordsCtesSql,
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |bge AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+        |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bge GROUP BY 1),
+        |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bge GROUP BY 1),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bge GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS t FROM cb),
+        |vv AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM bge)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN cb.cab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  CAST(SUM(CAST(FLOOR(1000000 * -ln(
+        |    CASE WHEN cw1.c1 IS NULL THEN (COALESCE(cw2.np2, 0) + 1.0e0) / (t + v)
+        |    ELSE GREATEST(CAST(COALESCE(cb.cab, 0) AS DOUBLE) - 0.75e0, 0.0e0) / cw1.c1 +
+        |      ((0.75e0 * cw1.n1p) / cw1.c1) * ((COALESCE(cw2.np2, 0) + 1.0e0) / (t + v))
+        |    END)) AS BIGINT)) AS BIGINT) AS nll_unat
+        |FROM bg
+        |LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+        |LEFT JOIN cw1 ON cw1.w1 = bg.w1
+        |LEFT JOIN cw2 ON cw2.w2 = bg.w2
+        |CROSS JOIN tot CROSS JOIN vv
+        |WHERE bg.doc_id % 2 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val bg = TokenIndex.toks(s, d)
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), size(col("ws")) - 2),
+            i => struct(element_at(col("ws"), i + 1).as("w1"),
+                        element_at(col("ws"), i + 2).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val bge = bg.filter(col("doc_id") % 2 === 0).select(col("w1"), col("w2"))
+      val cw1 = bge.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+      val cw2 = bge.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
+      val cb = bge.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val tot = cb.agg(count(lit(1)).as("t"))
+      val vv = bge.agg((countDistinct(col("w2")) + 1).as("v"))
+      val pc = (coalesce(col("np2"), lit(0L)) + lit(1.0)) / (col("t") + col("v"))
+      val p = when(col("c1").isNull, pc)
+        .otherwise(
+          greatest(coalesce(col("cab"), lit(0L)).cast("double") - 0.75, lit(0.0)) / col("c1") +
+          ((lit(0.75) * col("n1p")) / col("c1")) * pc)
+      bg.filter(col("doc_id") % 2 === 1)
+        .join(broadcast(cb), Seq("w1", "w2"), "left")
+        .join(broadcast(cw1), Seq("w1"), "left")
+        .join(broadcast(cw2), Seq("w2"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             sum(when(col("cab").isNull, 1).otherwise(0)).as("n_unseen"),
+             sum(floor(lit(1000000) * -log(p))).as("nll_unat"))
         .orderBy(col("doc_id"))
     },
 
