@@ -59,7 +59,10 @@ object LangId {
     * Char-unit bigrams == codepoint bigrams for the BMP-only fixtures
     * (and the reference's ES analyzers are UTF-16-unit-based too).
     */
-  private val countsOf = udf { (text: String) =>
+  /** The ONE counting loop both UDFs share — training and scoring must
+    * count identically or the model/scorer pair silently desynchronizes
+    * (e.g. a future surrogate-pair revision applied to one copy only). */
+  private def bigramCounts(text: String): scala.collection.mutable.HashMap[String, Int] = {
     val m = scala.collection.mutable.HashMap.empty[String, Int]
     var i = 0
     while (i < text.length - 1) {
@@ -67,8 +70,10 @@ object LangId {
       m.update(g, m.getOrElse(g, 0) + 1)
       i += 1
     }
-    m.toSeq
+    m
   }
+
+  private val countsOf = udf { (text: String) => bigramCounts(text).toSeq }
 
   /** Classify one document given the dense model: count bigrams, rank the
     * top-K by (count desc, bigram asc) — the oracle's ROW_NUMBER order —
@@ -79,14 +84,7 @@ object LangId {
     */
   private def predOf(model: Map[String, Array[Int]], langs: Seq[String]) =
     udf { (text: String) =>
-      val m = scala.collection.mutable.HashMap.empty[String, Int]
-      var i = 0
-      while (i < text.length - 1) {
-        val g = text.substring(i, i + 2)
-        m.update(g, m.getOrElse(g, 0) + 1)
-        i += 1
-      }
-      val top = m.toSeq.sortBy { case (g, c) => (-c, g) }.take(K)
+      val top = bigramCounts(text).toSeq.sortBy { case (g, c) => (-c, g) }.take(K)
       val n = langs.length
       val a = new Array[Long](n)
       var dr = 0

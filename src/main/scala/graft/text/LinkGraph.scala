@@ -154,8 +154,12 @@ object LinkGraph {
           col("v") === col(groupKey), "left")
         .select(col("v"), coalesce(col("s"), lit(0L)).as("x"))
         .localCheckpoint()   // reused by the norm scalar AND the next step
+      // GREATEST(t, 1): a degenerate graph (empty edge set, or a mass-
+      // absorbing half-step summing to 0) must yield all-zero scores,
+      // not div-by-zero NULLs silently poisoning every later round; for
+      // any live graph t >= 1 and the guard is arithmetic identity
       raw.crossJoin(broadcast(raw.agg(sum(col("x")).as("t"))))
-        .select(col("v"), expr("1000000 * x div t").as("x"))
+        .select(col("v"), expr("1000000 * x div greatest(t, 1L)").as("x"))
     }
     var h = nodes.select(col("v"), lit(1000000L).as("x"))
     var a: DataFrame = h
@@ -177,7 +181,7 @@ object LinkGraph {
     * twice, which costs one extra inline of the prefix, not 2^k. */
   private def hitsOracleSql(idiv: String): String = {
     def norm(src: String) =
-      s"SELECT v, CAST(((1000000 * x) $idiv (SUM(x) OVER ())) AS BIGINT) AS x FROM $src"
+      s"SELECT v, CAST(((1000000 * x) $idiv (GREATEST(SUM(x) OVER (), 1))) AS BIGINT) AS x FROM $src"
     val rounds = (1 to HitsIterations).map { k =>
       s"""ar$k AS (
          |  SELECT nodes.v, COALESCE(SUM(y.x), 0) AS x

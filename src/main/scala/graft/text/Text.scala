@@ -51,6 +51,25 @@ object Text {
     s"""toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
       |words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM toks)""".stripMargin
 
+  /** Adjacent-bigram CTE over [[wordsCtesSql]] — ONE copy shared by the
+    * q244/q247 Kneser-Ney oracles (a tokenizer or pairing change lands in
+    * both or neither). */
+  val bigramCteSql: String =
+    """bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)""".stripMargin
+
+  /** DataFrame twin of [[bigramCteSql]]: (doc_id, w1, w2) straight off the
+    * staged token arrays — adjacency is array order, no positional join. */
+  def bigramPairs(s: SparkSession, d: String): DataFrame =
+    TokenIndex.toks(s, d)
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("ws")) - 2),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+                      element_at(col("ws"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+
   /** Shared oracle CTE text for the 16-bit SimHash (q67/q231): tokens →
     * per-doc token tf → weighted bit votes → fingerprint. One copy so the
     * fingerprint and its dedup application cannot desynchronize. */
@@ -843,8 +862,7 @@ object Text {
     // back; the corpus pays map work + one per-doc agg.
     Entry("q244_kn_bigram_nll",
       s"""WITH $wordsCtesSql,
-        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
-        |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |$bigramCteSql,
         |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bg GROUP BY 1),
         |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bg GROUP BY 1),
         |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
@@ -857,14 +875,7 @@ object Text {
         |FROM bg JOIN cb USING (w1, w2) JOIN cw1 USING (w1) JOIN cw2 USING (w2)
         |CROSS JOIN tt
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val bg = TokenIndex.toks(s, d)
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(0), size(col("ws")) - 2),
-            i => struct(element_at(col("ws"), i + 1).as("w1"),
-                        element_at(col("ws"), i + 2).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val bg = bigramPairs(s, d)
       val cw1 = bg.groupBy(col("w1"))
         .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
       val cw2 = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
@@ -908,8 +919,7 @@ object Text {
     // discipline as q225/q230, applied to a log-space measure.
     Entry("q247_kn_heldout",
       s"""WITH $wordsCtesSql,
-        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
-        |       FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |$bigramCteSql,
         |bge AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
         |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bge GROUP BY 1),
         |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bge GROUP BY 1),
@@ -930,14 +940,7 @@ object Text {
         |CROSS JOIN tot CROSS JOIN vv
         |WHERE bg.doc_id % 2 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val bg = TokenIndex.toks(s, d)
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(0), size(col("ws")) - 2),
-            i => struct(element_at(col("ws"), i + 1).as("w1"),
-                        element_at(col("ws"), i + 2).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      val bg = bigramPairs(s, d)
       val bge = bg.filter(col("doc_id") % 2 === 0).select(col("w1"), col("w2"))
       val cw1 = bge.groupBy(col("w1"))
         .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))

@@ -296,18 +296,26 @@ object Unigram {
          |$joins)""".stripMargin
     }.mkString(",\n")
     // backward chain: smallest-length-first move selection (single char
-    // checked before pieces), matching Unigram.piecesUsed exactly
+    // checked before pieces), matching Unigram.piecesUsed exactly. The
+    // branch list and the join list are generated from the SAME
+    // PieceMin..PieceMax range: PieceMax needs no branch of its own (by
+    // the DP invariant SOME move reproduces dp(pos), so if every shorter
+    // length failed the move is the longest) and therefore no join — a
+    // hardcoded branch list next to a parameterized join list is how the
+    // two silently drift when the piece-length window changes.
+    val pieceBranches = (PieceMin until PieceMax).map { l =>
+      s"      WHEN d.pos >= $l AND s$l.v IS NOT NULL AND ${dpAt(0)} = ${dpAt(l)} + s$l.v THEN $l"
+    }.mkString("\n")
     val lstar =
       s"""CASE
          |      WHEN d.pos <= 0 THEN 0
          |      WHEN ${dpAt(0)} = ${dpAt(1)} - 1 THEN 1
-         |      WHEN d.pos >= 2 AND s2.v IS NOT NULL AND ${dpAt(0)} = ${dpAt(2)} + s2.v THEN 2
-         |      WHEN d.pos >= 3 AND s3.v IS NOT NULL AND ${dpAt(0)} = ${dpAt(3)} + s3.v THEN 3
-         |      ELSE 4 END""".stripMargin
+         |$pieceBranches
+         |      ELSE $PieceMax END""".stripMargin
     val bks = (1 to MaxLen).map { k =>
       val carriedP = pCols.map(c => s"x.$c").mkString(", ")
       val carriedE = (1 until k).map(j => s"x.e$j").map(e => s"$e,").mkString(" ")
-      val joins = (PieceMin to PieceMax).map { l =>
+      val joins = (PieceMin until PieceMax).map { l =>
         s"    LEFT JOIN sel s$l ON s$l.p = substr(d.w, d.pos - ${l - 1}, $l)"
       }.mkString("\n")
       s"""bk$k AS (

@@ -61,6 +61,12 @@ class LinkGraphSpec extends GraftSuite {
     assert(got(0L)._2 > 0 && got(0L) == got(4L), s"$got")
     assert(got(1L)._2 == 0 && got(0L)._1 == 0, s"$got")
 
+    // degenerate graph: no edges -> all-zero scores, never NULL poison
+    val deg = LinkGraph.hits((0L to 2L).toDF("v"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(deg.toSet == (0L to 2L).map(v => (v, 0L, 0L)).toSet, s"${deg.toSeq}")
+
     // fixture graph: distributed == independent driver integer replay
     val n = graft.core.Tables(spark, sf, "documents").count()
     val fEdges = (0L until n).flatMap(id =>
