@@ -275,7 +275,14 @@ object Unigram {
     * exponentially (the q226/q235 lesson, third sighting). The final
     * unpivot is one CROSS JOIN over step indices against bk$MaxLen alone.
     */
-  private def emSql(idiv: String, duck: Boolean): String = {
+  /** One full E-step walk as CTE text, parameterized so q241 (round 1 vs
+    * the seed table) and q248 (round 2 vs the re-estimated survivor
+    * table) generate from the SAME code: the forward chain carrying the
+    * full dp vector, the backward chain, the step unpivot, and the
+    * frequency-weighted usage agg. `sfx` suffixes every CTE name;
+    * `selName` is the piece table (columns p, v) the walk segments
+    * against. Yields `usage$sfx(piece, used)`. */
+  private def walkCtes(sfx: String, selName: String, duck: Boolean): String = {
     val un = if (duck) "unnest" else "explode"
     val steps = if (duck) s"range(1, ${MaxLen + 1})" else s"sequence(1, $MaxLen)"
     val pCols = (0 to MaxLen).map(j => s"p$j")
@@ -284,15 +291,15 @@ object Unigram {
       val terms = Seq(s"d.p${k - 1} - 1") ++
         (PieceMin to PieceMax).filter(_ <= k).map(l => s"d.p${k - l} + s$l.v")
       val joins = (PieceMin to PieceMax).filter(_ <= k).map { l =>
-        s"  LEFT JOIN sel s$l ON s$l.p = substr(d.w, ${k - l + 1}, $l)"
+        s"  LEFT JOIN $selName s$l ON s$l.p = substr(d.w, ${k - l + 1}, $l)"
       }.mkString("\n")
       val g = if (terms.size == 1) terms.head
               else s"GREATEST(${terms.mkString(", ")})"
       val carried = (0 until k).map(j => s"d.p$j").mkString(", ")
-      s"""dpf$k AS (
+      s"""dpf$sfx$k AS (
          |  SELECT d.w, $carried,
          |    CASE WHEN length(d.w) >= $k THEN $g END AS p$k
-         |  FROM dpf${k - 1} d
+         |  FROM dpf$sfx${k - 1} d
          |$joins)""".stripMargin
     }.mkString(",\n")
     // backward chain: smallest-length-first move selection (single char
@@ -316,9 +323,9 @@ object Unigram {
       val carriedP = pCols.map(c => s"x.$c").mkString(", ")
       val carriedE = (1 until k).map(j => s"x.e$j").map(e => s"$e,").mkString(" ")
       val joins = (PieceMin until PieceMax).map { l =>
-        s"    LEFT JOIN sel s$l ON s$l.p = substr(d.w, d.pos - ${l - 1}, $l)"
+        s"    LEFT JOIN $selName s$l ON s$l.p = substr(d.w, d.pos - ${l - 1}, $l)"
       }.mkString("\n")
-      s"""bk$k AS (
+      s"""bk$sfx$k AS (
          |  SELECT x.w, $carriedP,
          |    CASE WHEN x.lstar > 0 THEN x.pos - x.lstar ELSE x.pos END AS pos,
          |    $carriedE
@@ -326,23 +333,27 @@ object Unigram {
          |         THEN substr(x.w, x.pos - x.lstar + 1, x.lstar) END AS e$k
          |  FROM (
          |    SELECT d.*, $lstar AS lstar
-         |    FROM bk${k - 1} d
+         |    FROM bk$sfx${k - 1} d
          |$joins) x)""".stripMargin
     }.mkString(",\n")
     val unpivot = (1 to MaxLen).map(j => s"WHEN $j THEN b.e$j")
       .mkString("CASE gi.i ", " ", " END")
-    s"""WITH ${prefixSql(duck)},
-       |dpf0 AS (SELECT w, CAST(0 AS BIGINT) AS p0 FROM wf WHERE length(w) <= $MaxLen),
+    s"""dpf${sfx}0 AS (SELECT w, CAST(0 AS BIGINT) AS p0 FROM wf WHERE length(w) <= $MaxLen),
        |$dpfs,
-       |bk0 AS (SELECT w, ${pCols.mkString(", ")}, length(w) AS pos FROM dpf$MaxLen),
+       |bk${sfx}0 AS (SELECT w, ${pCols.mkString(", ")}, length(w) AS pos FROM dpf$sfx$MaxLen),
        |$bks,
-       |em_pieces AS (
+       |em_pieces$sfx AS (
        |  SELECT b.w, $unpivot AS p
-       |  FROM bk$MaxLen b CROSS JOIN (SELECT $un($steps) AS i) gi),
-       |usage AS (
+       |  FROM bk$sfx$MaxLen b CROSS JOIN (SELECT $un($steps) AS i) gi),
+       |usage$sfx AS (
        |  SELECT e.p AS piece, CAST(SUM(f.f) AS BIGINT) AS used
-       |  FROM em_pieces e JOIN wf f ON f.w = e.w
-       |  WHERE e.p IS NOT NULL GROUP BY 1),
+       |  FROM em_pieces$sfx e JOIN wf f ON f.w = e.w
+       |  WHERE e.p IS NOT NULL GROUP BY 1)""".stripMargin
+  }
+
+  private def emSql(idiv: String, duck: Boolean): String = {
+    s"""WITH ${prefixSql(duck)},
+       |${walkCtes("", "sel", duck)},
        |sel2 AS (
        |  SELECT piece, used,
        |    ROW_NUMBER() OVER (ORDER BY used * (length(piece) - 1) DESC, piece) AS rnk2
