@@ -70,6 +70,51 @@ object Text {
                       element_at(col("ws"), i + 2).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
 
+  /** Resubstitution Kneser-Ney model chain (context counts + distinct
+    * continuations, distinct predecessors, bigram counts, type total) —
+    * ONE copy shared by q244 (per-doc NLL) and q248 (per-host rollup). */
+  val knChainSql: String =
+    s"""$wordsCtesSql,
+       |$bigramCteSql,
+       |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bg GROUP BY 1),
+       |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bg GROUP BY 1),
+       |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+       |tt AS (SELECT COUNT(*) AS t FROM cb)""".stripMargin
+
+  /** The per-bigram KN probability (d=0.75, exponent double literals for
+    * cross-dialect float parity — see q247's scaladoc). */
+  val knPSql: String =
+    "GREATEST(CAST(cab AS DOUBLE) - 0.75e0, 0.0e0) / c1 +\n" +
+    "      ((0.75e0 * n1p) / c1) * (CAST(np2 AS DOUBLE) / t)"
+
+  /** The per-group integer micro-nat NLL aggregate over [[knPSql]]. */
+  val knRowUnatSql: String =
+    s"CAST(SUM(CAST(FLOOR(1000000 * -ln($knPSql)) AS BIGINT)) AS BIGINT) AS nll_unat"
+
+  /** The scoring join (model tables back onto the bigram rows). */
+  val knScoreJoinSql: String =
+    "bg JOIN cb USING (w1, w2) JOIN cw1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN tt"
+
+  /** DataFrame twin of the KN scoring pass: every bigram row with its
+    * quantized micro-nat NLL (`row_unat`) attached — q244 aggregates it
+    * per doc, q248 per host. */
+  def knScored(s: SparkSession, d: String): DataFrame = {
+    val bg = bigramPairs(s, d)
+    val cw1 = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+    val cw2 = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val tt = cb.agg(count(lit(1)).as("t"))
+    val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
+      ((lit(0.75) * col("n1p")) / col("c1")) *
+        (col("np2").cast("double") / col("t"))
+    bg.join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(cw1), "w1")
+      .join(broadcast(cw2), "w2")
+      .crossJoin(broadcast(tt))
+      .withColumn("row_unat", floor(lit(1000000) * -log(p)))
+  }
+
   /** Shared oracle CTE text for the 16-bit SimHash (q67/q231): tokens →
     * per-doc token tf → weighted bit votes → fingerprint. One copy so the
     * fingerprint and its dedup application cannot desynchronize. */
@@ -861,38 +906,69 @@ object Text {
     // everywhere. The count tables are vocab^2-bounded and broadcast
     // back; the corpus pays map work + one per-doc agg.
     Entry("q244_kn_bigram_nll",
-      s"""WITH $wordsCtesSql,
-        |$bigramCteSql,
-        |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bg GROUP BY 1),
-        |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bg GROUP BY 1),
-        |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
-        |tt AS (SELECT COUNT(*) AS t FROM cb)
+      s"""WITH $knChainSql
         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-        |  CAST(SUM(CAST(FLOOR(1000000 * -ln(
-        |    GREATEST(CAST(cab AS DOUBLE) - 0.75e0, 0.0e0) / c1 +
-        |    ((0.75e0 * n1p) / c1) * (CAST(np2 AS DOUBLE) / t))) AS BIGINT)) AS BIGINT)
-        |    AS nll_unat
-        |FROM bg JOIN cb USING (w1, w2) JOIN cw1 USING (w1) JOIN cw2 USING (w2)
-        |CROSS JOIN tt
+        |  $knRowUnatSql
+        |FROM $knScoreJoinSql
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val bg = bigramPairs(s, d)
-      val cw1 = bg.groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
-      val cw2 = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
-      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
-      val tt = cb.agg(count(lit(1)).as("t"))
-      val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
-        ((lit(0.75) * col("n1p")) / col("c1")) *
-          (col("np2").cast("double") / col("t"))
-      bg.join(broadcast(cb), Seq("w1", "w2"))
-        .join(broadcast(cw1), "w1")
-        .join(broadcast(cw2), "w2")
-        .crossJoin(broadcast(tt))
+      knScored(s, d)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-             sum(floor(lit(1000000) * -log(p))).as("nll_unat"))
+             sum(col("row_unat")).as("nll_unat"))
         .orderBy(col("doc_id"))
     },
+
+    // Perplexity prior by domain (SURVEY Q248) — the HOST-tier view of
+    // q244 (q243's move applied to the LM signal): CCNet keys its
+    // head/middle/tail data split on LM perplexity, and a production
+    // build rolls that signal up to the domain tier exactly like q230's
+    // quality rollup — a host whose corpus-wide perplexity is high is
+    // boilerplate/garble the language model cannot predict, and the
+    // drop/downsample decision is made per DOMAIN, not per page. ONE
+    // host-keyed agg over the same scored bigram rows q244 already
+    // produces (shared chain + shared per-row micro-nat quantization —
+    // the rollup cannot drift from the per-doc scorer); integer mean
+    // micro-nats per bigram and a rank over the O(hosts) output.
+    Entry("q248_perplexity_by_host",
+      s"""WITH $knChainSql,
+        |hs AS (
+        |  SELECT 'www.site' || ((bg.doc_id // 4) % 5) || '.com' AS host,
+        |    COUNT(DISTINCT bg.doc_id) AS n_docs,
+        |    COUNT(*) AS n_bigrams,
+        |    $knRowUnatSql,
+        |    CAST(SUM(CAST(FLOOR(1000000 * -ln($knPSql)) AS BIGINT)) // COUNT(*)
+        |      AS BIGINT) AS mean_unat
+        |  FROM $knScoreJoinSql
+        |  GROUP BY 1)
+        |SELECT host, n_docs, n_bigrams, nll_unat, mean_unat,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY mean_unat DESC, host) AS INT) AS rnk
+        |FROM hs ORDER BY host""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      knScored(s, d)
+        .select(expr("concat('www.site', (doc_id div 4) % 5, '.com')").as("host"),
+          col("doc_id"), col("row_unat"))
+        .groupBy(col("host"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          sum(col("row_unat")).as("nll_unat"),
+          expr("CAST(SUM(row_unat) div COUNT(*) AS BIGINT)").as("mean_unat"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("mean_unat").desc, col("host"))).cast("int"))
+        .orderBy(col("host"))
+    }.sqlTwin(
+      s"""WITH ${graft.queries.Dialect.duckToSpark(knChainSql)},
+        |hs AS (
+        |  SELECT concat('www.site', (bg.doc_id div 4) % 5, '.com') AS host,
+        |    COUNT(DISTINCT bg.doc_id) AS n_docs,
+        |    COUNT(*) AS n_bigrams,
+        |    $knRowUnatSql,
+        |    CAST(SUM(CAST(FLOOR(1000000 * -ln($knPSql)) AS BIGINT)) div COUNT(*)
+        |      AS BIGINT) AS mean_unat
+        |  FROM $knScoreJoinSql
+        |  GROUP BY 1)
+        |SELECT host, n_docs, n_bigrams, nll_unat, mean_unat,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY mean_unat DESC, host) AS INT) AS rnk
+        |FROM hs ORDER BY host""".stripMargin),
 
     // Held-out Kneser-Ney scoring (SURVEY Q247) — q244 deployment-shaped:
     // the model trains on HALF the corpus (even doc_ids) and scores the
