@@ -111,6 +111,26 @@ object Streams {
     stageSplit(s, d, table, key,
       Seq(col(idCol) % 3 === 0, col(idCol) % 3 === 1, col(idCol) % 3 === 2))
 
+  /** q142's per-batch index probe: the arriving docs' shingles against
+    * the cached corpus index, pair partial counts, the provable per-batch
+    * Jaccard prune (see the entry's comment). Factored out so
+    * PlanShapeSpec can pin the probe's physical shape — the BATCH side is
+    * the broadcast build (a micro-batch is small relative to the index at
+    * any deployment scale), the index streams from cache with no
+    * corpus-sized exchange, and the size gates are broadcast. */
+  private[graft] def neardupProbe(batch: DataFrame, shStatic: DataFrame,
+                                  sz: DataFrame): DataFrame =
+    graft.text.Text.arrivingShingles(batch)
+      .select(col("doc_id").as("new_id"), col("h").as("hn"))
+      .join(shStatic, col("hn") === col("h") && col("new_id") =!= col("doc_id"))
+      .groupBy(least(col("new_id"), col("doc_id")).as("doc_a"),
+               greatest(col("new_id"), col("doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("inter2"))
+      .join(broadcast(sz.as("pa")), col("pa.doc_id") === col("doc_a"))
+      .join(broadcast(sz.as("pb")), col("pb.doc_id") === col("doc_b"))
+      .filter(lit(6) * col("inter2") >= col("pa.sz") + col("pb.sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter2"))
+
   private[streaming] def stageQ142(s: SparkSession, d: String): String =
     stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
   private[streaming] def stageQ158(s: SparkSession, d: String): String =
@@ -529,12 +549,16 @@ object Streams {
     // route stays bench-only (q61_minhash_lsh): banding recall < 1
     // can't meet a hash-equality contract.
     Entry("q142_stream_neardup_ingest", graft.text.Text.neardupPairsOracleSql) { (s, d) =>
-      // persist the static index side: every micro-batch probes it, and
-      // without the pin each of the three batches re-reads the staged
-      // parquet — standard stream-static join practice (the block-manager
-      // copy is what a production executor would hold anyway)
+      // The static index side, persisted: every micro-batch probes it, and
+      // the probe join BROADCASTS the batch-sized arriving side (pinned in
+      // PlanShapeSpec), so the cached index streams MAP-ONLY — zero
+      // exchanges of corpus-sized data per batch. The previous plan
+      // re-shuffled the whole index on h every batch (VERDICT r14 #2).
       val shStatic = graft.text.TokenIndex.shingles3(s, d).persist()   // (doc_id, h)
-      val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // per-doc set sizes: O(docs) rows, persisted so the per-batch prune
+      // and both final size joins broadcast the same materialized agg
+      // instead of re-aggregating the index once per broadcast build
+      val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).persist()
       val src = stageQ142(s, d)
       val out = newStageDir("graft_neardup_out")
       val ckpt = newStageDir("graft_neardup_ckpt")
@@ -544,23 +568,38 @@ object Streams {
         val q = stream.writeStream.trigger(Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.text.Text.arrivingShingles(batch)
-              .select(col("doc_id").as("new_id"), col("h").as("hn"))
-              .join(shStatic, col("hn") === col("h") && col("new_id") =!= col("doc_id"))
-              .groupBy(least(col("new_id"), col("doc_id")).as("doc_a"),
-                       greatest(col("new_id"), col("doc_id")).as("doc_b"))
-              .agg(count(lit(1)).as("inter2"))
+            // Push the Jaccard gate INTO the batch as a provable prune
+            // (VERDICT r14 #2): an arriving doc probes the COMPLETE
+            // corpus index, so a pair's per-batch partial inter2 is
+            // already its full intersection i (one endpoint arrived this
+            // batch) or 2i (both did) — never less. jac is monotone in i
+            // and i <= inter2, so keeping exactly the pairs with
+            // 6*inter2 >= sa+sb (the cross-multiplied jac(i)>=0.2 gate
+            // at the upper bound i := inter2; integer form — the
+            // division form hits a 0 denominator when identical docs
+            // arrive in one batch and inter2 = 2i = sa+sb) (a) keeps a
+            // superset of the true survivors, (b) decides identically
+            // for both partials of a split-discovered pair (both carry
+            // inter2 = i), so the final merge still sees all-or-none of
+            // a pair's partials and its exact gate is unchanged. Sink
+            // volume drops from EVERY candidate pair (~1.1M at sf0.1 —
+            // at corpus scale, the silent sink-explosion) to the gate's
+            // survivors. Each batch owns its own batch=<id> partition:
+            // idempotent under replay, the q183 posture.
+            neardupProbe(batch, shStatic, sz)
               .write.mode("overwrite").parquet(s"$out/batch=$batchId")
             ()
           }.start()
         q.awaitTermination()
       }
+      // final merge over the pruned sink (tiny): sum the 2x-counted
+      // partials, apply the EXACT gate, report
       val counted = s.read.parquet(out)
         .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("inter2")).as("inter2"))
       val jac = (col("inter2") / 2) / (col("sa.sz") + col("sb.sz") - col("inter2") / 2)
       counted
-        .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .join(broadcast(sz.as("sa")), col("sa.doc_id") === col("doc_a"))
+        .join(broadcast(sz.as("sb")), col("sb.doc_id") === col("doc_b"))
         .filter(jac >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
         .orderBy(col("doc_a"), col("doc_b"))

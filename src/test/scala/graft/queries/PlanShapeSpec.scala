@@ -466,6 +466,30 @@ class PlanShapeSpec extends GraftSuite {
       s"no map-side partial aggregate on the resolved key:\n$p")
   }
 
+  test("q142 probe: arriving batch broadcasts; cached index never shuffles; prune gate in-plan") {
+    import org.apache.spark.sql.functions._
+    // the per-batch index probe (VERDICT r14 #2): the micro-batch side is
+    // the broadcast build at any deployment scale, the corpus index
+    // streams from its cached blocks with NO corpus-keyed exchange, and
+    // the integer Jaccard prune gate sits inside the batch plan
+    val shStatic = graft.text.TokenIndex.shingles3(spark, sf).persist()
+    try {
+      shStatic.count()
+      val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val batch = graft.core.Tables(spark, sf, "documents")
+        .filter(col("doc_id") % 3 === 0)
+      val p = graft.streaming.Streams.neardupProbe(batch, shStatic, sz)
+        .queryExecution.executedPlan.toString
+      assert("""BroadcastHashJoin \[hn#\d+L?\], \[h#\d+L?\], Inner, BuildLeft""".r
+        .findFirstIn(p).nonEmpty,
+        s"index probe must broadcast the ARRIVING side (BuildLeft) against the cached index:\n$p")
+      assert(!p.contains("hashpartitioning(h#"),
+        s"the corpus index must never re-shuffle on the probe key:\n$p")
+      assert(p.contains("* 6) >="),
+        s"per-batch integer Jaccard prune gate missing from the plan:\n$p")
+    } finally { shStatic.unpersist(); () }
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
