@@ -38,7 +38,13 @@ object Funnel {
     1 -> "fetched", 2 -> "robots_allowed", 3 -> "url_unique",
     4 -> "quality_pass", 5 -> "text_unique")
 
-  def report(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc gate inputs via the real kernels (robots verdict through the
+    * q222 engine's per-partition rule-set memo, URL group key through the
+    * q218 canonicalizer, token counts off the ingest-staged index) — ONE
+    * copy shared by the v1 funnel (q224) and the model-composed v2
+    * (q252), so the upstream gates cannot drift between the two reports.
+    * Map-only except the two doc_id equi-joins of same-scan projections. */
+  private def gateInputs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "a", "of", "and", "to", "is", "in")
 
@@ -59,9 +65,17 @@ object Funnel {
       .select(col("doc_id"), size(col("ws")).as("n_tok"),
               size(filter(col("ws"), w => w.isin(stop: _*))).as("n_stop"))
 
-    val flags = T(s, d, "documents").select(col("doc_id"), col("text"))
+    T(s, d, "documents").select(col("doc_id"), col("text"))
       .join(decisions, "doc_id")
       .join(toks, "doc_id")
+  }
+
+  /** Per-doc reach flags through stage 5 (the v1 gate ladder) — shared by
+    * q224 and q252, so the two reports' common stages are ONE derivation:
+    * robots verdict, URL-keeper resolution among permitted docs, the rule
+    * quality screen, text-keeper resolution among quality survivors. */
+  private def reachFlags(s: SparkSession, d: String): DataFrame =
+    gateInputs(s, d)
       .withColumn("url_keeper",
         min(when(col("allowed"), col("doc_id")))
           .over(Window.partitionBy(col("canon_url"))))
@@ -71,19 +85,73 @@ object Funnel {
       .withColumn("text_keeper",
         min(when(col("reach4"), col("doc_id")))
           .over(Window.partitionBy(col("text"))))
-      .withColumn("reached",
-        when(col("reach4") && col("doc_id") === col("text_keeper"), 5)
-          .when(col("reach4"), 4)
-          .when(col("reach3"), 3)
-          .when(col("allowed"), 2)
-          .otherwise(1))
+      .withColumn("reach5", col("reach4") && col("doc_id") === col("text_keeper"))
 
-    val counts = flags.groupBy(col("reached")).agg(count(lit(1)).as("c"))
-    val stages = stageNames.toDF("stage_idx", "stage")
+  /** Fold per-doc `reached` levels into the survivor-per-stage report via
+    * the broadcast theta join (counts are O(stages), stages O(stages)). */
+  private def stageFold(perDoc: DataFrame, names: Seq[(Int, String)]): DataFrame = {
+    val s = perDoc.sparkSession
+    import s.implicits._
+    val counts = perDoc.groupBy(col("reached")).agg(count(lit(1)).as("c"))
+    val stages = names.toDF("stage_idx", "stage")
     broadcast(stages).join(counts, col("reached") >= col("stage_idx"), "left")
       .groupBy(col("stage_idx"), col("stage"))
       .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("n_docs"))
       .orderBy(col("stage_idx"))
+  }
+
+  def report(s: SparkSession, d: String): DataFrame =
+    stageFold(
+      reachFlags(s, d).withColumn("reached",
+        when(col("reach5"), 5)
+          .when(col("reach4"), 4)
+          .when(col("reach3"), 3)
+          .when(col("allowed"), 2)
+          .otherwise(1)),
+      stageNames)
+
+  private val stageNamesV2 = stageNames ++ Seq(
+    6 -> "model_quality_pass", 7 -> "lm_perplexity_pass")
+
+  /** q252: the v1 funnel COMPOSED with the model tiers (VERDICT r14 #7)
+    * — two more nested gates on the text-unique survivors: the q234
+    * bucket-posterior model (driver-artifact posture: the O(50)-row
+    * posterior table trained once and folded back as literal lookup
+    * arrays, so the gate is a map-only column — no join; gated at the
+    * q242 confident-positive bar [[QualityModel.PseudoPos]] — the keep
+    * threshold 2.5M is vacuous on rule survivors, every one of which the
+    * model already keeps, measured at sf0.01 AND sf0.1 before this gate
+    * was pinned: a high-precision corpus keeps what the model is SURE
+    * about) and the q244
+    * Kneser-Ney per-doc mean micro-nat gate at [[Text.LmGateUnat]] (the
+    * one corpus-keyed equi-join this report adds: the per-doc LM agg
+    * joined back on doc_id). Missing signals fail closed (a doc the
+    * model or LM never scored cannot pass a gate it was never scored
+    * for; on this fixture every doc has >= 10 tokens so both left joins
+    * hit). */
+  def reportV2(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents")
+    val g = QualityModel.bucketFrame(docs)
+    val m1 = QualityModel.trainPosteriors(g, "label")
+    val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
+    val lm = Text.knDocMean(s, d).select(col("doc_id"), col("mean_unat"))
+    val perDoc = reachFlags(s, d)
+      .select(col("doc_id"), col("allowed"), col("reach3"), col("reach4"), col("reach5"))
+      .join(scored, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("reach6",
+        col("reach5") && coalesce(col("score") >= lit(QualityModel.PseudoPos), lit(false)))
+      .withColumn("reach7",
+        col("reach6") && coalesce(col("mean_unat") <= lit(Text.LmGateUnat), lit(false)))
+      .withColumn("reached",
+        when(col("reach7"), 7)
+          .when(col("reach6"), 6)
+          .when(col("reach5"), 5)
+          .when(col("reach4"), 4)
+          .when(col("reach3"), 3)
+          .when(col("allowed"), 2)
+          .otherwise(1))
+    stageFold(perDoc, stageNamesV2)
   }
 
   private val oracleBody: String =
@@ -117,7 +185,76 @@ object Funnel {
       |FROM stages LEFT JOIN counts ON reached >= stage_idx
       |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
 
+  /** q252's oracle/twin body: the v1 gate ladder (byte-compatible
+    * arithmetic) + the q234 model chain + the q244 per-doc LM mean, all
+    * replayed in SQL — the hash pins the seven-level NESTING across three
+    * subsystems, not just each gate alone. `duck` selects the dialect for
+    * every spliced fragment. */
+  private def v2Sql(duck: Boolean): String = {
+    val idiv = if (duck) "//" else "div"
+    val ws = if (duck) Text.tokensSql else Dialect.tokensSparkSql
+    val len = if (duck) "len" else "size"
+    val fil = if (duck) "list_filter" else "filter"
+    val qm = QualityModel.chain(idiv, duck)
+    val knDuck = s"${Text.knChainSql},\n${Text.knDocMeanCteSql}"
+    val kn = if (duck) knDuck else Dialect.duckToSpark(knDuck)
+    s"""WITH ft AS (SELECT doc_id, text, $ws AS ws FROM documents),
+       |base AS (
+       |  SELECT doc_id, text,
+       |    NOT ((((doc_id $idiv 4) % 5) % 2 = 1) AND ((doc_id $idiv 4) % 10 IN (1, 3))) AS allowed,
+       |    doc_id $idiv 4 AS grp,
+       |    $len(ws) AS n_tok,
+       |    $len($fil(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS n_stop
+       |  FROM ft),
+       |$qm,
+       |$kn,
+       |lv1 AS (
+       |  SELECT doc_id, text, allowed, n_tok, n_stop,
+       |    allowed AND doc_id = MIN(CASE WHEN allowed THEN doc_id END)
+       |                    OVER (PARTITION BY grp) AS reach3
+       |  FROM base),
+       |lv2 AS (
+       |  SELECT doc_id, text, allowed, reach3,
+       |    reach3 AND n_tok >= 25 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.03 AS reach4
+       |  FROM lv1),
+       |lv3 AS (
+       |  SELECT doc_id, allowed, reach3, reach4,
+       |    reach4 AND doc_id = MIN(CASE WHEN reach4 THEN doc_id END)
+       |                    OVER (PARTITION BY text) AS reach5
+       |  FROM lv2),
+       |perdoc AS (
+       |  SELECT l.doc_id,
+       |    CASE WHEN reach5 AND COALESCE(q.score >= ${QualityModel.PseudoPos}, FALSE)
+       |              AND COALESCE(p.mean_unat <= ${Text.LmGateUnat}, FALSE) THEN 7
+       |         WHEN reach5 AND COALESCE(q.score >= ${QualityModel.PseudoPos}, FALSE) THEN 6
+       |         WHEN reach5 THEN 5
+       |         WHEN reach4 THEN 4
+       |         WHEN reach3 THEN 3
+       |         WHEN allowed THEN 2
+       |         ELSE 1 END AS reached
+       |  FROM lv3 l
+       |  LEFT JOIN sc q ON q.doc_id = l.doc_id
+       |  LEFT JOIN pd p ON p.doc_id = l.doc_id),
+       |counts AS (SELECT reached, COUNT(*) AS c FROM perdoc GROUP BY 1),
+       |stages AS (
+       |  SELECT 1 AS stage_idx, 'fetched' AS stage
+       |  UNION ALL SELECT 2, 'robots_allowed'
+       |  UNION ALL SELECT 3, 'url_unique'
+       |  UNION ALL SELECT 4, 'quality_pass'
+       |  UNION ALL SELECT 5, 'text_unique'
+       |  UNION ALL SELECT 6, 'model_quality_pass'
+       |  UNION ALL SELECT 7, 'lm_perplexity_pass')
+       |SELECT stage_idx, stage,
+       |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs
+       |FROM stages LEFT JOIN counts ON reached >= stage_idx
+       |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
+    Entry("q252_curation_funnel_v2", v2Sql(duck = true)) { (s, d) =>
+      reportV2(s, d)
+    }.sqlTwin(v2Sql(duck = false)),
+
     Entry("q224_curation_funnel",
       s"""WITH t AS (SELECT doc_id, text, ${Text.tokensSql} AS ws FROM documents),
         |base AS (

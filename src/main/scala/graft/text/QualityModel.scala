@@ -56,8 +56,10 @@ object QualityModel {
 
   /** Shared signal/bucket/label derivation. `idiv` is the engine's
     * integer-division spelling; `lenFn`/`tokens`/`distinctFn`/`regexFlag`
-    * differ between DuckDB and Spark SQL. */
-  private def chain(idiv: String, duck: Boolean): String = {
+    * differ between DuckDB and Spark SQL. Package-visible: q252's funnel
+    * oracle splices this chain so its model gate replays the SAME
+    * training the q234 entry pins. */
+  private[text] def chain(idiv: String, duck: Boolean): String = {
     val ws = if (duck) Text.tokensSql else graft.queries.Dialect.tokensSparkSql
     val len = if (duck) "len" else "size"
     val dis = if (duck) "list_distinct" else "array_distinct"
@@ -154,6 +156,30 @@ object QualityModel {
       .orderBy(col("label"), col("pred"))
   }
 
+  /** Laplace-smoothed P(positive | sig, bucket) in ppm as dense
+    * per-signal lookup arrays; buckets unseen by this round's training
+    * set keep the Laplace prior 500000 (the oracle's COALESCE arm).
+    * The q242 driver-artifact posture, shared with q252's funnel model
+    * gate: the posterior table is one map-side-combined agg collapsed to
+    * O(signals x deciles) rows, collected, and folded back as literals —
+    * the corpus is never doc-keyed-shuffled for scoring. */
+  private[text] def trainPosteriors(df: DataFrame, labelCol: String): Seq[Seq[Long]] = {
+    val rows = df.selectExpr(labelCol,
+        "stack(5, 0, b0, 1, b1, 2, b2, 3, b3, 4, b4) AS (sig, b)")
+      .groupBy(col("sig"), col("b"))
+      .agg(expr(s"CAST((1000000 * (SUM($labelCol) + 1)) div (COUNT(*) + 2) AS BIGINT)")
+        .as("ppm"))
+      .collect()
+    val arr = Array.fill(5)(Array.fill(10)(500000L))
+    rows.foreach(r => arr(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    arr.map(_.toSeq).toSeq
+  }
+
+  /** The literal-lookup score column over a [[bucketFrame]] row. */
+  private[text] def scoreCol(m: Seq[Seq[Long]]): org.apache.spark.sql.Column =
+    (0 to 4).map(i =>
+      element_at(typedLit(m(i)), col(s"b$i").cast("int") + 1)).reduce(_ + _)
+
   /** Confidence gates for the q242 pseudo-label round: only documents the
     * round-1 model is SURE about join the round-2 training set (the
     * classic self-training recipe — training on every prediction lets the
@@ -218,26 +244,9 @@ object QualityModel {
     // their own rows.
     Entry("q242_quality_selftrain", selftrainSql("//", duck = true)) { (s, d) =>
       val g = bucketFrame(T(s, d, "documents")).persist()
-      // Laplace-smoothed P(positive | sig, bucket) in ppm as dense
-      // per-signal lookup arrays; buckets unseen by this round's training
-      // set keep the Laplace prior 500000 (the oracle's COALESCE arm)
-      def trainOn(df: DataFrame, labelCol: String): Seq[Seq[Long]] = {
-        val rows = df.selectExpr(labelCol,
-            "stack(5, 0, b0, 1, b1, 2, b2, 3, b3, 4, b4) AS (sig, b)")
-          .groupBy(col("sig"), col("b"))
-          .agg(expr(s"CAST((1000000 * (SUM($labelCol) + 1)) div (COUNT(*) + 2) AS BIGINT)")
-            .as("ppm"))
-          .collect()
-        val arr = Array.fill(5)(Array.fill(10)(500000L))
-        rows.foreach(r => arr(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
-        arr.map(_.toSeq).toSeq
-      }
-      def scoreCol(m: Seq[Seq[Long]]): org.apache.spark.sql.Column =
-        (0 to 4).map(i =>
-          element_at(typedLit(m(i)), col(s"b$i").cast("int") + 1)).reduce(_ + _)
-      val m1 = trainOn(g, "label")
+      val m1 = trainPosteriors(g, "label")
       val g1 = g.withColumn("score1", scoreCol(m1))
-      val m2 = trainOn(
+      val m2 = trainPosteriors(
         g1.filter(col("score1") < PseudoNeg || col("score1") >= PseudoPos)
           .withColumn("pseudo", when(col("score1") >= PseudoPos, 1).otherwise(0)),
         "pseudo")

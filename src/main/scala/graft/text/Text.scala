@@ -95,6 +95,119 @@ object Text {
   val knScoreJoinSql: String =
     "bg JOIN cb USING (w1, w2) JOIN cw1 USING (w1) JOIN cw2 USING (w2) CROSS JOIN tt"
 
+  /** Per-doc KN rollup CTE over [[knChainSql]] — total and MEAN micro-nats
+    * per document (the CCNet "perplexity of this doc" signal). ONE copy
+    * shared by q249's tercile split and q252's funnel LM gate, riding the
+    * same scored rows as q244/q248 so the decision layers cannot drift
+    * from the per-doc scorer. mean = integer division of nonnegative
+    * integers ('//' floor and 'div' truncate agree there). */
+  val knDocMeanCteSql: String =
+    s"""pd AS (
+       |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       |    $knRowUnatSql,
+       |    CAST(SUM(CAST(FLOOR(1000000 * -ln($knPSql)) AS BIGINT)) // COUNT(*)
+       |      AS BIGINT) AS mean_unat
+       |  FROM $knScoreJoinSql
+       |  GROUP BY 1)""".stripMargin
+
+  /** DataFrame twin of [[knDocMeanCteSql]]: (doc_id, n_bigrams, nll_unat,
+    * mean_unat) off [[knScored]]'s rows. */
+  def knDocMean(s: SparkSession, d: String): DataFrame =
+    knScored(s, d)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("row_unat")).as("nll_unat"))
+      .withColumn("mean_unat", expr("nll_unat div n_bigrams"))
+
+  /** q252's LM keep gate on [[knDocMean]]'s per-doc mean micro-nats —
+    * ~the corpus median (3.39-3.40M at sf0.01/sf0.1), so the gate has
+    * real selectivity at every fixture scale. One constant shared by the
+    * Spark side and the oracle text. */
+  val LmGateUnat = 3400000L
+
+  /** q251's oracle/twin body, parameterized on the engine's host-concat
+    * and integer-division spellings (the only dialect differences). The
+    * scoring CASE is q247's byte-for-byte — every backoff branch in ONE
+    * copy across both entries' oracles. */
+  private def heldoutGapSql(host: String, idiv: String): String =
+    s"""WITH $wordsCtesSql,
+       |$bigramCteSql,
+       |bge AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+       |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bge GROUP BY 1),
+       |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bge GROUP BY 1),
+       |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bge GROUP BY 1, 2),
+       |tot AS (SELECT COUNT(*) AS t FROM cb),
+       |vv AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM bge),
+       |sc AS (
+       |  SELECT bg.doc_id, bg.doc_id % 2 AS held,
+       |    CAST(FLOOR(1000000 * -ln(
+       |      CASE WHEN cw1.c1 IS NULL THEN (COALESCE(cw2.np2, 0) + 1.0e0) / (t + v)
+       |      ELSE GREATEST(CAST(COALESCE(cb.cab, 0) AS DOUBLE) - 0.75e0, 0.0e0) / cw1.c1 +
+       |        ((0.75e0 * cw1.n1p) / cw1.c1) * ((COALESCE(cw2.np2, 0) + 1.0e0) / (t + v))
+       |      END)) AS BIGINT) AS row_unat
+       |  FROM bg
+       |  LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+       |  LEFT JOIN cw1 ON cw1.w1 = bg.w1
+       |  LEFT JOIN cw2 ON cw2.w2 = bg.w2
+       |  CROSS JOIN tot CROSS JOIN vv),
+       |hs AS (
+       |  SELECT $host AS host,
+       |    CAST(COUNT(DISTINCT CASE WHEN held = 0 THEN sc.doc_id END) AS BIGINT) AS n_train_docs,
+       |    CAST(COUNT(DISTINCT CASE WHEN held = 1 THEN sc.doc_id END) AS BIGINT) AS n_held_docs,
+       |    CAST(SUM(CASE WHEN held = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_bigrams,
+       |    CAST(SUM(CASE WHEN held = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_held_bigrams,
+       |    CAST(SUM(CASE WHEN held = 0 THEN row_unat ELSE 0 END)
+       |      $idiv NULLIF(SUM(CASE WHEN held = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS train_mean_unat,
+       |    CAST(SUM(CASE WHEN held = 1 THEN row_unat ELSE 0 END)
+       |      $idiv NULLIF(SUM(CASE WHEN held = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS held_mean_unat
+       |  FROM sc GROUP BY 1)
+       |SELECT host, n_train_docs, n_held_docs, n_train_bigrams, n_held_bigrams,
+       |  train_mean_unat, held_mean_unat,
+       |  CAST(held_mean_unat - train_mean_unat AS BIGINT) AS gap_unat
+       |FROM hs ORDER BY host""".stripMargin
+
+  /** Per-LANGUAGE resubstitution Kneser-Ney chain (SURVEY Q250) — the
+    * CCNet conditioning move: one model per language (lang joins every
+    * count agg as a key column), each doc scored under its own language's
+    * model. The fixture's 5 langs each carry >= 64 docs, so every lang
+    * trains a full model by resubstitution — no fallback branch needed
+    * (the held-out backoff structure is q247's job). */
+  val knLangChainSql: String =
+    s"""$wordsCtesSql,
+       |$bigramCteSql,
+       |bgl AS (SELECT b.doc_id, d.lang, b.w1, b.w2
+       |        FROM bg b JOIN documents d ON d.doc_id = b.doc_id),
+       |cw1 AS (SELECT lang, w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p
+       |        FROM bgl GROUP BY 1, 2),
+       |cw2 AS (SELECT lang, w2, COUNT(DISTINCT w1) AS np2 FROM bgl GROUP BY 1, 2),
+       |cb AS (SELECT lang, w1, w2, COUNT(*) AS cab FROM bgl GROUP BY 1, 2, 3),
+       |tt AS (SELECT lang, COUNT(*) AS t FROM cb GROUP BY 1)""".stripMargin
+
+  /** DataFrame twin of the per-language KN scoring pass: every bigram row
+    * with its language and quantized micro-nat NLL under that LANGUAGE's
+    * model. Same plan economics as [[knScored]] — the count tables are
+    * (langs x vocab^2)-bounded and broadcast back; the lang attach is a
+    * broadcast of the O(docs) (doc_id, lang) projection. */
+  def knLangScored(s: SparkSession, d: String): DataFrame = {
+    val dl = graft.core.Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+    val bgl = bigramPairs(s, d).join(broadcast(dl), "doc_id")
+    val cw1 = bgl.groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+    val cw2 = bgl.groupBy(col("lang"), col("w2"))
+      .agg(countDistinct(col("w1")).as("np2"))
+    val cb = bgl.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cab"))
+    val tt = cb.groupBy(col("lang")).agg(count(lit(1)).as("t"))
+    val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
+      ((lit(0.75) * col("n1p")) / col("c1")) *
+        (col("np2").cast("double") / col("t"))
+    bgl.join(broadcast(cb), Seq("lang", "w1", "w2"))
+      .join(broadcast(cw1), Seq("lang", "w1"))
+      .join(broadcast(cw2), Seq("lang", "w2"))
+      .join(broadcast(tt), Seq("lang"))
+      .withColumn("row_unat", floor(lit(1000000) * -log(p)))
+  }
+
   /** DataFrame twin of the KN scoring pass: every bigram row with its
     * quantized micro-nat NLL (`row_unat`) attached — q244 aggregates it
     * per doc, q248 per host. */
@@ -1040,6 +1153,129 @@ object Text {
              sum(floor(lit(1000000) * -log(p))).as("nll_unat"))
         .orderBy(col("doc_id"))
     },
+
+    // CCNet perplexity terciles (SURVEY Q249) — the DECISION layer on the
+    // LM signal (VERDICT r14 #3): CCNet splits the corpus into
+    // head/middle/tail by per-doc LM perplexity and keeps/downsamples by
+    // tercile. The per-doc measure is q244's integer mean micro-nat
+    // (shared pd CTE — the split cannot drift from the scorer); the
+    // boundaries are EXACT integer ranks (ROW_NUMBER over (mean, doc_id)
+    // — a float quantile would be engine-divergent), tercile k = docs
+    // with (rn-1)*3 div n = k. Output: per-tercile doc count + boundary
+    // mean values — the artifact a pipeline publishes with its split.
+    //
+    // Scale: the doc tier is already O(docs) post-agg rows, but the exact
+    // rank is still one single-partition window over them; a production
+    // build computes the two boundary values from a driver-side SAMPLE
+    // (the CCNet recipe ships them with the model) and labels map-only.
+    // The exact rank is the oracle-replayable stand-in at fixture scale —
+    // same output contract, and the labeling side (one comparison against
+    // two broadcast scalars) is identical either way.
+    Entry("q249_ccnet_terciles",
+      s"""WITH $knChainSql,
+        |$knDocMeanCteSql,
+        |rk AS (SELECT doc_id, mean_unat,
+        |         ROW_NUMBER() OVER (ORDER BY mean_unat, doc_id) AS rn,
+        |         COUNT(*) OVER () AS n
+        |       FROM pd),
+        |lbl AS (SELECT mean_unat, ((rn - 1) * 3) // n AS tidx FROM rk)
+        |SELECT CASE tidx WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tercile,
+        |  COUNT(*) AS n_docs,
+        |  MIN(mean_unat) AS lo_unat,
+        |  MAX(mean_unat) AS hi_unat
+        |FROM lbl GROUP BY tidx ORDER BY tercile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      knDocMean(s, d)
+        .select(col("doc_id"), col("mean_unat"),
+          row_number().over(Window.orderBy(col("mean_unat"), col("doc_id"))).as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("n"))
+        .withColumn("tidx", expr("((rn - 1) * 3) div n"))
+        .groupBy(col("tidx"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("mean_unat")).as("lo_unat"),
+             max(col("mean_unat")).as("hi_unat"))
+        .select(
+          when(col("tidx") === 0, "head").when(col("tidx") === 1, "middle")
+            .otherwise("tail").as("tercile"),
+          col("n_docs"), col("lo_unat"), col("hi_unat"))
+        .orderBy(col("tercile"))
+    },
+
+    // Per-language Kneser-Ney scoring (SURVEY Q250, VERDICT r14 #5) —
+    // CCNet trains one LM PER LANGUAGE and scores each doc under its own
+    // language's model (a French doc's perplexity under an English model
+    // measures translation distance, not quality). lang rides as a key
+    // column through all three count aggs of the shared chain
+    // ([[knLangChainSql]]); the count tables grow to (langs x vocab^2) —
+    // still broadcast — and the corpus additionally pays one BROADCAST
+    // lang attach (the O(docs) (doc_id, lang) projection). Resubstitution
+    // per lang: every scored bigram was seen in its own language's model
+    // (every fixture lang carries >= 64 docs), so no backoff branch —
+    // q247 owns that structure. Output is q244's per-doc shape plus lang,
+    // directly comparable: conditioning shifts nll_unat wherever a doc's
+    // bigrams are rarer (or denser) within its language than corpus-wide.
+    Entry("q250_kn_perlang",
+      s"""WITH $knLangChainSql
+        |SELECT bgl.doc_id, lang, COUNT(*) AS n_bigrams,
+        |  $knRowUnatSql
+        |FROM bgl JOIN cb USING (lang, w1, w2) JOIN cw1 USING (lang, w1)
+        |  JOIN cw2 USING (lang, w2) JOIN tt USING (lang)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      knLangScored(s, d)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             sum(col("row_unat")).as("nll_unat"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Held-out generalization gap by host (SURVEY Q251, VERDICT r14 #6)
+    // — q247's model (trained on the even half) scores BOTH halves, and
+    // the per-host difference between held-out and training mean
+    // micro-nats is the OVERFITTING audit: a host whose gap spikes has
+    // training pages the model memorized rather than generalized from
+    // (template/boilerplate farms), the signal a deduped corpus build
+    // watches per domain. Same chain as q247 (one copy of every backoff
+    // branch — the CASE is byte-identical), one host-keyed agg with
+    // conditional integer sums; means are floor divisions of nonnegative
+    // integers, the gap is a plain BIGINT difference (may be negative —
+    // a host the model generalizes to better than its own training half).
+    Entry("q251_heldout_gap_by_host",
+      heldoutGapSql("'www.site' || ((sc.doc_id // 4) % 5) || '.com'", " // ")) { (s, d) =>
+      val bg = bigramPairs(s, d)
+      val bge = bg.filter(col("doc_id") % 2 === 0).select(col("w1"), col("w2"))
+      val cw1 = bge.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+      val cw2 = bge.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
+      val cb = bge.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val tot = cb.agg(count(lit(1)).as("t"))
+      val vv = bge.agg((countDistinct(col("w2")) + 1).as("v"))
+      val pc = (coalesce(col("np2"), lit(0L)) + lit(1.0)) / (col("t") + col("v"))
+      val p = when(col("c1").isNull, pc)
+        .otherwise(
+          greatest(coalesce(col("cab"), lit(0L)).cast("double") - 0.75, lit(0.0)) / col("c1") +
+          ((lit(0.75) * col("n1p")) / col("c1")) * pc)
+      bg.join(broadcast(cb), Seq("w1", "w2"), "left")
+        .join(broadcast(cw1), Seq("w1"), "left")
+        .join(broadcast(cw2), Seq("w2"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
+        .withColumn("held", col("doc_id") % 2)
+        .withColumn("row_unat", floor(lit(1000000) * -log(p)))
+        .groupBy(expr("concat('www.site', (doc_id div 4) % 5, '.com')").as("host"))
+        .agg(
+          countDistinct(when(col("held") === 0, col("doc_id"))).as("n_train_docs"),
+          countDistinct(when(col("held") === 1, col("doc_id"))).as("n_held_docs"),
+          expr("CAST(SUM(CASE WHEN held = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("n_train_bigrams"),
+          expr("CAST(SUM(CASE WHEN held = 1 THEN 1 ELSE 0 END) AS BIGINT)").as("n_held_bigrams"),
+          expr("CAST(SUM(CASE WHEN held = 0 THEN row_unat ELSE 0 END) div " +
+               "NULLIF(SUM(CASE WHEN held = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)")
+            .as("train_mean_unat"),
+          expr("CAST(SUM(CASE WHEN held = 1 THEN row_unat ELSE 0 END) div " +
+               "NULLIF(SUM(CASE WHEN held = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)")
+            .as("held_mean_unat"))
+        .withColumn("gap_unat", (col("held_mean_unat") - col("train_mean_unat")).cast("long"))
+        .orderBy(col("host"))
+    }.sqlTwin(graft.queries.Dialect.duckToSpark(
+      heldoutGapSql("concat('www.site', (sc.doc_id div 4) % 5, '.com')", " div "))),
 
     // ---- Q143 PMI collocation ranking (BPE merge-candidate signal) ----
     // Tokenizer-vocabulary induction starts from exactly this statistic:

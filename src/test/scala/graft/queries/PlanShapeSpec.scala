@@ -466,6 +466,46 @@ class PlanShapeSpec extends GraftSuite {
       s"no map-side partial aggregate on the resolved key:\n$p")
   }
 
+  test("q249_ccnet_terciles: exact rank rides the doc tier, one single-partition exchange") {
+    // the global ROW_NUMBER is the oracle-replayable boundary derivation;
+    // its single-partition exchange must sit on the O(docs) POST-AGG tier
+    // (one such exchange in the whole plan), never on corpus-sized rows —
+    // at deployment scale the boundaries come from a driver-side sample
+    // and this window disappears entirely (entry scaladoc)
+    val p = planOf("q249_ccnet_terciles")
+    assert(p.contains("Window"), s"expected the rank window:\n$p")
+    // exactly two single-partition exchanges, both on bounded tiers: the
+    // rank window over the O(docs) per-doc agg output, and the one-row tt
+    // bigram-type total inside q244's shared chain — anything more means
+    // corpus-sized rows started collapsing to one partition
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 2,
+      s"expected exactly the rank + tt single-partition exchanges:\n$p")
+    val docAgg = p.indexOf("HashAggregate(keys=[doc_id")
+    assert(docAgg >= 0 && p.indexOf("Exchange SinglePartition") < docAgg,
+      s"the rank's exchange must sit above the per-doc agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the tercile layer must add no joins beyond q244's broadcasts:\n$p")
+  }
+
+  test("q250_kn_perlang: lang attach + all model tables broadcast; no sort-merge join") {
+    // the (doc_id, lang) projection and the (langs x vocab^2)-bounded
+    // count tables all broadcast back onto the bigram stream — the corpus
+    // pays map work and ONE per-doc agg, exactly q244's economics
+    val p = planOf("q250_kn_perlang")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side rows must never shuffle for a model join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected the lang attach + model-table joins as broadcasts:\n$p")
+  }
+
+  test("q251_heldout_gap_by_host: model tables broadcast onto the scored stream") {
+    val p = planOf("q251_heldout_gap_by_host")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scoring joins must broadcast, not shuffle the bigram stream:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected cb/cw1/cw2 as broadcast left joins:\n$p")
+  }
+
   test("q142 probe: arriving batch broadcasts; cached index never shuffles; prune gate in-plan") {
     import org.apache.spark.sql.functions._
     // the per-batch index probe (VERDICT r14 #2): the micro-batch side is

@@ -36,4 +36,25 @@ class FunnelSpec extends GraftSuite {
     assert(ns.toSeq == Seq(docs.length.toLong, allowed.length.toLong,
       urlKeep.length.toLong, qual.length.toLong, textUniq.length.toLong))
   }
+
+  test("q252: v2 extends v1 — common stages identical, 7 levels monotone, gates nested") {
+    val v1 = Funnel.report(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val v2 = Funnel.reportV2(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(v2.map(_._1).toSeq == Seq(1, 2, 3, 4, 5, 6, 7))
+    // the shared gate ladder must produce byte-identical counts: one
+    // derivation (reachFlags) feeds both reports, and this pins that the
+    // composition did not perturb the upstream stages
+    assert(v2.take(5).toSeq == v1.toSeq,
+      s"v2's common stages diverge from v1: ${v1.toSeq} vs ${v2.take(5).toSeq}")
+    val ns = v2.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"not monotone: ${ns.toSeq}")
+    // both new gates must have real selectivity on the fixture (the q225
+    // degenerate-fixture lesson: a gate that drops nothing is not pinned
+    // by the hash — the 2.5M keep threshold was measured vacuous here,
+    // which is why the funnel gates at the confident-positive bar)
+    assert(ns(5) < ns(4), s"model gate dropped nothing: ${ns.toSeq}")
+    assert(ns(6) < ns(5), s"LM gate dropped nothing: ${ns.toSeq}")
+  }
 }
