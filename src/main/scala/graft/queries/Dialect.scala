@@ -102,6 +102,43 @@ object Dialect {
 
   private[queries] def literalsOf(sql: String): List[String] = scanLiterals(sql)._1
 
+  /** The statement with every string-literal's CONTENT blanked (same
+    * sequential ''-escape walk as [[scanLiterals]]) — textual audits must
+    * not fire on quoted data. Quotes themselves are kept so offsets and
+    * structure survive. */
+  private[graft] def maskLiterals(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    while (i < sql.length) {
+      if (sql(i) == '\'') {
+        out += '\''; i += 1
+        var closed = false
+        while (!closed && i < sql.length) {
+          if (sql(i) == '\'') {
+            if (i + 1 < sql.length && sql(i + 1) == '\'') { out ++= "  "; i += 2 }
+            else { out += '\''; closed = true; i += 1 }
+          } else { out += ' '; i += 1 }
+        }
+      } else { out += sql(i); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Bare decimal literals (digits.digits NOT in exponent notation)
+    * outside string literals — the round-14 q244/q247 parity hazard
+    * class: a bare `0.75` parses as DECIMAL in BOTH SQL dialects while
+    * the Column API's `lit(0.75)` is double; Spark's decimal arithmetic
+    * quantizes (scale ~6) where the double path doesn't, and DuckDB
+    * CASTs double→BIGINT by ROUNDING where Spark truncates — so a bare
+    * decimal that stays in decimal arithmetic, or flows into a
+    * CAST/ROUND, drifts between the oracle, the twin, and the DataFrame
+    * plan at some eventual boundary row. Spell float constants in
+    * exponent form (`0.75e0`) unless the literal provably enters double
+    * context; OracleLintSpec audits every registered oracle AND twin
+    * against an exact grandfathered allowlist. */
+  private[graft] def bareDecimals(sql: String): List[String] =
+    """(?<![\d.])\d+\.\d+(?![eE\d.])""".r.findAllIn(maskLiterals(sql)).toList
+
   /** Derive the Spark twin of an oracle statement. Identity for SQL that is
     * already dialect-shared.
     *
