@@ -47,6 +47,7 @@ object SparkEntry {
       text.QualityModel.entries ++
       text.Unigram.entries ++
       text.Sentences.entries ++
+      text.Pii.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
       multimodal.Video.entries ++

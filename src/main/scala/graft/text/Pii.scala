@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Entry
+
+/** PII scrubbing (SURVEY.md Q255) — the redaction pass every
+  * training-data pipeline runs before text ships: find personal
+  * identifiers (emails, phone numbers), replace them with placeholder
+  * tokens, and report per-doc redaction counts. The reference has no
+  * text hygiene at all; this sits beside q206/q216/q217 in the hygiene
+  * tier.
+  *
+  * The fixture is clean word soup, so PII is FABRICATED deterministically
+  * (the q237 sentence-segmentation pattern): doc k receives k%3 email
+  * tokens and (k div 3)%2 phone tokens at schedule-derived positions,
+  * the REAL regex scrubber runs over the fabricated prose, and the
+  * DuckDB oracle replays the injection schedule ARITHMETICALLY (counts
+  * and exact redacted-character totals as closed-form functions of
+  * doc_id) — the hash pins scrubber == schedule, including that the
+  * regexes match each injected token exactly once, span-exactly (one
+  * character of over- or under-match shifts n_redacted_chars), and
+  * that NOTHING in the scrubbed text still looks like PII
+  * (residual_at must be 0 — computed by counting, not assumed).
+  *
+  * Scale posture: map-only per-row work on the ingest scan (regex +
+  * length arithmetic; no shuffle before the presentation sort) — the
+  * same class as q217's HTML strip. At 100 TB the scrubber rides the
+  * ingest pass; the report is one per-doc row.
+  */
+object Pii {
+
+  /** Injection schedule: counts. */
+  def nEmails(id: Long): Int = (id % 3).toInt
+  def nPhones(id: Long): Int = ((id / 3) % 2).toInt
+
+  /** The i-th injected email for doc `id`: length 16 + digits(id)
+    * (user<id>.<i>@mail<id%7>.com — the oracle's arithmetic depends on
+    * exactly this shape; change both or neither). */
+  def emailTok(id: Long, i: Int): String = s"user$id.$i@mail${id % 7}.com"
+
+  /** The i-th injected phone for doc `id`: fixed length 8. */
+  def phoneTok(id: Long, i: Int): String = f"555-01${(id * 7 + i) % 100}%02d"
+
+  /** Inject the schedule into clean soup text. Insertion positions are
+    * schedule-derived (3 + 7*k, clamped) — irrelevant to the oracle's
+    * counts but deterministic so reruns are byte-stable. */
+  def fabricate(id: Long, text: String): String = {
+    // The oracle replays counts/lengths arithmetically, which assumes the
+    // soup carries NO preexisting PII-shaped content — fail loudly on
+    // fixture drift instead of an opaque hash mismatch (q237's guards).
+    require(!text.exists(c => c == '@' || c.isDigit),
+      "fixture text contains '@' or digits; the PII oracle's injection " +
+        "arithmetic would undercount")
+    val ws = scala.collection.mutable.ArrayBuffer.from(text.split(' '))
+    val toks =
+      (0 until nEmails(id)).map(emailTok(id, _)) ++
+      (0 until nPhones(id)).map(phoneTok(id, _))
+    toks.zipWithIndex.foreach { case (t, k) =>
+      ws.insert(math.min(3 + 7 * k, ws.length), t)
+    }
+    ws.mkString(" ")
+  }
+
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9]+\\.[a-z]+".r
+  private val PhoneRe = "555-[0-9]{4}".r
+
+  /** The real scrubber: replace every email/phone span with a
+    * placeholder; return (scrubbed, n_emails, n_phones, redacted_chars)
+    * where redacted_chars is the total MATCHED span length. */
+  def scrub(text: String): (String, Long, Long, Long) = {
+    val emails = EmailRe.findAllIn(text).toList
+    val afterEmail = EmailRe.replaceAllIn(text, "<email>")
+    val phones = PhoneRe.findAllIn(afterEmail).toList
+    val clean = PhoneRe.replaceAllIn(afterEmail, "<phone>")
+    (clean, emails.size.toLong, phones.size.toLong,
+      (emails.map(_.length) ++ phones.map(_.length)).sum.toLong)
+  }
+
+  private def oracleSql(idiv: String): String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id % 3 AS BIGINT) AS n_emails,
+       |    CAST((doc_id $idiv 3) % 2 AS BIGINT) AS n_phones,
+       |    length(CAST(doc_id AS VARCHAR)) AS idlen
+       |  FROM documents)
+       |SELECT doc_id, n_emails, n_phones,
+       |  CAST(n_emails * (16 + idlen) + n_phones * 8 AS BIGINT) AS n_redacted_chars,
+       |  CAST(0 AS BIGINT) AS residual_at
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q255_pii_scrub", oracleSql("//")) { (s, d) =>
+      import s.implicits._
+      T(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val (clean, ne, np, redacted) = scrub(fabricate(id, text))
+          (id, ne, np, redacted, clean.count(_ == '@').toLong)
+        }
+        .toDF("doc_id", "n_emails", "n_phones", "n_redacted_chars", "residual_at")
+        .orderBy(col("doc_id"))
+    }.sqlTwin(oracleSql("div").replace("AS VARCHAR", "AS STRING"))
+  )
+}

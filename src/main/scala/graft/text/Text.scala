@@ -1228,6 +1228,101 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Per-language CCNet terciles (SURVEY Q253) — q249 in its deployed
+    // shape: CCNet splits head/middle/tail WITHIN each language, on that
+    // language's own model (a well-predicted French page should not
+    // compete with English pages for head slots). Rides q250's per-lang
+    // scored rows; the rank window PARTITIONS BY lang — unlike q249's
+    // global rank this is the scale-correct window (per-lang partitions,
+    // no single-partition stage), and the oracle still replays it
+    // exactly. Output: per-(lang, tercile) doc counts + integer boundary
+    // means.
+    Entry("q253_perlang_terciles",
+      s"""WITH $knLangChainSql,
+        |pdl AS (
+        |  SELECT bgl.doc_id, lang, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CAST(FLOOR(1000000 * -ln($knPSql)) AS BIGINT)) // COUNT(*)
+        |      AS BIGINT) AS mean_unat
+        |  FROM bgl JOIN cb USING (lang, w1, w2) JOIN cw1 USING (lang, w1)
+        |    JOIN cw2 USING (lang, w2) JOIN tt USING (lang)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT lang, mean_unat,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY mean_unat, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |       FROM pdl),
+        |lbl AS (SELECT lang, mean_unat, ((rn - 1) * 3) // n AS tidx FROM rk)
+        |SELECT lang,
+        |  CASE tidx WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tercile,
+        |  COUNT(*) AS n_docs,
+        |  MIN(mean_unat) AS lo_unat,
+        |  MAX(mean_unat) AS hi_unat
+        |FROM lbl GROUP BY lang, tidx ORDER BY lang, tercile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      knLangScored(s, d)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("row_unat")).as("nll_unat"))
+        .withColumn("mean_unat", expr("nll_unat div n_bigrams"))
+        .select(col("doc_id"), col("lang"), col("mean_unat"),
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("mean_unat"), col("doc_id"))).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("lang"))).as("n"))
+        .withColumn("tidx", expr("((rn - 1) * 3) div n"))
+        .groupBy(col("lang"), col("tidx"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("mean_unat")).as("lo_unat"),
+             max(col("mean_unat")).as("hi_unat"))
+        .select(col("lang"),
+          when(col("tidx") === 0, "head").when(col("tidx") === 1, "middle")
+            .otherwise("tail").as("tercile"),
+          col("n_docs"), col("lo_unat"), col("hi_unat"))
+        .orderBy(col("lang"), col("tercile"))
+    },
+
+    // Benchmark decontamination (SURVEY Q254) — the training-data step
+    // every LLM pipeline runs and this surface was missing: flag corpus
+    // documents whose n-gram overlap with a held-out BENCHMARK set is
+    // high enough to leak eval data into training. The benchmark here is
+    // the deterministic doc_id % 97 slice (the oracle-replayable stand-in
+    // for an external eval suite); overlap is measured on the q61 distinct
+    // 3-shingle sets from the ingest-staged index, as integer PERMILLE of
+    // the doc's own shingles found in the benchmark union. Gate at 100
+    // permille — fixture-calibrated (tiny 31-word vocab makes random
+    // shingle collisions common: corpus p99 is ~68 at sf0.01, ~239 at
+    // sf0.1, so 100 flags the genuine-overlap tail at both scales without
+    // going empty; a real web corpus gates nearer 500 and the knob is
+    // this one constant).
+    //
+    // Scale posture: THE decontamination plan at 100 TB — the benchmark
+    // index is tiny at any corpus scale (eval suites are fixed-size), so
+    // it BROADCASTS and the corpus pays one map-side probe + one per-doc
+    // agg; no corpus-keyed shuffle, no pairwise anything. Spark probes on
+    // the 64-bit shingle hash (8-byte keys); the oracle joins the string
+    // shingles — collision odds ~n/2^64 are immaterial (q61's argument).
+    Entry("q254_decontaminate",
+      s"""WITH $wordsCtesSql,
+        |${shingle3CteSql(distinct = true)},
+        |bset AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |ov AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hits,
+        |    CAST(1000 * COUNT(b.sh) // COUNT(*) AS BIGINT) AS permille
+        |  FROM sh s LEFT JOIN bset b ON b.sh = s.sh
+        |  WHERE s.doc_id % 97 <> 0
+        |  GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_hits, permille
+        |FROM ov WHERE permille >= 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = TokenIndex.shingles3(s, d)
+      val bset = sh.filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
+        .withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bset), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+        .withColumn("permille", expr("1000 * n_hits div n_shingles"))
+        .filter(col("permille") >= 100)
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("permille"))
+        .orderBy(col("doc_id"))
+    },
+
     // Held-out generalization gap by host (SURVEY Q251, VERDICT r14 #6)
     // — q247's model (trained on the even half) scores BOTH halves, and
     // the per-host difference between held-out and training mean
