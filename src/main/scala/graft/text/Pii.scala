@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.queries.Entry
 
-/** PII scrubbing (SURVEY.md Q255) — the redaction pass every
-  * training-data pipeline runs before text ships: find personal
-  * identifiers (emails, phone numbers), replace them with placeholder
-  * tokens, and report per-doc redaction counts. The reference has no
-  * text hygiene at all; this sits beside q206/q216/q217 in the hygiene
-  * tier.
+/** PII scrubbing with a regex-FREE oracle (SURVEY.md Q255) — the
+  * complement of q192's redaction entry (`Pipeline.scala`): q192 pins
+  * Spark's Java regex against DuckDB's RE2 executing the SAME patterns
+  * (engine-vs-engine — a pattern bug both engines share passes), while
+  * this entry's oracle replays the injection SCHEDULE arithmetically and
+  * never runs a regex at all, so it independently pins the scrubber
+  * against ground truth (schedule-vs-kernel). Together the two close the
+  * loop: q192 proves cross-engine pattern agreement, q255 proves the
+  * patterns find exactly what was planted, span-exactly, with nothing
+  * left behind.
   *
   * The fixture is clean word soup, so PII is FABRICATED deterministically
   * (the q237 sentence-segmentation pattern): doc k receives k%3 email
