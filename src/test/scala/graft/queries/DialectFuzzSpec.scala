@@ -111,6 +111,36 @@ class DialectFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("maskLiterals: blanks exactly the literal bytes, preserves everything else") {
+    samples(soup, 3000).foreach { s =>
+      if (!Dialect.scanLiterals(s)._2) {
+        val masked = Dialect.maskLiterals(s)
+        assert(masked.length == s.length, s"length drift on <$s>")
+        val regions = "'(?:(?:'')|[^'])*'".r.findAllMatchIn(s).toList
+        s.indices.foreach { i =>
+          val insideContent = regions.exists(mm => i > mm.start && i < mm.end - 1)
+          if (insideContent)
+            assert(masked(i) == ' ', s"literal byte survived masking at $i in <$s>")
+          else
+            assert(masked(i) == s(i), s"non-literal byte changed at $i in <$s>")
+        }
+      }
+    }
+  }
+
+  test("bareDecimals: fires on every bare decimal outside literals, never inside") {
+    val dec: Gen[String] = for {
+      a <- Gen.chooseNum(0, 999); b <- Gen.chooseNum(0, 99)
+    } yield s"$a.$b"
+    val cases = for { d1 <- dec; d2 <- dec; pad <- litBody }
+      yield (d2, s"SELECT '$pad v$d1 $pad' AS s, $d2 AS x, ${d2}e0 AS y FROM t")
+    samples(cases, 500).foreach { case (d2, sql) =>
+      assert(Dialect.bareDecimals(sql) == List(d2),
+        s"expected exactly the outside-literal bare decimal $d2 in <$sql>: " +
+          Dialect.bareDecimals(sql).mkString(","))
+    }
+  }
+
   test("full registry: every bridge-derived twin preserves oracle literal regions") {
     // The quoted composite rules (tokenizer fragments, regexp 'g'-flag
     // strips) rewrite literals BY DESIGN; on the actual registry their
