@@ -34,13 +34,25 @@ private[graft] object Staging {
     s"$dir@$m:$sz#$name"
   }
 
+  /** Memoize a staged DIRECTORY per fingerprinted source: first use
+    * creates a temp dir (JVM-exit cleaned) and runs `build` into it;
+    * later uses return the same path. The one copy of the
+    * TrieMap + createTempDirectory + shutdown-hook pattern — callers
+    * (the token/vector index below, SyncQueries' merge table) must not
+    * re-implement it. */
+  def stagedDir(dir: String, srcTable: String, name: String)
+               (build: String => Unit): String =
+    cache.getOrElseUpdate(key(dir, srcTable, name), {
+      val tmp = Files.createTempDirectory(s"graft_$name").toString
+      sys.addShutdownHook(Fs.deleteRecursively(new java.io.File(tmp)))
+      build(tmp)
+      tmp
+    })
+
   /** Stage `build`'s result as parquet on first use for (dir, name). */
   def staged(s: SparkSession, dir: String, srcTable: String, name: String)
             (build: => DataFrame): DataFrame =
-    s.read.parquet(cache.getOrElseUpdate(key(dir, srcTable, name), {
-      val tmp = Files.createTempDirectory(s"graft_$name").toString
-      sys.addShutdownHook(Fs.deleteRecursively(new java.io.File(tmp)))
+    s.read.parquet(stagedDir(dir, srcTable, name) { tmp =>
       build.write.mode("overwrite").parquet(tmp)
-      tmp
-    }))
+    })
 }

@@ -137,7 +137,13 @@ object Dialect {
     * context; OracleLintSpec audits every registered oracle AND twin
     * against an exact grandfathered allowlist. */
   private[graft] def bareDecimals(sql: String): List[String] =
-    """(?<![\d.])\d+\.\d+(?![eE\d.])""".r.findAllIn(maskLiterals(sql)).toList
+    // all three SQL decimal spellings: 0.75, .75, 75. — dotless forms are
+    // integers (safe), exponent forms are doubles (safe). The word-char
+    // lookarounds keep qualified references out: `d2.cab` / `a1.pos` are
+    // alias.column, not the number 2. — SQL delimits real numerics with
+    // non-word characters on both sides.
+    """(?<![\w.])(\d+\.\d+(?![eE\d.])|\.\d+(?![eE\d.])|\d+\.(?![eE\d.\w]))""".r
+      .findAllIn(maskLiterals(sql)).toList
 
   /** Derive the Spark twin of an oracle statement. Identity for SQL that is
     * already dialect-shared.

@@ -33,21 +33,15 @@ object SyncQueries {
     * continuously), so the timed q220/q227 entries measure what their
     * names claim: the pinned snapshot READS. Verify (no prestage) pays
     * the commits inside whichever of q220/q227 runs first. */
-  private val mergeStageCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
   def stagedMergeTable(s: SparkSession, d: String): String =
-    mergeStageCache.getOrElseUpdate(
-      graft.core.Staging.key(d, "events", "merge_table"), {
-        val dir = java.nio.file.Files.createTempDirectory("graft_merge_table").toString
-        sys.addShutdownHook(graft.core.Fs.deleteRecursively(new java.io.File(dir)))
-        val log = ChangeLog.fromEvents(Tables(s, d, "events"))
-        // bounded driver scalar (1 row): the batch boundary, mirrored by
-        // the oracles' MAX(event_id)//2 subquery
-        val cutoff = Tables(s, d, "events").agg(max(col("event_id"))).head.getLong(0) / 2
-        DocSync.mergeBatch(s, log.filter(col("seq") < cutoff), dir, numBuckets = 16)
-        DocSync.mergeBatch(s, log.filter(col("seq") >= cutoff), dir, numBuckets = 16)
-        dir
-      })
+    graft.core.Staging.stagedDir(d, "events", "merge_table") { dir =>
+      val log = ChangeLog.fromEvents(Tables(s, d, "events"))
+      // bounded driver scalar (1 row): the batch boundary, mirrored by
+      // the oracles' MAX(event_id)//2 subquery
+      val cutoff = Tables(s, d, "events").agg(max(col("event_id"))).head.getLong(0) / 2
+      DocSync.mergeBatch(s, log.filter(col("seq") < cutoff), dir, numBuckets = 16)
+      DocSync.mergeBatch(s, log.filter(col("seq") >= cutoff), dir, numBuckets = 16)
+    }
 
   /** The doc-table fold as suffix-parameterized CTE text (DuckDB flavor)
     * restricted to events satisfying `where` — q220/q227 replay one fold

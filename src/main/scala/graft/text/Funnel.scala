@@ -131,7 +131,10 @@ object Funnel {
     * hit). */
   def reportV2(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
-    val g = QualityModel.bucketFrame(docs)
+    // persisted: consumed twice — the training collect, then the scored
+    // plan inside the report (the q242 pattern; without the pin the
+    // 5-signal tokenize pass runs twice per report)
+    val g = QualityModel.bucketFrame(docs).persist()
     val m1 = QualityModel.trainPosteriors(g, "label")
     val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
     val lm = Text.knDocMean(s, d).select(col("doc_id"), col("mean_unat"))

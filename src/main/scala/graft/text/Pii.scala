@@ -27,7 +27,9 @@ import graft.queries.Entry
   * regexes match each injected token exactly once, span-exactly (one
   * character of over- or under-match shifts n_redacted_chars), and
   * that NOTHING in the scrubbed text still looks like PII
-  * (residual_at must be 0 — computed by counting, not assumed).
+  * (n_residual_pii counts BOTH leftover '@' characters and leftover
+  * phone-shaped '555-<digit>' spans in the scrubbed text — computed by
+  * counting, not assumed; the oracle pins it at 0).
   *
   * Scale posture: map-only per-row work on the ingest scan (regex +
   * length arithmetic; no shuffle before the presentation sort) — the
@@ -92,7 +94,7 @@ object Pii {
        |  FROM documents)
        |SELECT doc_id, n_emails, n_phones,
        |  CAST(n_emails * (16 + idlen) + n_phones * 8 AS BIGINT) AS n_redacted_chars,
-       |  CAST(0 AS BIGINT) AS residual_at
+       |  CAST(0 AS BIGINT) AS n_residual_pii
        |FROM p ORDER BY doc_id""".stripMargin
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
@@ -103,9 +105,11 @@ object Pii {
       T(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val (clean, ne, np, redacted) = scrub(fabricate(id, text))
-          (id, ne, np, redacted, clean.count(_ == '@').toLong)
+          val residual = clean.count(_ == '@').toLong +
+            "555-[0-9]".r.findAllIn(clean).size.toLong
+          (id, ne, np, redacted, residual)
         }
-        .toDF("doc_id", "n_emails", "n_phones", "n_redacted_chars", "residual_at")
+        .toDF("doc_id", "n_emails", "n_phones", "n_redacted_chars", "n_residual_pii")
         .orderBy(col("doc_id"))
     }.sqlTwin(oracleSql("div").replace("AS VARCHAR", "AS STRING"))
   )

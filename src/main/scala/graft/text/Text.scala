@@ -125,31 +125,80 @@ object Text {
     * Spark side and the oracle text. */
   val LmGateUnat = 3400000L
 
+  // ---- held-out KN model fragments (ONE copy, shared q247 + q251) ----
+  // A change to the backoff law or the train/held split lands in both
+  // entries or neither — the knChainSql discipline applied to the
+  // held-out chain (round-15 review finding: the first q251 carried a
+  // byte-copy of this chain, which would have desynced silently).
+
+  /** Even-half model CTEs: context/continuation counts, bigram counts,
+    * type total, add-one vocabulary — the q247 training law. */
+  val knHeldoutCtesSql: String =
+    """bge AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+      |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bge GROUP BY 1),
+      |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bge GROUP BY 1),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bge GROUP BY 1, 2),
+      |tot AS (SELECT COUNT(*) AS t FROM cb),
+      |vv AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM bge)""".stripMargin
+
+  /** The full-backoff KN probability CASE (unseen pair → continuation
+    * mass only; unseen context → continuation probability; unseen
+    * continuation → add-one over the (vocab+1) space). */
+  val knHeldoutCaseSql: String =
+    """CASE WHEN cw1.c1 IS NULL THEN (COALESCE(cw2.np2, 0) + 1.0e0) / (t + v)
+      |      ELSE GREATEST(CAST(COALESCE(cb.cab, 0) AS DOUBLE) - 0.75e0, 0.0e0) / cw1.c1 +
+      |        ((0.75e0 * cw1.n1p) / cw1.c1) * ((COALESCE(cw2.np2, 0) + 1.0e0) / (t + v))
+      |      END""".stripMargin
+
+  /** The held-out scoring join (model tables LEFT-joined back so every
+    * backoff branch can fire). */
+  val knHeldoutJoinSql: String =
+    """FROM bg
+      |LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+      |LEFT JOIN cw1 ON cw1.w1 = bg.w1
+      |LEFT JOIN cw2 ON cw2.w2 = bg.w2
+      |CROSS JOIN tot CROSS JOIN vv""".stripMargin
+
+  /** DataFrame twin of the held-out scoring pass: every bigram row (BOTH
+    * halves) with `held` (0 = training half, 1 = held-out), the
+    * unseen-pair flag, and the quantized micro-nat NLL under the
+    * even-half model — q247 aggregates the held half per doc, q251
+    * aggregates both halves per host. Broadcast economics as [[knScored]].
+    */
+  def knHeldoutScored(s: SparkSession, d: String): DataFrame = {
+    val bg = bigramPairs(s, d)
+    val bge = bg.filter(col("doc_id") % 2 === 0).select(col("w1"), col("w2"))
+    val cw1 = bge.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+    val cw2 = bge.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
+    val cb = bge.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val tot = cb.agg(count(lit(1)).as("t"))
+    val vv = bge.agg((countDistinct(col("w2")) + 1).as("v"))
+    val pc = (coalesce(col("np2"), lit(0L)) + lit(1.0)) / (col("t") + col("v"))
+    val p = when(col("c1").isNull, pc)
+      .otherwise(
+        greatest(coalesce(col("cab"), lit(0L)).cast("double") - 0.75, lit(0.0)) / col("c1") +
+        ((lit(0.75) * col("n1p")) / col("c1")) * pc)
+    bg.join(broadcast(cb), Seq("w1", "w2"), "left")
+      .join(broadcast(cw1), Seq("w1"), "left")
+      .join(broadcast(cw2), Seq("w2"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
+      .withColumn("held", col("doc_id") % 2)
+      .withColumn("unseen_pair", col("cab").isNull)
+      .withColumn("row_unat", floor(lit(1000000) * -log(p)))
+  }
+
   /** q251's oracle/twin body, parameterized on the engine's host-concat
-    * and integer-division spellings (the only dialect differences). The
-    * scoring CASE is q247's byte-for-byte — every backoff branch in ONE
-    * copy across both entries' oracles. */
+    * and integer-division spellings (the only dialect differences). */
   private def heldoutGapSql(host: String, idiv: String): String =
     s"""WITH $wordsCtesSql,
        |$bigramCteSql,
-       |bge AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
-       |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bge GROUP BY 1),
-       |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bge GROUP BY 1),
-       |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bge GROUP BY 1, 2),
-       |tot AS (SELECT COUNT(*) AS t FROM cb),
-       |vv AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM bge),
+       |$knHeldoutCtesSql,
        |sc AS (
        |  SELECT bg.doc_id, bg.doc_id % 2 AS held,
        |    CAST(FLOOR(1000000 * -ln(
-       |      CASE WHEN cw1.c1 IS NULL THEN (COALESCE(cw2.np2, 0) + 1.0e0) / (t + v)
-       |      ELSE GREATEST(CAST(COALESCE(cb.cab, 0) AS DOUBLE) - 0.75e0, 0.0e0) / cw1.c1 +
-       |        ((0.75e0 * cw1.n1p) / cw1.c1) * ((COALESCE(cw2.np2, 0) + 1.0e0) / (t + v))
-       |      END)) AS BIGINT) AS row_unat
-       |  FROM bg
-       |  LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
-       |  LEFT JOIN cw1 ON cw1.w1 = bg.w1
-       |  LEFT JOIN cw2 ON cw2.w2 = bg.w2
-       |  CROSS JOIN tot CROSS JOIN vv),
+       |      $knHeldoutCaseSql)) AS BIGINT) AS row_unat
+       |  $knHeldoutJoinSql),
        |hs AS (
        |  SELECT $host AS host,
        |    CAST(COUNT(DISTINCT CASE WHEN held = 0 THEN sc.doc_id END) AS BIGINT) AS n_train_docs,
@@ -1109,48 +1158,20 @@ object Text {
     Entry("q247_kn_heldout",
       s"""WITH $wordsCtesSql,
         |$bigramCteSql,
-        |bge AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
-        |cw1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p FROM bge GROUP BY 1),
-        |cw2 AS (SELECT w2, COUNT(DISTINCT w1) AS np2 FROM bge GROUP BY 1),
-        |cb AS (SELECT w1, w2, COUNT(*) AS cab FROM bge GROUP BY 1, 2),
-        |tot AS (SELECT COUNT(*) AS t FROM cb),
-        |vv AS (SELECT COUNT(DISTINCT w2) + 1 AS v FROM bge)
+        |$knHeldoutCtesSql
         |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
         |  CAST(SUM(CASE WHEN cb.cab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
         |  CAST(SUM(CAST(FLOOR(1000000 * -ln(
-        |    CASE WHEN cw1.c1 IS NULL THEN (COALESCE(cw2.np2, 0) + 1.0e0) / (t + v)
-        |    ELSE GREATEST(CAST(COALESCE(cb.cab, 0) AS DOUBLE) - 0.75e0, 0.0e0) / cw1.c1 +
-        |      ((0.75e0 * cw1.n1p) / cw1.c1) * ((COALESCE(cw2.np2, 0) + 1.0e0) / (t + v))
-        |    END)) AS BIGINT)) AS BIGINT) AS nll_unat
-        |FROM bg
-        |LEFT JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
-        |LEFT JOIN cw1 ON cw1.w1 = bg.w1
-        |LEFT JOIN cw2 ON cw2.w2 = bg.w2
-        |CROSS JOIN tot CROSS JOIN vv
+        |    $knHeldoutCaseSql)) AS BIGINT)) AS BIGINT) AS nll_unat
+        |$knHeldoutJoinSql
         |WHERE bg.doc_id % 2 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val bg = bigramPairs(s, d)
-      val bge = bg.filter(col("doc_id") % 2 === 0).select(col("w1"), col("w2"))
-      val cw1 = bge.groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
-      val cw2 = bge.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
-      val cb = bge.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
-      val tot = cb.agg(count(lit(1)).as("t"))
-      val vv = bge.agg((countDistinct(col("w2")) + 1).as("v"))
-      val pc = (coalesce(col("np2"), lit(0L)) + lit(1.0)) / (col("t") + col("v"))
-      val p = when(col("c1").isNull, pc)
-        .otherwise(
-          greatest(coalesce(col("cab"), lit(0L)).cast("double") - 0.75, lit(0.0)) / col("c1") +
-          ((lit(0.75) * col("n1p")) / col("c1")) * pc)
-      bg.filter(col("doc_id") % 2 === 1)
-        .join(broadcast(cb), Seq("w1", "w2"), "left")
-        .join(broadcast(cw1), Seq("w1"), "left")
-        .join(broadcast(cw2), Seq("w2"), "left")
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
+      knHeldoutScored(s, d)
+        .filter(col("held") === 1)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-             sum(when(col("cab").isNull, 1).otherwise(0)).as("n_unseen"),
-             sum(floor(lit(1000000) * -log(p))).as("nll_unat"))
+             sum(when(col("unseen_pair"), 1).otherwise(0)).as("n_unseen"),
+             sum(col("row_unat")).as("nll_unat"))
         .orderBy(col("doc_id"))
     },
 
@@ -1336,25 +1357,7 @@ object Text {
     // a host the model generalizes to better than its own training half).
     Entry("q251_heldout_gap_by_host",
       heldoutGapSql("'www.site' || ((sc.doc_id // 4) % 5) || '.com'", " // ")) { (s, d) =>
-      val bg = bigramPairs(s, d)
-      val bge = bg.filter(col("doc_id") % 2 === 0).select(col("w1"), col("w2"))
-      val cw1 = bge.groupBy(col("w1"))
-        .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
-      val cw2 = bge.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
-      val cb = bge.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
-      val tot = cb.agg(count(lit(1)).as("t"))
-      val vv = bge.agg((countDistinct(col("w2")) + 1).as("v"))
-      val pc = (coalesce(col("np2"), lit(0L)) + lit(1.0)) / (col("t") + col("v"))
-      val p = when(col("c1").isNull, pc)
-        .otherwise(
-          greatest(coalesce(col("cab"), lit(0L)).cast("double") - 0.75, lit(0.0)) / col("c1") +
-          ((lit(0.75) * col("n1p")) / col("c1")) * pc)
-      bg.join(broadcast(cb), Seq("w1", "w2"), "left")
-        .join(broadcast(cw1), Seq("w1"), "left")
-        .join(broadcast(cw2), Seq("w2"), "left")
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
-        .withColumn("held", col("doc_id") % 2)
-        .withColumn("row_unat", floor(lit(1000000) * -log(p)))
+      knHeldoutScored(s, d)
         .groupBy(expr("concat('www.site', (doc_id div 4) % 5, '.com')").as("host"))
         .agg(
           countDistinct(when(col("held") === 0, col("doc_id"))).as("n_train_docs"),

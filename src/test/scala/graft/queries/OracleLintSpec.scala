@@ -102,6 +102,11 @@ class OracleLintSpec extends AnyFunSuite {
     // and passes its post-fix spelling
     val postFix = "GREATEST(CAST(cab AS DOUBLE) - 0.75e0, 0.0e0) / c1"
     assert(Dialect.bareDecimals(postFix).isEmpty)
+    // the leading-dot and trailing-dot spellings are DECIMAL too — both
+    // parse in both dialects, so both must fire
+    assert(Dialect.bareDecimals("WHERE ratio >= .03") == List(".03"))
+    assert(Dialect.bareDecimals("SELECT 5. AS x") == List("5."))
+    assert(Dialect.bareDecimals("SELECT .5e0 AS x, 5.e0 AS y").isEmpty)
   }
 
   test("masking: literals and exponent forms never fire; structure survives") {
