@@ -206,6 +206,44 @@ object Pipeline {
        |ORDER BY g_lang, g_source, g_keep, lang, source, keep""".stripMargin
   }
 
+  // ---- 16-token sliding-window fragments (q146/q256/q257) ----
+  // ONE copy of the window derivation over [[Text.wordsCtesSql]]'s `toks`
+  // — the dedup/leakage unit of Lee et al. (2022)'s duplicated-substring
+  // family. A change to the window length or slicing lands in the
+  // measurement (q146), the scrub (q256), and the split audit (q257)
+  // together or not at all.
+  private[text] val winCtesSql: String =
+    """w16 AS (SELECT doc_id, unnest(range(len(ws) - 15)) AS start, ws
+      |        FROM toks WHERE len(ws) >= 16),
+      |wins AS (SELECT doc_id, start,
+      |                array_to_string(list_slice(ws, start + 1, start + 16), ' ') AS win
+      |         FROM w16)""".stripMargin
+
+  /** Spark-dialect twin of [[winCtesSql]] — structural gaps the rename
+    * bridge can't cover: DuckDB list_slice is (begin, END) 1-based
+    * inclusive vs Spark slice (start, LENGTH); range() end-exclusive vs
+    * sequence() inclusive; array_to_string -> array_join. */
+  private[text] val winCtesSparkSql: String =
+    """w16 AS (SELECT doc_id, explode(sequence(0, size(ws) - 16)) AS start, ws
+      |        FROM toks WHERE size(ws) >= 16),
+      |wins AS (SELECT doc_id, start,
+      |                array_join(slice(ws, start + 1, 16), ' ') AS win
+      |         FROM w16)""".stripMargin
+
+  /** DataFrame twin of [[winCtesSql]] with the q146 payload diet already
+    * applied: each window occurrence as `(doc_id, start, h1, h2)` where
+    * (h1, h2) is the 128-bit fingerprint of the window string — the
+    * string itself never leaves the scan projection, so every downstream
+    * exchange carries 16 bytes of key instead of ~100. */
+  private[text] def winFingerprints(s: SparkSession, d: String): DataFrame =
+    TokenIndex.toks(s, d).filter(size(col("ws")) >= 16)
+      .select(col("doc_id"),
+              posexplode(transform(sequence(lit(0), size(col("ws")) - 16),
+                i => array_join(slice(col("ws"), i + 1, lit(16)), " "))))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "win")
+      .select(col("doc_id"), col("start"),
+              xxhash64(col("win")).as("h1"), xxhash64(lit("g2"), col("win")).as("h2"))
+
   val entries: Seq[Entry] = Seq(
 
     // Corpus data card (SURVEY.md Q246) — the multi-granularity release
@@ -607,11 +645,7 @@ object Pipeline {
     // consume it.
     Entry("q146_window_dedup",
       s"""WITH ${Text.wordsCtesSql},
-        |w16 AS (SELECT doc_id, unnest(range(len(ws) - 15)) AS start, ws
-        |        FROM toks WHERE len(ws) >= 16),
-        |wins AS (SELECT doc_id, start,
-        |                array_to_string(list_slice(ws, start + 1, start + 16), ' ') AS win
-        |         FROM w16),
+        |$winCtesSql,
         |fl AS (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY win) AS n FROM wins),
         |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
         |              SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup
@@ -628,15 +662,9 @@ object Pipeline {
         |            LEFT JOIN cv ON cv.doc_id = t.doc_id
         |WHERE len(t.ws) > 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
       val t = TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
-      val fl = t.filter(size(col("ws")) >= 16)
-        .select(col("doc_id"),
-                posexplode(transform(sequence(lit(0), size(col("ws")) - 16),
-                  i => array_join(slice(col("ws"), i + 1, lit(16)), " "))))
-        .withColumnRenamed("pos", "start").withColumnRenamed("col", "win")
-        // 128-bit fingerprint replaces the string BEFORE the exchange —
-        // the projection drops `win`, so the shuffle carries 16 bytes/row.
-        .select(col("doc_id"), col("start"),
-                xxhash64(col("win")).as("h1"), xxhash64(lit("g2"), col("win")).as("h2"))
+      // 128-bit fingerprint replaces the string BEFORE the exchange —
+      // winFingerprints drops `win`, so the shuffle carries 16 bytes/row.
+      val fl = winFingerprints(s, d)
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h1"), col("h2"))))
         .persist()   // feeds pd (window counts) AND cv (coverage union)
       val pd = fl.groupBy(col("doc_id"))
@@ -655,15 +683,8 @@ object Pipeline {
                   .as("dup_ratio"))
         .orderBy(col("doc_id"))
     }.sqlTwin(
-      // structural gaps: DuckDB list_slice is (begin, END) 1-based
-      // inclusive vs Spark slice (start, LENGTH); range() end-exclusive
-      // vs sequence() inclusive; array_to_string -> array_join
       s"""WITH ${Dialect.duckToSpark(Text.wordsCtesSql)},
-        |w16 AS (SELECT doc_id, explode(sequence(0, size(ws) - 16)) AS start, ws
-        |        FROM toks WHERE size(ws) >= 16),
-        |wins AS (SELECT doc_id, start,
-        |                array_join(slice(ws, start + 1, 16), ' ') AS win
-        |         FROM w16),
+        |$winCtesSparkSql,
         |fl AS (SELECT doc_id, start, COUNT(*) OVER (PARTITION BY win) AS n FROM wins),
         |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
         |              SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup
@@ -679,6 +700,161 @@ object Pipeline {
         |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
         |            LEFT JOIN cv ON cv.doc_id = t.doc_id
         |WHERE size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin),
+
+    // ---- duplicated-span SCRUB (the decision on q146's signal) ----
+    // q146 measures how much of each document lies under a duplicated
+    // window; this entry makes the edit Lee et al. (2022) actually apply:
+    // every duplicated window keeps ONE canonical occurrence — the
+    // globally smallest (doc_id, start), the keep-min posture of
+    // q60/q218/q240 — and every OTHER occurrence's 16 positions are
+    // marked for removal. Marked positions union per document
+    // (overlapping windows merge) and collapse into contiguous islands
+    // via the gaps-and-islands rank difference; the report is the
+    // per-doc edit ledger: tokens removed, spans cut, tokens surviving.
+    // Every island is >= 16 tokens by construction (each marked position
+    // lies inside some fully-marked window), and the marked set is a
+    // subset of q146's coverage (rk > 1 strictly narrows n > 1) —
+    // DupSpanScrubSpec pins both invariants against q146's own output.
+    // Scale: ONE exchange keyed by the 128-bit window fingerprint carries
+    // BOTH the multiplicity count and the canonical rank (two window
+    // functions over the same partitioning — Catalyst plans one Exchange
+    // feeding both Window operators); the island step is doc_id-keyed
+    // over marked positions only (the few-percent duplicated tail, not
+    // the corpus).
+    Entry("q256_dup_span_scrub",
+      s"""WITH ${Text.wordsCtesSql},
+        |$winCtesSql,
+        |oc AS (SELECT doc_id, start,
+        |         COUNT(*) OVER (PARTITION BY win) AS n,
+        |         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, start) AS rk
+        |       FROM wins),
+        |cv AS (SELECT DISTINCT doc_id, pos
+        |       FROM (SELECT doc_id, unnest(range(start, start + 16)) AS pos
+        |             FROM oc WHERE n > 1 AND rk > 1)),
+        |il AS (SELECT doc_id,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |       FROM cv),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_rm, COUNT(DISTINCT g) AS n_spans
+        |       FROM il GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(pd.n_rm, 0) AS BIGINT) AS n_removed,
+        |       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(len(t.ws) - COALESCE(pd.n_rm, 0) AS BIGINT) AS n_kept
+        |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        |WHERE len(t.ws) > 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val t = TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
+      val byWin = Window.partitionBy(col("h1"), col("h2"))
+      val oc = winFingerprints(s, d)
+        .withColumn("n", count(lit(1)).over(byWin))
+        .withColumn("rk",
+          row_number().over(byWin.orderBy(col("doc_id"), col("start"))))
+      val cv = oc.filter(col("n") > 1 && col("rk") > 1)
+        .select(col("doc_id"),
+                explode(sequence(col("start"), col("start") + 15)).as("pos"))
+        .distinct()
+      val il = cv.withColumn("g",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val pd = il.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_rm"), countDistinct(col("g")).as("n_spans"))
+      t.select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tok"))
+        .join(pd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+                coalesce(col("n_rm"), lit(0L)).cast("bigint").as("n_removed"),
+                coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"),
+                (col("n_tok") - coalesce(col("n_rm"), lit(0L))).cast("bigint").as("n_kept"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      s"""WITH ${Dialect.duckToSpark(Text.wordsCtesSql)},
+        |$winCtesSparkSql,
+        |oc AS (SELECT doc_id, start,
+        |         COUNT(*) OVER (PARTITION BY win) AS n,
+        |         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, start) AS rk
+        |       FROM wins),
+        |cv AS (SELECT DISTINCT doc_id, pos
+        |       FROM (SELECT doc_id, explode(sequence(start, start + 15)) AS pos
+        |             FROM oc WHERE n > 1 AND rk > 1)),
+        |il AS (SELECT doc_id,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |       FROM cv),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_rm, COUNT(DISTINCT g) AS n_spans
+        |       FROM il GROUP BY 1)
+        |SELECT t.doc_id, CAST(size(t.ws) AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(pd.n_rm, 0) AS BIGINT) AS n_removed,
+        |       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(size(t.ws) - COALESCE(pd.n_rm, 0) AS BIGINT) AS n_kept
+        |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        |WHERE size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin),
+
+    // ---- train/val split leakage audit (internal contamination) ----
+    // q254 gates the corpus against an EXTERNAL benchmark; this entry
+    // audits the INTERNAL holdout: with the deterministic 10% split
+    // (doc_id % 10 = 7 is validation), any 16-token window shared
+    // VERBATIM between a val doc and a train doc is leakage — the GPT-3
+    // 13-gram decontamination posture applied at q146's window unit, and
+    // the check a split publisher runs before reporting held-out metrics
+    // (q247/q251 score a split like this one; a leaked split makes those
+    // numbers lie optimistically). Per val doc: distinct windows, leaked
+    // windows, distinct train partners, and the verdict.
+    // Scale: both sides reduce to per-doc-DISTINCT window sets before the
+    // leak join, which is keyed by the 128-bit fingerprint (q146's
+    // payload diet — the window string never rides an exchange); the
+    // val side is 10% of the corpus and the join fan-out is bounded by
+    // true duplication, so the audit costs about one q146.
+    Entry("q257_split_leakage",
+      s"""WITH ${Text.wordsCtesSql},
+        |$winCtesSql,
+        |vw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 = 7),
+        |tw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 <> 7),
+        |lk AS (SELECT vw.doc_id, COUNT(DISTINCT vw.win) AS n_leak,
+        |              COUNT(DISTINCT tw.doc_id) AS n_partners
+        |       FROM vw JOIN tw ON tw.win = vw.win GROUP BY 1),
+        |nv AS (SELECT doc_id, COUNT(*) AS n_win FROM vw GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(nv.n_win, 0) AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(lk.n_leak, 0) AS BIGINT) AS n_leaked_windows,
+        |       CAST(COALESCE(lk.n_partners, 0) AS BIGINT) AS n_train_partners,
+        |       CAST(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS leaked
+        |FROM toks t LEFT JOIN nv ON nv.doc_id = t.doc_id
+        |            LEFT JOIN lk ON lk.doc_id = t.doc_id
+        |WHERE t.doc_id % 10 = 7 AND len(t.ws) > 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val wf = winFingerprints(s, d).select(col("doc_id"), col("h1"), col("h2"))
+      val vw = wf.filter(col("doc_id") % 10 === 7).distinct()
+      val tw = wf.filter(col("doc_id") % 10 =!= 7).distinct()
+        .withColumnRenamed("doc_id", "td")
+      val lk = vw.join(tw, Seq("h1", "h2"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h1"), col("h2")).as("n_leak"),
+             countDistinct(col("td")).as("n_partners"))
+      val nv = vw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
+      TokenIndex.toks(s, d)
+        .filter(col("doc_id") % 10 === 7 && size(col("ws")) > 0)
+        .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tok"))
+        .join(nv, Seq("doc_id"), "left")
+        .join(lk.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+                coalesce(col("n_win"), lit(0L)).cast("bigint").as("n_windows"),
+                coalesce(col("n_leak"), lit(0L)).cast("bigint").as("n_leaked_windows"),
+                coalesce(col("n_partners"), lit(0L)).cast("bigint").as("n_train_partners"),
+                coalesce(col("hit"), lit(0L)).as("leaked"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      s"""WITH ${Dialect.duckToSpark(Text.wordsCtesSql)},
+        |$winCtesSparkSql,
+        |vw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 = 7),
+        |tw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 <> 7),
+        |lk AS (SELECT vw.doc_id, COUNT(DISTINCT vw.win) AS n_leak,
+        |              COUNT(DISTINCT tw.doc_id) AS n_partners
+        |       FROM vw JOIN tw ON tw.win = vw.win GROUP BY 1),
+        |nv AS (SELECT doc_id, COUNT(*) AS n_win FROM vw GROUP BY 1)
+        |SELECT t.doc_id, CAST(size(t.ws) AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(nv.n_win, 0) AS BIGINT) AS n_windows,
+        |       CAST(COALESCE(lk.n_leak, 0) AS BIGINT) AS n_leaked_windows,
+        |       CAST(COALESCE(lk.n_partners, 0) AS BIGINT) AS n_train_partners,
+        |       CAST(CASE WHEN lk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS leaked
+        |FROM toks t LEFT JOIN nv ON nv.doc_id = t.doc_id
+        |            LEFT JOIN lk ON lk.doc_id = t.doc_id
+        |WHERE t.doc_id % 10 = 7 AND size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin),
 
     // ---- end-to-end curation report (the pipeline's decision table) ----
     // The artifact a curation pipeline actually materializes: one row per
@@ -943,6 +1119,58 @@ object Pipeline {
                 round(col("q") / col("z"), 6).as("weight"),
                 round(lit(1000000) * col("q") / col("z"), 0).cast("bigint").as("alloc_tok"),
                 round(lit(1000000) * col("q") / col("z") / col("n_tok"), 6).as("epochs"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- exact token-budget apportionment (Hamilton largest remainder) ----
+    // q179 publishes temperature weights and ROUNDS each language's
+    // allocation independently — correct as a MIXING POLICY but the
+    // rounded allocations don't sum to the budget, so a sampler fed them
+    // over- or under-draws by up to langs/2 tokens. This entry is the
+    // allocator a data-order job actually executes: the 1,000,000-token
+    // budget split proportionally by exact integer arithmetic
+    // (base = B*n//T, remainder-ranked bonus of +1 to the top
+    // (B - SUM(base)) languages, ties by language ascending — Hamilton's
+    // method, the one apportionment rule with no rounding drift), so
+    // SUM(alloc_tok) == B exactly (pinned in ApportionSpec along with
+    // quota monotonicity |alloc - quota| < 1).
+    // Scale: one map-side-combinable corpus agg to O(langs) rows; all the
+    // ranking (a single-partition window) runs on the O(langs) decision
+    // table, never the corpus; B*n stays far under BIGINT at any corpus
+    // size that fits a BIGINT token count.
+    Entry("q258_budget_apportion",
+      s"""WITH toks AS (SELECT doc_id, lang, ${Text.tokensSql} AS ws FROM documents),
+        |n AS (SELECT lang, CAST(SUM(len(ws)) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t FROM n),
+        |q AS (SELECT lang, n_tok,
+        |        CAST((1000000 * n_tok) // t AS BIGINT) AS base_tok,
+        |        CAST((1000000 * n_tok) % t AS BIGINT) AS rem
+        |      FROM n CROSS JOIN tt),
+        |lo AS (SELECT CAST(1000000 - SUM(base_tok) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT lang, n_tok, base_tok, rem,
+        |        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM q)
+        |SELECT lang, n_tok, base_tok, rem,
+        |  CAST(base_tok + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tok
+        |FROM r CROSS JOIN lo ORDER BY lang""".stripMargin) { (s, d) =>
+      // persisted: the O(langs) count table is consumed by the budget
+      // total, the base/remainder derivation, AND the leftover scalar —
+      // without the pin each reference re-runs the corpus aggregation
+      // (four scans of the corpus for a 5-row decision table; the plan
+      // pin counts scans to keep it one)
+      val n = TokenIndex.toks(s, d)
+        .groupBy(col("lang")).agg(sum(size(col("ws"))).cast("bigint").as("n_tok"))
+        .persist()
+      val tt = n.agg(sum(col("n_tok")).cast("bigint").as("t"))
+      val q = n.crossJoin(broadcast(tt))
+        .withColumn("base_tok", expr("(1000000 * n_tok) div t"))
+        .withColumn("rem", expr("(1000000 * n_tok) % t"))
+      val lo = q.agg((lit(1000000L) - sum(col("base_tok"))).cast("bigint").as("leftover"))
+      q.withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .crossJoin(broadcast(lo))
+        .select(col("lang"), col("n_tok"), col("base_tok"), col("rem"),
+                (col("base_tok") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+                  .cast("bigint").as("alloc_tok"))
         .orderBy(col("lang"))
     },
 

@@ -175,6 +175,53 @@ class PlanShapeSpec extends GraftSuite {
       s"window string must not ride a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q256_dup_span_scrub: count + canonical rank share ONE fingerprint exchange") {
+    // the multiplicity count and the ROW_NUMBER canonical rank partition
+    // by the same (h1, h2) key — Catalyst must plan a single Exchange
+    // feeding both Window operators, and the window string must never
+    // ride a shuffle (q146's payload diet).
+    // cache-independence: q146's persisted fingerprint frame is a strict
+    // subplan of this entry's, so a prior q146 run would substitute an
+    // InMemoryTableScan and hide the exchange this pin inspects (fine at
+    // runtime — cache reuse is the point of the persist — but the pin
+    // must see the cold plan)
+    spark.catalog.clearCache()
+    val p = planOf("q256_dup_span_scrub")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.count(_.contains("h1#")) == 1,
+      s"expected exactly one (h1, h2) exchange:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("win#")),
+      s"window string must not ride a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q257_split_leakage: the leak join is keyed by fingerprints, not window strings") {
+    val p = planOf("q257_split_leakage")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.exists(_.contains("h1#")), s"expected a fingerprint exchange:\n$p")
+    assert(!exchanges.exists(_.contains("win#")),
+      s"window string must not ride a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q258_budget_apportion: corpus aggregates once; scalars broadcast; ranking off-corpus") {
+    // the corpus contributes ONE lang-keyed aggregation; the budget total
+    // and leftover are one-row broadcasts (never a shuffled join); the
+    // single-partition ranking window runs on the O(langs) decision table
+    val p = planOf("q258_budget_apportion")
+    // the persisted lang table appears as InMemoryTableScan at every
+    // reference (its cached plan text echoes the one FileScan) — the
+    // corpus-scan budget is therefore the number of DISTINCT shuffle
+    // plan_ids, not textual scan mentions
+    assert(p.contains("InMemoryTableScan"),
+      s"the O(langs) count table must be persisted, not re-aggregated:\n$p")
+    assert(p.contains("BroadcastExchange"), s"budget scalars must broadcast:\n$p")
+    val exchanges =
+      "Exchange hashpartitioning\\([^)]*\\), [A-Z_]+, \\[plan_id=\\d+\\]".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("lang#")),
+      s"only the lang aggregation may shuffle:\n${exchanges.mkString("\n")}")
+    assert(exchanges.toSet.size <= 1,
+      s"corpus must aggregate once:\n${exchanges.mkString("\n")}")
+  }
+
   test("q188_has_parent: filtered parent side broadcasts; child scan stays shuffle-free") {
     // children outnumber parents; inner_hits projection must not change
     // the join strategy (broadcast-hash) or shuffle the child table
