@@ -116,20 +116,25 @@ object Streams {
     * Jaccard prune (see the entry's comment). Factored out so
     * PlanShapeSpec can pin the probe's physical shape — the BATCH side is
     * the broadcast build (a micro-batch is small relative to the index at
-    * any deployment scale), the index streams from cache with no
-    * corpus-sized exchange, and the size gates are broadcast. */
-  private[graft] def neardupProbe(batch: DataFrame, shStatic: DataFrame,
-                                  sz: DataFrame): DataFrame =
-    graft.text.Text.arrivingShingles(batch)
-      .select(col("doc_id").as("new_id"), col("h").as("hn"))
+    * any deployment scale) and the index streams from cache with no
+    * corpus-sized exchange. Both endpoints' set sizes RIDE the probe rows
+    * (`szn` off the arriving doc's in-row array, `szs` a column of the
+    * cached index — [[graft.text.Text.sizedShingles3]]), so the prune
+    * gate is pure arithmetic on the aggregated pair row: the per-batch
+    * plan is ONE join + one agg, no post-aggregation size joins (the
+    * round-15 plan-count fold — per-batch codegen/JIT was the steady
+    * entry's dominant cost, not data volume). `szsum` is constant per
+    * pair (MIN only collapses the duplicate partial), so the sink carries
+    * it and the final exact gate needs no size join either. */
+  private[graft] def neardupProbe(batch: DataFrame, shStatic: DataFrame): DataFrame =
+    graft.text.Text.sizedShingles3(batch, graft.text.Text.tokens(col("text")), "szn")
+      .select(col("doc_id").as("new_id"), col("h").as("hn"), col("szn"))
       .join(shStatic, col("hn") === col("h") && col("new_id") =!= col("doc_id"))
       .groupBy(least(col("new_id"), col("doc_id")).as("doc_a"),
                greatest(col("new_id"), col("doc_id")).as("doc_b"))
-      .agg(count(lit(1)).as("inter2"))
-      .join(broadcast(sz.as("pa")), col("pa.doc_id") === col("doc_a"))
-      .join(broadcast(sz.as("pb")), col("pb.doc_id") === col("doc_b"))
-      .filter(lit(6) * col("inter2") >= col("pa.sz") + col("pb.sz"))
-      .select(col("doc_a"), col("doc_b"), col("inter2"))
+      .agg(count(lit(1)).as("inter2"), min(col("szn") + col("szs")).as("szsum"))
+      .filter(lit(6) * col("inter2") >= col("szsum"))
+      .select(col("doc_a"), col("doc_b"), col("inter2"), col("szsum"))
 
   private[streaming] def stageQ142(s: SparkSession, d: String): String =
     stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
@@ -554,11 +559,13 @@ object Streams {
       // PlanShapeSpec), so the cached index streams MAP-ONLY — zero
       // exchanges of corpus-sized data per batch. The previous plan
       // re-shuffled the whole index on h every batch (VERDICT r14 #2).
-      val shStatic = graft.text.TokenIndex.shingles3(s, d).persist()   // (doc_id, h)
-      // per-doc set sizes: O(docs) rows, persisted so the per-batch prune
-      // and both final size joins broadcast the same materialized agg
-      // instead of re-aggregating the index once per broadcast build
-      val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz")).persist()
+      // Each row carries its doc's set size (szs) read off the in-row
+      // shingle array at build time — map-only from the staged token
+      // index, so neither the probe nor the final merge ever joins a
+      // separate size table (the round-15 plan-count fold).
+      val shStatic = graft.text.Text
+        .sizedShingles3(graft.text.TokenIndex.toks(s, d), col("ws"), "szs")
+        .persist()   // (doc_id, szs, h)
       val src = stageQ142(s, d)
       val out = newStageDir("graft_neardup_out")
       val ckpt = newStageDir("graft_neardup_ckpt")
@@ -586,20 +593,20 @@ object Streams {
             // at corpus scale, the silent sink-explosion) to the gate's
             // survivors. Each batch owns its own batch=<id> partition:
             // idempotent under replay, the q183 posture.
-            neardupProbe(batch, shStatic, sz)
+            neardupProbe(batch, shStatic)
               .write.mode("overwrite").parquet(s"$out/batch=$batchId")
             ()
           }.start()
         q.awaitTermination()
       }
       // final merge over the pruned sink (tiny): sum the 2x-counted
-      // partials, apply the EXACT gate, report
+      // partials, apply the EXACT gate on the carried size sum — no size
+      // join here either
       val counted = s.read.parquet(out)
-        .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("inter2")).as("inter2"))
-      val jac = (col("inter2") / 2) / (col("sa.sz") + col("sb.sz") - col("inter2") / 2)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("inter2")).as("inter2"), min(col("szsum")).as("szsum"))
+      val jac = (col("inter2") / 2) / (col("szsum") - col("inter2") / 2)
       counted
-        .join(broadcast(sz.as("sa")), col("sa.doc_id") === col("doc_a"))
-        .join(broadcast(sz.as("sb")), col("sb.doc_id") === col("doc_b"))
         .filter(jac >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
         .orderBy(col("doc_a"), col("doc_b"))

@@ -1568,6 +1568,24 @@ object Text {
         graft.functions.vec.wordShingles(tokens(col("text")), 3),
         sh => xxhash64(sh)))).as("h"))
 
+  /** [[arrivingShingles]]'s derivation with the doc's distinct-shingle
+    * COUNT riding every row, read off the in-row array BEFORE the explode
+    * — zero extra exchange, no size join anywhere downstream. A document
+    * is complete wherever its rows are built (a micro-batch for the
+    * stream side, the staged token index for the corpus side), so the
+    * column equals the doc's corpus-index size on BOTH sides; q142's
+    * probe sums the two to gate pairs with no post-aggregation size
+    * join. `ws` is the token-array expression (`tokens(text)` for raw
+    * docs, the staged `ws` for the index); `szCol` names the size so the
+    * probe can carry both endpoints. */
+  def sizedShingles3(base: DataFrame, ws: Column, szCol: String): DataFrame =
+    base.select(col("doc_id"),
+        array_distinct(transform(
+          graft.functions.vec.wordShingles(ws, 3),
+          sh => xxhash64(sh))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("bigint").as(szCol),
+              explode(col("hs")).as("h"))
+
   /** The exact near-dup pair report (doc_a, doc_b, jac >= 0.2) off the
     * ingest-staged shingle table — q61's derivation, shared verbatim by
     * the cross-source duplication matrix (q180). sh's three consumers

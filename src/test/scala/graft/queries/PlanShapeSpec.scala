@@ -559,13 +559,14 @@ class PlanShapeSpec extends GraftSuite {
     // the broadcast build at any deployment scale, the corpus index
     // streams from its cached blocks with NO corpus-keyed exchange, and
     // the integer Jaccard prune gate sits inside the batch plan
-    val shStatic = graft.text.TokenIndex.shingles3(spark, sf).persist()
+    val shStatic = graft.text.Text
+      .sizedShingles3(graft.text.TokenIndex.toks(spark, sf), col("ws"), "szs")
+      .persist()
     try {
       shStatic.count()
-      val sz = shStatic.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val batch = graft.core.Tables(spark, sf, "documents")
         .filter(col("doc_id") % 3 === 0)
-      val p = graft.streaming.Streams.neardupProbe(batch, shStatic, sz)
+      val p = graft.streaming.Streams.neardupProbe(batch, shStatic)
         .queryExecution.executedPlan.toString
       assert("""BroadcastHashJoin \[hn#\d+L?\], \[h#\d+L?\], Inner, BuildLeft""".r
         .findFirstIn(p).nonEmpty,
@@ -574,6 +575,11 @@ class PlanShapeSpec extends GraftSuite {
         s"the corpus index must never re-shuffle on the probe key:\n$p")
       assert(p.contains("* 6) >="),
         s"per-batch integer Jaccard prune gate missing from the plan:\n$p")
+      // the round-15 plan-count fold: sizes ride the probe rows, so the
+      // whole per-batch plan is ONE join + one aggregation — a second
+      // join node means the post-agg size joins came back
+      assert("Join".r.findAllIn(p).size == 1,
+        s"per-batch plan must contain exactly the index-probe join:\n$p")
     } finally { shStatic.unpersist(); () }
   }
 
