@@ -206,6 +206,34 @@ object Pipeline {
        |ORDER BY g_lang, g_source, g_keep, lang, source, keep""".stripMargin
   }
 
+  // ---- Hamilton largest-remainder apportionment (q258/q259) ----
+  /** Split `budget` (an expression over the broadcast total `t`) across
+    * the rows of `n` (lang, n_tok) exactly: base = floor(bud*n/T), the
+    * B - Σ base leftover units to the largest remainders, ties by lang
+    * ascending. ONE copy shared by the published allocation table (q258)
+    * and the sampler that executes it (q259). The O(langs) count table
+    * is persisted inside — the budget scalar, the base derivation and
+    * the leftover each reference it, and without the pin each reference
+    * re-runs the corpus aggregation. BIGINT headroom: bud*n_tok must stay
+    * under 2^63 — true for any per-language token count here and up to
+    * ~3e18 token-products; a 100 TB deployment rescales n to per-million
+    * shares before apportioning, same method one scale down. */
+  private def hamiltonAlloc(n0: DataFrame, budget: String): DataFrame = {
+    val n = n0.persist()
+    val tt = n.agg(sum(col("n_tok")).cast("bigint").as("t"))
+    val q = n.crossJoin(broadcast(tt))
+      .withColumn("bud", expr(budget))
+      .withColumn("base_tok", expr("(bud * n_tok) div t"))
+      .withColumn("rem", expr("(bud * n_tok) % t"))
+    val lo = q.agg((first(col("bud")) - sum(col("base_tok"))).cast("bigint").as("leftover"))
+    q.withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .crossJoin(broadcast(lo))
+      .select(col("lang"), col("n_tok"), col("base_tok"), col("rem"),
+              (col("base_tok") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+                .cast("bigint").as("alloc_tok"))
+  }
+
   // ---- 16-token sliding-window fragments (q146/q256/q257) ----
   // ONE copy of the window derivation over [[Text.wordsCtesSql]]'s `toks`
   // — the dedup/leakage unit of Lee et al. (2022)'s duplicated-substring
@@ -1152,26 +1180,63 @@ object Pipeline {
         |SELECT lang, n_tok, base_tok, rem,
         |  CAST(base_tok + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tok
         |FROM r CROSS JOIN lo ORDER BY lang""".stripMargin) { (s, d) =>
-      // persisted: the O(langs) count table is consumed by the budget
-      // total, the base/remainder derivation, AND the leftover scalar —
-      // without the pin each reference re-runs the corpus aggregation
-      // (four scans of the corpus for a 5-row decision table; the plan
-      // pin counts scans to keep it one)
-      val n = TokenIndex.toks(s, d)
-        .groupBy(col("lang")).agg(sum(size(col("ws"))).cast("bigint").as("n_tok"))
-        .persist()
-      val tt = n.agg(sum(col("n_tok")).cast("bigint").as("t"))
-      val q = n.crossJoin(broadcast(tt))
-        .withColumn("base_tok", expr("(1000000 * n_tok) div t"))
-        .withColumn("rem", expr("(1000000 * n_tok) % t"))
-      val lo = q.agg((lit(1000000L) - sum(col("base_tok"))).cast("bigint").as("leftover"))
-      q.withColumn("rk",
-          row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
-        .crossJoin(broadcast(lo))
-        .select(col("lang"), col("n_tok"), col("base_tok"), col("rem"),
-                (col("base_tok") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
-                  .cast("bigint").as("alloc_tok"))
+      hamiltonAlloc(
+        TokenIndex.toks(s, d)
+          .groupBy(col("lang")).agg(sum(size(col("ws"))).cast("bigint").as("n_tok")),
+        "CAST(1000000 AS BIGINT)")
         .orderBy(col("lang"))
+    },
+
+    // ---- the sampler that EXECUTES the allocation (q258 ∘ q119) ----
+    // q258 publishes how many tokens each language gets; q119 defines the
+    // deterministic draw order. This entry composes them: apportion a
+    // budget of one QUARTER of the corpus's tokens (scale-proportional,
+    // so the cut is real at every sf — a fixed budget is vacuous the
+    // moment the corpus outgrows it), then walk each language's docs in
+    // q119's multiplicative-hash order until its allocation is exhausted.
+    // The kept set is the actual training-mix draw: reproducible (pure
+    // doc_id arithmetic), language-exact (Hamilton), and prefix-closed
+    // per language (a budget increase only APPENDS docs). Same posture as
+    // q119's cumulative window — the per-lang running sum is the one
+    // corpus-keyed window, and the allocation joins back as a broadcast
+    // O(langs) table.
+    Entry("q259_apportioned_sample",
+      s"""WITH toks AS (SELECT doc_id, lang, ${Text.tokensSql} AS ws FROM documents),
+        |nt AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tok
+        |       FROM toks WHERE len(ws) > 0),
+        |n AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_lang FROM nt GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS t FROM n),
+        |q AS (SELECT lang, n_lang, t // 4 AS bud,
+        |        CAST(((t // 4) * n_lang) // t AS BIGINT) AS base_tok,
+        |        CAST(((t // 4) * n_lang) % t AS BIGINT) AS rem
+        |      FROM n CROSS JOIN tt),
+        |lo AS (SELECT CAST(MIN(bud) - SUM(base_tok) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT lang, base_tok, rem,
+        |        ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM q),
+        |al AS (SELECT lang,
+        |         CAST(base_tok + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tok
+        |       FROM r CROSS JOIN lo),
+        |o AS (SELECT doc_id, lang, n_tok,
+        |        (doc_id % 1000003) * 2654435761 % 1000000007 AS ord FROM nt),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum FROM o)
+        |SELECT c.doc_id, c.lang, c.n_tok, CAST(c.cum AS BIGINT) AS cum_tok
+        |FROM c JOIN al ON al.lang = c.lang
+        |WHERE c.cum <= al.alloc_tok ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val nt = TokenIndex.toks(s, d)
+        .select(col("doc_id"), col("lang"), size(col("ws")).cast("bigint").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val al = hamiltonAlloc(
+        nt.groupBy(col("lang")).agg(sum(col("n_tok")).cast("bigint").as("n_tok")),
+        "t div 4").select(col("lang"), col("alloc_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
+      nt.withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .join(broadcast(al), "lang")
+        .filter(col("cum") <= col("alloc_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+                col("cum").cast("bigint").as("cum_tok"))
+        .orderBy(col("doc_id"))
     },
 
     // PII redaction — the curation stage q163's blocklist doesn't cover:

@@ -222,6 +222,19 @@ class PlanShapeSpec extends GraftSuite {
       s"corpus must aggregate once:\n${exchanges.mkString("\n")}")
   }
 
+  test("q259_apportioned_sample: allocation broadcasts; only lang-keyed corpus exchanges") {
+    // the O(langs) allocation table must join back as a broadcast (a
+    // shuffled join would re-key the corpus on lang twice), and every
+    // shuffle in the plan is the lang partitioning the cumulative window
+    // genuinely needs
+    val p = planOf("q259_apportioned_sample")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"allocation join must broadcast:\n$p")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("lang#")),
+      s"only lang-keyed exchanges expected:\n${exchanges.mkString("\n")}")
+  }
+
   test("q188_has_parent: filtered parent side broadcasts; child scan stays shuffle-free") {
     // children outnumber parents; inner_hits projection must not change
     // the join strategy (broadcast-hash) or shuffle the child table

@@ -35,4 +35,43 @@ class ApportionSpec extends GraftSuite {
     assert(leftover > 0 && leftover < rows.length,
       s"degenerate leftover $leftover of ${rows.length} langs — quota ties hide the rank rule")
   }
+
+  test("q259: each language's draw is the maximal q119-order prefix under its allocation") {
+    val kept = graft.SparkEntry.queries("q259_apportioned_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // independent replay: corpus -> Hamilton(T/4) -> per-lang ordered walk
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val n = r.getString(2).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+          .trim.split(" ").count(_.nonEmpty)
+        (r.getLong(0), r.getString(1), n.toLong)
+      }.filter(_._3 > 0)
+    val perLang = docs.groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3).sum }
+    val t = perLang.values.sum
+    val bud = t / 4
+    val base = perLang.map { case (l, n) => l -> (bud * n / t, bud * n % t) }
+    val leftover = bud - base.values.map(_._1).sum
+    val bonus = base.keys.toSeq.sortBy(l => (-base(l)._2, l)).take(leftover.toInt).toSet
+    val alloc = base.map { case (l, (b, _)) => l -> (b + (if (bonus(l)) 1L else 0L)) }
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (l, ds) =>
+      val ordered = ds.toSeq.sortBy(d => (d._1 % 1000003L * 2654435761L % 1000000007L, d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= alloc(l))
+        .map { case ((id, _, n), c) => id -> ((l, n, c)) }
+    }.toMap
+    assert(kept.map(_._1).toSet == expect.keySet,
+      s"kept set diverges from the replay (${kept.length} vs ${expect.size})")
+    for ((id, l, n, c) <- kept) {
+      val (el, en, ec) = expect(id)
+      assert((l, n, c) == (el, en, ec), s"doc $id: row mismatch")
+    }
+    // the quarter budget must CUT at this scale (vacuity is the failure
+    // mode the scale-proportional budget exists to prevent) and every
+    // language must still be represented
+    assert(kept.length < docs.length, "sampler kept everything — vacuous budget")
+    assert(kept.map(_._2).toSet == docs.map(_._2).toSet,
+      "a language got no docs — apportionment starved it")
+  }
 }
