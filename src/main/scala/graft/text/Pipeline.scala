@@ -272,6 +272,30 @@ object Pipeline {
       .select(col("doc_id"), col("start"),
               xxhash64(col("win")).as("h1"), xxhash64(lit("g2"), col("win")).as("h2"))
 
+  /** The vw/tw/lk oracle CTEs of the split-leakage derivation — ONE copy
+    * shared by the audit (q257) and the repair (q260), so the leak
+    * definition cannot drift between the report and the action. */
+  private[text] val splitLeakCtesSql: String =
+    """vw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 = 7),
+      |tw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 <> 7),
+      |lk AS (SELECT vw.doc_id, COUNT(DISTINCT vw.win) AS n_leak,
+      |              COUNT(DISTINCT tw.doc_id) AS n_partners
+      |       FROM vw JOIN tw ON tw.win = vw.win GROUP BY 1)""".stripMargin
+
+  /** DataFrame twin of [[splitLeakCtesSql]]'s lk: per LEAKED val doc the
+    * distinct leaked-window count and distinct train-partner count,
+    * joined on the 128-bit window fingerprint. O(leaked docs) rows. */
+  private[text] def splitLeakTable(s: SparkSession, d: String): DataFrame = {
+    val wf = winFingerprints(s, d).select(col("doc_id"), col("h1"), col("h2"))
+    val vw = wf.filter(col("doc_id") % 10 === 7).distinct()
+    val tw = wf.filter(col("doc_id") % 10 =!= 7).distinct()
+      .withColumnRenamed("doc_id", "td")
+    vw.join(tw, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h1"), col("h2")).as("n_leak"),
+           countDistinct(col("td")).as("n_partners"))
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // Corpus data card (SURVEY.md Q246) — the multi-granularity release
@@ -832,11 +856,7 @@ object Pipeline {
     Entry("q257_split_leakage",
       s"""WITH ${Text.wordsCtesSql},
         |$winCtesSql,
-        |vw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 = 7),
-        |tw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 <> 7),
-        |lk AS (SELECT vw.doc_id, COUNT(DISTINCT vw.win) AS n_leak,
-        |              COUNT(DISTINCT tw.doc_id) AS n_partners
-        |       FROM vw JOIN tw ON tw.win = vw.win GROUP BY 1),
+        |$splitLeakCtesSql,
         |nv AS (SELECT doc_id, COUNT(*) AS n_win FROM vw GROUP BY 1)
         |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tok,
         |       CAST(COALESCE(nv.n_win, 0) AS BIGINT) AS n_windows,
@@ -846,15 +866,10 @@ object Pipeline {
         |FROM toks t LEFT JOIN nv ON nv.doc_id = t.doc_id
         |            LEFT JOIN lk ON lk.doc_id = t.doc_id
         |WHERE t.doc_id % 10 = 7 AND len(t.ws) > 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val wf = winFingerprints(s, d).select(col("doc_id"), col("h1"), col("h2"))
-      val vw = wf.filter(col("doc_id") % 10 === 7).distinct()
-      val tw = wf.filter(col("doc_id") % 10 =!= 7).distinct()
-        .withColumnRenamed("doc_id", "td")
-      val lk = vw.join(tw, Seq("h1", "h2"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("h1"), col("h2")).as("n_leak"),
-             countDistinct(col("td")).as("n_partners"))
-      val nv = vw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
+      val lk = splitLeakTable(s, d)
+      val nv = winFingerprints(s, d).select(col("doc_id"), col("h1"), col("h2"))
+        .filter(col("doc_id") % 10 === 7).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
       TokenIndex.toks(s, d)
         .filter(col("doc_id") % 10 === 7 && size(col("ws")) > 0)
         .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tok"))
@@ -869,11 +884,7 @@ object Pipeline {
     }.sqlTwin(
       s"""WITH ${Dialect.duckToSpark(Text.wordsCtesSql)},
         |$winCtesSparkSql,
-        |vw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 = 7),
-        |tw AS (SELECT DISTINCT doc_id, win FROM wins WHERE doc_id % 10 <> 7),
-        |lk AS (SELECT vw.doc_id, COUNT(DISTINCT vw.win) AS n_leak,
-        |              COUNT(DISTINCT tw.doc_id) AS n_partners
-        |       FROM vw JOIN tw ON tw.win = vw.win GROUP BY 1),
+        |$splitLeakCtesSql,
         |nv AS (SELECT doc_id, COUNT(*) AS n_win FROM vw GROUP BY 1)
         |SELECT t.doc_id, CAST(size(t.ws) AS BIGINT) AS n_tok,
         |       CAST(COALESCE(nv.n_win, 0) AS BIGINT) AS n_windows,
@@ -883,6 +894,69 @@ object Pipeline {
         |FROM toks t LEFT JOIN nv ON nv.doc_id = t.doc_id
         |            LEFT JOIN lk ON lk.doc_id = t.doc_id
         |WHERE t.doc_id % 10 = 7 AND size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin),
+
+    // ---- split repair (the action on q257's audit) ----
+    // q257 reports WHICH val docs leak; this entry publishes the repaired
+    // split: leaked val docs are DROPPED (not moved to train — dropping
+    // keeps the training set fixed, which is the conservative action when
+    // the LM/quality models of q234/q244 were already fit on it) and the
+    // per-language split statistics are re-stated — the table a dataset
+    // release actually ships next to its held-out metrics. The leak
+    // definition is q257's ONE copy (splitLeakCtesSql / splitLeakTable):
+    // the audit and the repair cannot drift.
+    // Scale: the leak table is O(leaked docs) and joins the corpus spine
+    // as a broadcast; the rollup is one lang-keyed aggregation.
+    Entry("q260_split_repair",
+      s"""WITH ${Text.wordsCtesSql},
+        |$winCtesSql,
+        |$splitLeakCtesSql,
+        |d AS (SELECT t.doc_id, dd.lang, CAST(len(t.ws) AS BIGINT) AS n_tok,
+        |        CASE WHEN t.doc_id % 10 = 7 THEN 1 ELSE 0 END AS is_val
+        |      FROM toks t JOIN documents dd ON dd.doc_id = t.doc_id
+        |      WHERE len(t.ws) > 0)
+        |SELECT d.lang,
+        |  CAST(SUM(CASE WHEN is_val = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_docs,
+        |  CAST(SUM(CASE WHEN is_val = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS n_train_tok,
+        |  CAST(SUM(is_val) AS BIGINT) AS n_val_docs_before,
+        |  CAST(SUM(CASE WHEN is_val = 1 AND lk.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_val_docs,
+        |  CAST(SUM(CASE WHEN is_val = 1 AND lk.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT) AS n_val_tok,
+        |  CAST(SUM(CASE WHEN is_val = 1 AND lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM d LEFT JOIN lk ON lk.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val lk = splitLeakTable(s, d).select(col("doc_id"), lit(1L).as("hit"))
+      TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
+        .select(col("doc_id"), col("lang"),
+                size(col("ws")).cast("bigint").as("n_tok"),
+                when(col("doc_id") % 10 === 7, 1L).otherwise(0L).as("is_val"))
+        .join(broadcast(lk), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(sum(when(col("is_val") === 0, 1L).otherwise(0L)).cast("bigint").as("n_train_docs"),
+             sum(when(col("is_val") === 0, col("n_tok")).otherwise(0L)).cast("bigint").as("n_train_tok"),
+             sum(col("is_val")).cast("bigint").as("n_val_docs_before"),
+             sum(when(col("is_val") === 1 && col("hit").isNull, 1L).otherwise(0L))
+               .cast("bigint").as("n_val_docs"),
+             sum(when(col("is_val") === 1 && col("hit").isNull, col("n_tok")).otherwise(0L))
+               .cast("bigint").as("n_val_tok"),
+             sum(when(col("is_val") === 1 && col("hit").isNotNull, 1L).otherwise(0L))
+               .cast("bigint").as("n_dropped"))
+        .orderBy(col("lang"))
+    }.sqlTwin(
+      s"""WITH ${Dialect.duckToSpark(Text.wordsCtesSql)},
+        |$winCtesSparkSql,
+        |$splitLeakCtesSql,
+        |d AS (SELECT t.doc_id, dd.lang, CAST(size(t.ws) AS BIGINT) AS n_tok,
+        |        CASE WHEN t.doc_id % 10 = 7 THEN 1 ELSE 0 END AS is_val
+        |      FROM toks t JOIN documents dd ON dd.doc_id = t.doc_id
+        |      WHERE size(t.ws) > 0)
+        |SELECT d.lang,
+        |  CAST(SUM(CASE WHEN is_val = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_docs,
+        |  CAST(SUM(CASE WHEN is_val = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS n_train_tok,
+        |  CAST(SUM(is_val) AS BIGINT) AS n_val_docs_before,
+        |  CAST(SUM(CASE WHEN is_val = 1 AND lk.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_val_docs,
+        |  CAST(SUM(CASE WHEN is_val = 1 AND lk.doc_id IS NULL THEN n_tok ELSE 0 END) AS BIGINT) AS n_val_tok,
+        |  CAST(SUM(CASE WHEN is_val = 1 AND lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM d LEFT JOIN lk ON lk.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ---- end-to-end curation report (the pipeline's decision table) ----
     // The artifact a curation pipeline actually materializes: one row per

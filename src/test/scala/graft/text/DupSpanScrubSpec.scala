@@ -89,4 +89,35 @@ class DupSpanScrubSpec extends GraftSuite {
     assert(rows.exists(_._6 == 1L), "no leaked val doc — degenerate fixture")
     assert(rows.exists(_._6 == 0L), "every val doc leaked — degenerate fixture")
   }
+
+  test("q260: the repair drops exactly q257's leaked docs; train side untouched") {
+    val audit = run("q257_split_leakage").collect()
+      .map(r => (r.getLong(0), r.getLong(5))) // (doc_id, leaked)
+    val repair = run("q260_split_repair").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6)))
+
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2)).length.toLong))
+      .filter(_._3 > 0)
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val leakedByLang = audit.filter(_._2 == 1L).groupBy(d => langOf(d._1))
+      .map { case (l, ds) => l -> ds.length.toLong }
+
+    for ((lang, trD, trT, vb, vd, vt, drop) <- repair) {
+      val train = docs.filter(d => d._2 == lang && d._1 % 10 != 7)
+      val valAll = docs.filter(d => d._2 == lang && d._1 % 10 == 7)
+      assert((trD, trT) == (train.length.toLong, train.map(_._3).sum),
+        s"$lang: train side perturbed by the repair")
+      assert(vb == valAll.length.toLong, s"$lang: val-before count wrong")
+      assert(drop == leakedByLang.getOrElse(lang, 0L),
+        s"$lang: dropped $drop != audited leaks ${leakedByLang.getOrElse(lang, 0L)}")
+      assert(vd == vb - drop, s"$lang: val-after != before - dropped")
+      val leakedIds = audit.filter(_._2 == 1L).map(_._1).toSet
+      assert(vt == valAll.filter(d => !leakedIds(d._1)).map(_._3).sum,
+        s"$lang: surviving val token count wrong")
+    }
+    assert(repair.map(_._7).sum > 0, "repair dropped nothing — degenerate fixture")
+  }
 }
