@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Round-close baseline recording: per-entry MEDIANS of three full
+`graft.Bench` sweeps -> tools/bench_expect.json + the BASELINE.md
+3-column table body (printed to stdout for manual splice), plus a
+continuity report vs the previous bench_expect.json using the bench's
+own retry threshold max(1.8x, +0.75 s).
+
+Usage: python3 tools/record_baseline.py sweep1.json sweep2.json sweep3.json
+"""
+import json, statistics, sys
+
+sweeps = [json.load(open(p)) for p in sys.argv[1:4]]
+prev = json.load(open("tools/bench_expect.json"))
+
+# Sweep files written via SPARK_GRAFT_BENCH_OUT carry FULL entry names
+# in "queries" (short names only appear on the stdout line).
+names = set(sweeps[0]["queries"])
+for s in sweeps[1:]:
+    assert set(s["queries"]) == names, "sweeps cover different entry sets"
+
+med = {k: round(statistics.median(s["queries"][k] for s in sweeps), 2)
+       for k in sorted(names)}
+assert all(v >= 0 for v in med.values()), "a query failed (-1) in some sweep"
+
+with open("tools/bench_expect.json", "w") as f:
+    json.dump(med, f, indent=1, sort_keys=True)
+
+# continuity vs previous medians
+thresh = []
+for k in sorted(names & set(prev)):
+    a, b = prev[k], med[k]
+    hi, lo = max(a, b), min(a, b)
+    if hi > max(1.8 * lo, lo + 0.75):
+        thresh.append((k, a, b))
+print(f"entries: {len(med)}  (new: {sorted(names - set(prev))})")
+print(f"sweep totals: {[s['value'] for s in sweeps]}  median-sum: {round(sum(med.values()), 1)}")
+print("continuity threshold crossers (prev -> new):")
+for k, a, b in thresh:
+    print(f"  {k}: {a} -> {b}")
+print()
+ks = sorted(med)
+for i in range(0, len(ks), 3):
+    row = ks[i:i + 3]
+    cells = " | ".join(f"{k} | {med[k]:.2f}" for k in row)
+    print(f"| {cells} |")
