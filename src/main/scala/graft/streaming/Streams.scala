@@ -136,6 +136,22 @@ object Streams {
       .filter(lit(6) * col("inter2") >= col("szsum"))
       .select(col("doc_a"), col("doc_b"), col("inter2"), col("szsum"))
 
+  /** q261's per-batch benchmark probe: the arriving docs' in-row distinct
+    * shingles LEFT-probe the broadcast benchmark set; per-doc overlap
+    * permille; gate at q254's constant. A document is complete in its
+    * batch, so the per-batch agg IS the final per-doc answer — no
+    * cross-batch merge exists. Factored out so PlanShapeSpec can pin the
+    * physical shape (benchmark broadcasts; nothing corpus-sized
+    * shuffles). */
+  private[graft] def decontamProbe(batch: DataFrame, bset: DataFrame): DataFrame =
+    graft.text.Text.arrivingShingles(batch.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bset), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .withColumn("permille", expr("1000 * n_hits div n_shingles"))
+      .filter(col("permille") >= 100)
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("permille"))
+
   private[streaming] def stageQ142(s: SparkSession, d: String): String =
     stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
   private[streaming] def stageQ158(s: SparkSession, d: String): String =
@@ -610,6 +626,46 @@ object Streams {
         .filter(jac >= 0.2)
         .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Decontamination as an INGEST-TIME gate (SURVEY Q261) — q254 audits
+    // the corpus at rest; a deployment wants eval leakage stopped at the
+    // door, before a contaminated doc ever lands in the training store.
+    // Arriving docs (q142's 3-wave staging, shared) probe the BROADCAST
+    // benchmark shingle set inside each micro-batch and flagged docs are
+    // quarantined to the sink; the declared result reads the quarantine.
+    // The oracle is q254's text, ONE copy (Text.decontamOracleSql): the
+    // hash check pins "gate at ingest" == "audit at rest" — batching
+    // cannot change the flagged set because a doc's shingles are complete
+    // in its batch and the benchmark is static, so the per-batch agg is
+    // already the final per-doc answer (contrast q142, whose pair
+    // partials DO straddle batches and need the sink merge).
+    // Scale: the per-batch plan is one broadcast probe + one batch-sized
+    // agg — zero corpus-keyed exchanges at any deployment scale; each
+    // batch owns its batch=<id> partition (idempotent under replay, the
+    // q183 posture).
+    Entry("q261_stream_decontaminate", graft.text.Text.decontamOracleSql) { (s, d) =>
+      val bset = graft.text.TokenIndex.shingles3(s, d)
+        .filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
+        .withColumn("hit", lit(1)).persist()
+      val src = stageQ142(s, d)
+      val out = newStageDir("graft_decontam_out")
+      val ckpt = newStageDir("graft_decontam_ckpt")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+      graft.core.GraftSession.withShufflePartitions(s, 8) {
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            decontamProbe(batch, bset)
+              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("permille"))
+        .orderBy(col("doc_id"))
     },
 
     // Q59: update output mode — per-batch emissions; the final value per key

@@ -70,6 +70,23 @@ object Text {
                       element_at(col("ws"), i + 2).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
 
+  /** q254's oracle — ONE copy shared by the batch audit (q254) and the
+    * ingest-time gate (q261 in Streams): the flagged set is defined once,
+    * so "gate at ingest" and "audit at rest" are pinned to the same law
+    * by construction (both hash against this text). */
+  lazy val decontamOracleSql: String =
+    s"""WITH $wordsCtesSql,
+      |${shingle3CteSql(distinct = true)},
+      |bset AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |ov AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hits,
+      |    CAST(1000 * COUNT(b.sh) // COUNT(*) AS BIGINT) AS permille
+      |  FROM sh s LEFT JOIN bset b ON b.sh = s.sh
+      |  WHERE s.doc_id % 97 <> 0
+      |  GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_hits, permille
+      |FROM ov WHERE permille >= 100 ORDER BY doc_id""".stripMargin
+
   /** Resubstitution Kneser-Ney model chain (context counts + distinct
     * continuations, distinct predecessors, bigram counts, type total) —
     * ONE copy shared by q244 (per-doc NLL) and q248 (per-host rollup). */
@@ -1319,18 +1336,7 @@ object Text {
     // agg; no corpus-keyed shuffle, no pairwise anything. Spark probes on
     // the 64-bit shingle hash (8-byte keys); the oracle joins the string
     // shingles — collision odds ~n/2^64 are immaterial (q61's argument).
-    Entry("q254_decontaminate",
-      s"""WITH $wordsCtesSql,
-        |${shingle3CteSql(distinct = true)},
-        |bset AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-        |ov AS (
-        |  SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.sh) AS n_hits,
-        |    CAST(1000 * COUNT(b.sh) // COUNT(*) AS BIGINT) AS permille
-        |  FROM sh s LEFT JOIN bset b ON b.sh = s.sh
-        |  WHERE s.doc_id % 97 <> 0
-        |  GROUP BY 1)
-        |SELECT doc_id, n_shingles, n_hits, permille
-        |FROM ov WHERE permille >= 100 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Entry("q254_decontaminate", decontamOracleSql) { (s, d) =>
       val sh = TokenIndex.shingles3(s, d)
       val bset = sh.filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
         .withColumn("hit", lit(1))

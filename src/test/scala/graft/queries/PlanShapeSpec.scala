@@ -596,6 +596,31 @@ class PlanShapeSpec extends GraftSuite {
     } finally { shStatic.unpersist(); () }
   }
 
+  test("q261 probe: benchmark set broadcasts; nothing corpus-sized shuffles") {
+    import org.apache.spark.sql.functions._
+    // the per-batch decontamination gate: the (static, eval-suite-sized)
+    // benchmark set must be the broadcast side and the only exchange is
+    // the batch-sized per-doc aggregation
+    val bset = graft.text.TokenIndex.shingles3(spark, sf)
+      .filter(col("doc_id") % 97 === 0).select(col("h")).distinct()
+      .withColumn("hit", lit(1))
+    val batch = graft.core.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0)
+    val p = graft.streaming.Streams.decontamProbe(batch, bset)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"benchmark probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join in the gate:\n$p")
+    // exactly one batch-sized exchange (the per-doc agg); the only other
+    // permissible exchange is the h-keyed DISTINCT building the benchmark
+    // set itself, which sits BELOW the broadcast and which the entry pays
+    // once per run via persist, not per batch
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.count(_.contains("doc_id#")) == 1,
+      s"expected exactly one per-doc agg exchange:\n${exchanges.mkString("\n")}")
+    assert(exchanges.forall(e => e.contains("doc_id#") || e.contains("h#")),
+      s"unexpected shuffle in the gate:\n${exchanges.mkString("\n")}")
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.
