@@ -72,6 +72,9 @@ object Pii {
 
   private val EmailRe = "[a-z0-9.]+@[a-z0-9]+\\.[a-z]+".r
   private val PhoneRe = "555-[0-9]{4}".r
+  // the residual sweep's looser phone shape — one compile per JVM, not
+  // one per document row in the q255 map
+  private val ResidualPhoneRe = "555-[0-9]".r
 
   /** The real scrubber: replace every email/phone span with a
     * placeholder; return (scrubbed, n_emails, n_phones, redacted_chars)
@@ -106,7 +109,7 @@ object Pii {
         .map { case (id, text) =>
           val (clean, ne, np, redacted) = scrub(fabricate(id, text))
           val residual = clean.count(_ == '@').toLong +
-            "555-[0-9]".r.findAllIn(clean).size.toLong
+            ResidualPhoneRe.findAllIn(clean).size.toLong
           (id, ne, np, redacted, residual)
         }
         .toDF("doc_id", "n_emails", "n_phones", "n_redacted_chars", "n_residual_pii")

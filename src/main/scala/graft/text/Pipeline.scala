@@ -282,11 +282,22 @@ object Pipeline {
       |              COUNT(DISTINCT tw.doc_id) AS n_partners
       |       FROM vw JOIN tw ON tw.win = vw.win GROUP BY 1)""".stripMargin
 
+  /** The corpus's (doc_id, h1, h2) window-fingerprint rows, PERSISTED —
+    * q257 consumes it three ways (leak join's val side, train side, and
+    * the per-val-doc window counts) and q260 twice; without the pin each
+    * reference re-runs the posexplode + window-string build + double
+    * xxhash64 over the whole corpus (the q146 `fl` lesson). Callers own
+    * the frame for the duration of their entry; Verify's per-entry
+    * clearCache drops the blocks. */
+  private[text] def winFpRows(s: SparkSession, d: String): DataFrame =
+    winFingerprints(s, d).select(col("doc_id"), col("h1"), col("h2")).persist()
+
   /** DataFrame twin of [[splitLeakCtesSql]]'s lk: per LEAKED val doc the
     * distinct leaked-window count and distinct train-partner count,
-    * joined on the 128-bit window fingerprint. O(leaked docs) rows. */
-  private[text] def splitLeakTable(s: SparkSession, d: String): DataFrame = {
-    val wf = winFingerprints(s, d).select(col("doc_id"), col("h1"), col("h2"))
+    * joined on the 128-bit window fingerprint. O(leaked docs) rows.
+    * Takes the persisted [[winFpRows]] frame so both consumers (q257,
+    * q260) share one corpus pass. */
+  private[text] def splitLeakTable(wf: DataFrame): DataFrame = {
     val vw = wf.filter(col("doc_id") % 10 === 7).distinct()
     val tw = wf.filter(col("doc_id") % 10 =!= 7).distinct()
       .withColumnRenamed("doc_id", "td")
@@ -866,9 +877,9 @@ object Pipeline {
         |FROM toks t LEFT JOIN nv ON nv.doc_id = t.doc_id
         |            LEFT JOIN lk ON lk.doc_id = t.doc_id
         |WHERE t.doc_id % 10 = 7 AND len(t.ws) > 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val lk = splitLeakTable(s, d)
-      val nv = winFingerprints(s, d).select(col("doc_id"), col("h1"), col("h2"))
-        .filter(col("doc_id") % 10 === 7).distinct()
+      val wf = winFpRows(s, d)
+      val lk = splitLeakTable(wf)
+      val nv = wf.filter(col("doc_id") % 10 === 7).distinct()
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_win"))
       TokenIndex.toks(s, d)
         .filter(col("doc_id") % 10 === 7 && size(col("ws")) > 0)
@@ -923,7 +934,7 @@ object Pipeline {
         |  CAST(SUM(CASE WHEN is_val = 1 AND lk.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM d LEFT JOIN lk ON lk.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val lk = splitLeakTable(s, d).select(col("doc_id"), lit(1L).as("hit"))
+      val lk = splitLeakTable(winFpRows(s, d)).select(col("doc_id"), lit(1L).as("hit"))
       TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
         .select(col("doc_id"), col("lang"),
                 size(col("ws")).cast("bigint").as("n_tok"),

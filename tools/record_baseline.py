@@ -9,8 +9,14 @@ Usage: python3 tools/record_baseline.py sweep1.json sweep2.json sweep3.json
 """
 import json, statistics, sys
 
+assert len(sys.argv) == 4, "exactly three sweep files required"
 sweeps = [json.load(open(p)) for p in sys.argv[1:4]]
 prev = json.load(open("tools/bench_expect.json"))
+# a -1 anywhere is a failed query; guard RAW values, not medians — a
+# single-sweep failure must fail the recording, not bias a median low
+bad = [(i + 1, k) for i, s in enumerate(sweeps)
+       for k, v in s["queries"].items() if v < 0]
+assert not bad, f"failed queries in sweeps: {bad}"
 
 # Sweep files written via SPARK_GRAFT_BENCH_OUT carry FULL entry names
 # in "queries" (short names only appear on the stdout line).
@@ -20,7 +26,6 @@ for s in sweeps[1:]:
 
 med = {k: round(statistics.median(s["queries"][k] for s in sweeps), 2)
        for k in sorted(names)}
-assert all(v >= 0 for v in med.values()), "a query failed (-1) in some sweep"
 
 with open("tools/bench_expect.json", "w") as f:
     json.dump(med, f, indent=1, sort_keys=True)
