@@ -49,6 +49,23 @@ object LinkGraph {
   val Scale = 1000000000000L   // 1e12: 85*SCALE fits comfortably in BIGINT
   val Iterations = 8
 
+  /** Lineage-truncation mode for the iterative fixpoints. [[Local]] (the
+    * sandbox default) uses `localCheckpoint()` — executor-local blocks,
+    * no IO, but NOT fault-tolerant: losing an executor mid-fixpoint loses
+    * blocks that have no lineage left to recompute them. On a real
+    * cluster pass [[Reliable]] — each round persists to the configured
+    * `sparkContext.setCheckpointDir` (HDFS/object store), so the fixpoint
+    * survives executor loss at the cost of one round-sized write per
+    * iteration. Both modes produce bit-identical results (the integer
+    * recurrence is deterministic; CheckpointModeSpec pins it). */
+  sealed trait CkptMode
+  case object Local extends CkptMode
+  case object Reliable extends CkptMode
+  private def truncate(df: DataFrame, mode: CkptMode): DataFrame = mode match {
+    case Local    => df.localCheckpoint()
+    case Reliable => df.checkpoint()
+  }
+
   /** Conditional edge targets for doc `id` over an N-node id space (may
     * contain duplicates; every consumer dedups — extractedEdges'
     * distinct, the oracle's UNION, the spec replay's Set). */
@@ -70,7 +87,8 @@ object LinkGraph {
   /** The shared integer power-iteration: rk+1(v) = b(v) + 85·Σ//100.
     * PageRank and TrustRank differ ONLY in the per-node base/init mass
     * (`base` must carry (v, b); `init` carries (v, r)). */
-  def rankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame): DataFrame = {
+  def rankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame,
+                   ckpt: CkptMode = Local): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     var r = init
     for (_ <- 1 to Iterations) {
@@ -78,10 +96,10 @@ object LinkGraph {
         .join(out, "src")
         .select(col("dst"), expr("r div od").as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = base.join(sums, col("v") === col("dst"), "left")
+      r = truncate(base.join(sums, col("v") === col("dst"), "left")
         .select(col("v"),
-          (col("b") + expr("85 * coalesce(s, 0L) div 100")).as("r"))
-        .localCheckpoint()   // truncate lineage: 8 unrolled join+agg rounds
+          (col("b") + expr("85 * coalesce(s, 0L) div 100")).as("r")),
+        ckpt)   // truncate lineage: 8 unrolled join+agg rounds
     }
     r
   }
@@ -109,7 +127,8 @@ object LinkGraph {
     * carries (v, bp, bt); init carries (v, pr, tr); result likewise.
     * The per-vector arithmetic is unchanged, so the separate-chain
     * oracle replays it exactly. */
-  def dualRankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame): DataFrame = {
+  def dualRankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame,
+                       ckpt: CkptMode = Local): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
     var r = init
     for (_ <- 1 to Iterations) {
@@ -118,11 +137,11 @@ object LinkGraph {
         .select(col("dst"), expr("pr div od").as("cp"), expr("tr div od").as("ct"))
       val sums = contrib.groupBy(col("dst"))
         .agg(sum(col("cp")).as("sp"), sum(col("ct")).as("st"))
-      r = base.join(sums, col("v") === col("dst"), "left")
+      r = truncate(base.join(sums, col("v") === col("dst"), "left")
         .select(col("v"),
           (col("bp") + expr("85 * coalesce(sp, 0L) div 100")).as("pr"),
-          (col("bt") + expr("85 * coalesce(st, 0L) div 100")).as("tr"))
-        .localCheckpoint()   // truncate lineage: 8 unrolled join+agg rounds
+          (col("bt") + expr("85 * coalesce(st, 0L) div 100")).as("tr")),
+        ckpt)   // truncate lineage: 8 unrolled join+agg rounds
     }
     r
   }
@@ -143,17 +162,17 @@ object LinkGraph {
     * each normalized vector sums to <= 1e6, so a raw re-expansion is
     * bounded by 1e6 x max-degree.
     */
-  def hits(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  def hits(nodes: DataFrame, edges: DataFrame, ckpt: CkptMode = Local): DataFrame = {
     // one half-step: re-expand `vec` across edges (joinKey side consumes,
     // groupKey side accumulates), then L1-normalize to 1e6
     def half(vec: DataFrame, joinKey: String, groupKey: String): DataFrame = {
-      val raw = nodes.select(col("v")).join(
+      val raw = truncate(nodes.select(col("v")).join(
           edges.join(vec.select(col("v").as("vv"), col("x")),
               col(joinKey) === col("vv"))
             .groupBy(col(groupKey)).agg(sum(col("x")).as("s")),
           col("v") === col(groupKey), "left")
-        .select(col("v"), coalesce(col("s"), lit(0L)).as("x"))
-        .localCheckpoint()   // reused by the norm scalar AND the next step
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("x")),
+        ckpt)   // reused by the norm scalar AND the next step
       // GREATEST(t, 1): a degenerate graph (empty edge set, or a mass-
       // absorbing half-step summing to 0) must yield all-zero scores,
       // not div-by-zero NULLs silently poisoning every later round; for
@@ -296,17 +315,18 @@ object LinkGraph {
 
   /** BFS layers from a seed set: (node, depth<=maxDepth); unreached nodes
     * are absent — the "crawl within k hops of the seed list" frontier. */
-  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    var labeled = seeds.select(col("v"), lit(0).as("depth")).localCheckpoint()
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+                ckpt: CkptMode = Local): DataFrame = {
+    var labeled = truncate(seeds.select(col("v"), lit(0).as("depth")), ckpt)
     var frontier = labeled.select(col("v"))
     for (k <- 1 to maxDepth) {
       // one join + distinct + anti join per layer — O(frontier edges)
-      val next = frontier.join(edges, col("v") === col("src"))
+      val next = truncate(frontier.join(edges, col("v") === col("src"))
         .select(col("dst").as("v")).distinct()
         .join(labeled.select(col("v").as("seen")), col("v") === col("seen"), "left_anti")
-        .select(col("v"), lit(k).as("depth"))
-        .localCheckpoint()
-      labeled = labeled.unionByName(next).localCheckpoint()
+        .select(col("v"), lit(k).as("depth")),
+        ckpt)
+      labeled = truncate(labeled.unionByName(next), ckpt)
       frontier = next.select(col("v"))
     }
     labeled

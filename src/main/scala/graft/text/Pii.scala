@@ -44,8 +44,16 @@ object Pii {
 
   /** The i-th injected email for doc `id`: length 16 + digits(id)
     * (user<id>.<i>@mail<id%7>.com — the oracle's arithmetic depends on
-    * exactly this shape; change both or neither). */
-  def emailTok(id: Long, i: Int): String = s"user$id.$i@mail${id % 7}.com"
+    * exactly this shape; change both or neither). The closed form assumes
+    * `i` renders as ONE digit (id%7 always does): a schedule injecting
+    * 10+ emails per doc would desync scrubber and oracle as an opaque
+    * hash mismatch — fail loudly here instead (the fabricate() guards'
+    * discipline). */
+  def emailTok(id: Long, i: Int): String = {
+    require(i < 10, s"email injection index $i has 2+ digits; the oracle's " +
+      "16+idlen length arithmetic assumes a single-digit index")
+    s"user$id.$i@mail${id % 7}.com"
+  }
 
   /** The i-th injected phone for doc `id`: fixed length 8. */
   def phoneTok(id: Long, i: Int): String = f"555-01${(id * 7 + i) % 100}%02d"

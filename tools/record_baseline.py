@@ -5,12 +5,20 @@
 continuity report vs the previous bench_expect.json using the bench's
 own retry threshold max(1.8x, +0.75 s).
 
-Usage: python3 tools/record_baseline.py sweep1.json sweep2.json sweep3.json
+The continuity check GATES the write: if any entry crosses the
+threshold vs the previous baseline, nothing is written and the script
+exits nonzero — a regressed sweep cannot silently replace the recorded
+baseline. Re-run after fixing (or pass --force to record anyway, e.g.
+for a deliberate re-plan whose new cost is the intended one).
+
+Usage: python3 tools/record_baseline.py [--force] sweep1.json sweep2.json sweep3.json
 """
 import json, statistics, sys
 
-assert len(sys.argv) == 4, "exactly three sweep files required"
-sweeps = [json.load(open(p)) for p in sys.argv[1:4]]
+args = [a for a in sys.argv[1:] if a != "--force"]
+force = "--force" in sys.argv[1:]
+assert len(args) == 3, "exactly three sweep files required"
+sweeps = [json.load(open(p)) for p in args]
 prev = json.load(open("tools/bench_expect.json"))
 # a -1 anywhere is a failed query; guard RAW values, not medians — a
 # single-sweep failure must fail the recording, not bias a median low
@@ -27,21 +35,29 @@ for s in sweeps[1:]:
 med = {k: round(statistics.median(s["queries"][k] for s in sweeps), 2)
        for k in sorted(names)}
 
-with open("tools/bench_expect.json", "w") as f:
-    json.dump(med, f, indent=1, sort_keys=True)
-
-# continuity vs previous medians
+# continuity vs previous medians — computed BEFORE the write so a
+# regressed recording can't overwrite the baseline unnoticed
 thresh = []
 for k in sorted(names & set(prev)):
     a, b = prev[k], med[k]
     hi, lo = max(a, b), min(a, b)
     if hi > max(1.8 * lo, lo + 0.75):
         thresh.append((k, a, b))
+
 print(f"entries: {len(med)}  (new: {sorted(names - set(prev))})")
 print(f"sweep totals: {[s['value'] for s in sweeps]}  median-sum: {round(sum(med.values()), 1)}")
 print("continuity threshold crossers (prev -> new):")
 for k, a, b in thresh:
     print(f"  {k}: {a} -> {b}")
+if thresh and not force:
+    print(f"\nREFUSING to record: {len(thresh)} entries cross max(1.8x, +0.75s) "
+          "vs the previous baseline. Fix and re-sweep, or pass --force for a "
+          "deliberate re-record.")
+    sys.exit(1)
+
+with open("tools/bench_expect.json", "w") as f:
+    json.dump(med, f, indent=1, sort_keys=True)
+
 print()
 ks = sorted(med)
 for i in range(0, len(ks), 3):
