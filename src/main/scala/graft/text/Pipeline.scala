@@ -1396,8 +1396,106 @@ object Pipeline {
         |  FROM pii)
         |SELECT doc_id, n_emails, n_phones, n_ips,
         |  CAST(length(redacted) AS INT) AS redacted_len, md5(redacted) AS redacted_md5
-        |FROM red ORDER BY doc_id""".stripMargin)
+        |FROM red ORDER BY doc_id""".stripMargin),
+
+    // ---- DSIR-style importance resampling (data selection) ----
+    // Data Selection with Importance Resampling (Xie et al., NeurIPS
+    // 2023): score every raw document by how much its hashed-n-gram
+    // profile looks like a TARGET slice rather than the raw pool, then
+    // keep the top-weight quarter. This is the *target-distribution*
+    // selection step the pipeline's quality gates (q96/q234/q252) and
+    // mixing allocation (q258/q259) don't cover: gates ask "is this doc
+    // good?", DSIR asks "is this doc LIKE the data I want more of?".
+    //
+    // Determinism/oracle discipline: features are adjacent bigrams hashed
+    // through the engine-wide token_hash kernel into B=64 buckets; the
+    // target (lang='en' ∧ the q96 keep thresholds, spelled in exact
+    // integer arithmetic: n_tok>=25 ∧ 100·n_stop>=3·n_tok) and raw bucket
+    // counts are integers; each bucket's Laplace-smoothed log importance
+    // ratio is quantized ONCE to integer micro-nats (FLOOR(1e6·ln), the
+    // q244/q247 posture — the only float op, on an O(64)-row table), and
+    // each doc's log-weight is then an integer SUM(c·λ) — order-
+    // independent at any partitioning. Selection is top-(n//4) by weight
+    // with ties broken in q91's multiplicative-hash order, so the draw
+    // is replayable and prefix-stable. The selected set feeds q258's
+    // apportioner exactly like the raw corpus (DsirSpec composes them).
+    //
+    // Scale: one map-side-combinable (doc_id, bucket) agg; both bucket
+    // distributions are O(64) rows; λ broadcasts back; per-doc score is
+    // one doc_id-keyed agg. The exact global rank is the oracle-replayable
+    // boundary derivation and rides the O(docs) POST-AGG tier (q249's
+    // adjudicated posture — a deployment takes the weight threshold from
+    // a driver-side quantile sample and the window disappears).
+    Entry("q262_dsir_select",
+      s"""WITH ${Text.wordsCtesSql},
+        |${Text.bigramCteSql},
+        |bgs AS (SELECT doc_id, w1 || ' ' || w2 AS w FROM bg),
+        |feat AS (SELECT doc_id, (${Text.tokenHashSql}) % 64 AS b, COUNT(*) AS c
+        |         FROM bgs GROUP BY 1, 2),
+        |tgt AS (SELECT t.doc_id FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+        |        WHERE d.lang = 'en' AND len(t.ws) >= 25
+        |          AND 100 * len(list_filter(t.ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) >= 3 * len(t.ws)),
+        |qd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS qc FROM feat GROUP BY 1),
+        |pd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS pc
+        |       FROM feat JOIN tgt USING (doc_id) GROUP BY 1),
+        |qt AS (SELECT CAST(SUM(qc) AS BIGINT) AS qt FROM qd),
+        |pt AS (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) AS pt FROM pd),
+        |lam AS (SELECT qd.b,
+        |          CAST(FLOOR(1000000 * ln(((COALESCE(pd.pc, 0) + 1.0e0) * (qt + 64.0e0)) /
+        |                                  ((qd.qc + 1.0e0) * (pt + 64.0e0)))) AS BIGINT) AS lam
+        |        FROM qd LEFT JOIN pd ON pd.b = qd.b CROSS JOIN qt CROSS JOIN pt),
+        |score AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |                 CAST(SUM(c * lam) AS BIGINT) AS logw_unat
+        |          FROM feat JOIN lam USING (b) GROUP BY 1),
+        |kk AS (SELECT COUNT(*) // 4 AS k FROM score),
+        |rkd AS (SELECT doc_id, n_bigrams, logw_unat,
+        |          ROW_NUMBER() OVER (ORDER BY logw_unat DESC,
+        |            (doc_id % 1000003) * 2654435761 % 1000000007, doc_id) AS rk
+        |        FROM score)
+        |SELECT r.doc_id, d.lang, r.n_bigrams, r.logw_unat
+        |FROM rkd r JOIN documents d ON d.doc_id = r.doc_id
+        |WHERE r.rk <= (SELECT k FROM kk)
+        |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      val feat = Text.bigramPairs(s, d)
+        .select(col("doc_id"),
+          (graft.functions.vec.tokenHash(
+            concat(col("w1"), lit(" "), col("w2"))) % 64).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val tgt = TokenIndex.toks(s, d)
+        .filter(col("lang") === "en" && size(col("ws")) >= 25 &&
+          size(filter(col("ws"), w => w.isin(dsirStop: _*))) * 100 >= size(col("ws")) * 3)
+        .select(col("doc_id"))
+      val qd = feat.groupBy(col("b")).agg(sum(col("c")).cast("bigint").as("qc"))
+      val pd = feat.join(tgt, "doc_id")
+        .groupBy(col("b")).agg(sum(col("c")).cast("bigint").as("pc"))
+      val qt = qd.agg(sum(col("qc")).cast("bigint").as("qt"))
+      val pt = pd.agg(coalesce(sum(col("pc")), lit(0L)).cast("bigint").as("pt"))
+      // one float op per BUCKET (64 rows), expression text identical to
+      // the oracle so the doubles entering ln are bit-equal on both sides
+      val lam = qd.join(broadcast(pd), Seq("b"), "left")
+        .crossJoin(broadcast(qt)).crossJoin(broadcast(pt))
+        .select(col("b"),
+          expr("CAST(FLOOR(1000000 * ln(((COALESCE(pc, 0) + 1.0e0) * (qt + 64.0e0)) / " +
+               "((qc + 1.0e0) * (pt + 64.0e0)))) AS BIGINT)").as("lam"))
+      val score = feat.join(broadcast(lam), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("bigint").as("n_bigrams"),
+             sum(col("c") * col("lam")).cast("bigint").as("logw_unat"))
+      val kk = score.agg(expr("COUNT(*) div 4").as("k"))
+      val ranked = score
+        .withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("logw_unat").desc, col("ord"), col("doc_id"))))
+      ranked.crossJoin(broadcast(kk)).filter(col("rk") <= col("k"))
+        .join(T(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"), col("logw_unat"))
+        .orderBy(col("doc_id"))
+    }
   )
+
+  /** q262's target-slice stopword list — the q96 rule set (a def: `entries`
+    * above initializes first and would read a null val declared below). */
+  private def dsirStop: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
 
   /** q192's PII patterns — character classes + bounded quantifiers only,
     * so Java regex (Spark) and RE2 (DuckDB) agree by construction.

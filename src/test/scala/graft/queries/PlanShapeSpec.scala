@@ -547,6 +547,29 @@ class PlanShapeSpec extends GraftSuite {
       s"the tercile layer must add no joins beyond q244's broadcasts:\n$p")
   }
 
+  test("q262_dsir_select: bucket tables broadcast; corpus exchanges keyed doc_id/bucket only") {
+    // the O(64) lambda table and the one-row k threshold must broadcast
+    // back (a shuffled join would re-key the corpus for a 64-row dim);
+    // every hash exchange is the (doc_id, b) feature agg, the b-keyed
+    // bucket rollups, or the doc_id-keyed score/lang joins — nothing
+    // corpus-sized collapses to one partition except the O(docs) POST-AGG
+    // rank window (q249's adjudicated boundary-derivation posture)
+    val p = planOf("q262_dsir_select")
+    assert(p.contains("Window"), s"expected the selection rank window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"lambda/threshold joins must broadcast:\n$p")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast dims:\n$p")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.forall(e => e.contains("doc_id#") || e.contains("b#")),
+      s"unexpected exchange key:\n${exchanges.mkString("\n")}")
+    // the rank's single-partition exchange must sit above the per-doc
+    // score agg (every SinglePartition in this plan is a bounded tier:
+    // the qt/pt/k one-row totals and the rank over O(docs) score rows)
+    val docAgg = p.indexOf("HashAggregate(keys=[doc_id")
+    assert(docAgg >= 0 && p.indexOf("Exchange SinglePartition") < docAgg,
+      s"the rank's exchange must sit above the per-doc agg:\n$p")
+  }
+
   test("q250_kn_perlang: lang attach + all model tables broadcast; no sort-merge join") {
     // the (doc_id, lang) projection and the (langs x vocab^2)-bounded
     // count tables all broadcast back onto the bigram stream — the corpus
