@@ -896,6 +896,36 @@ object Streams {
         .groupBy(col("cell"), col("rk"))
         .agg(count(lit(1)).cast("bigint").as("n_vectors"))
         .orderBy(col("cell"), col("rk"))
+    },
+
+    // Incremental MinHash-SIGNATURE maintenance — the last staged dedup
+    // artifact without a running write path: q158 maintains the shingle
+    // index and q195 the IVF postings, but TokenIndex.minhashSigs (the
+    // q61/q231-band working set) was batch-built only. Running machinery:
+    // each arriving micro-batch derives its documents' 64-perm signatures
+    // (a doc's shingles are complete inside its own batch — docs never
+    // span arrival files — so the per-batch min-fold IS the doc's final
+    // signature; no cross-batch merge exists) and writes them into its
+    // own batch=<id> partition — deterministic per doc, so replay
+    // overwrite is idempotent (the q183 posture). The arrivals are the
+    // SAME staged ingest feed q158 consumes: one corpus stream, multiple
+    // index maintainers, exactly a production write path.
+    // MinhashMaintenanceSpec pins maintained == TokenIndex.minhashSigs
+    // row-for-row and replay invariance. Signature values are xxhash64
+    // mins — engine-specific by design → bench-only. The declared read
+    // serves the LSH tier from the MAINTAINED table: band-occupancy stats
+    // through the shared minhashBandRows derivation (8 decision rows).
+    // At 100 TB: per-batch work is O(arrived docs x 64) map-side + one
+    // batch-keyed agg; the corpus-wide table is never rebuilt.
+    Entry.benchOnly("q263_minhash_maintenance") { (s, d) =>
+      val src = stageQ158(s, d)
+      val out = newStageDir("graft_mhidx_out")
+      minhashDrain(s, src, out)
+      graft.text.Text.minhashBandRows(s.read.parquet(out), 64, 8)
+        .groupBy(col("band"))
+        .agg(countDistinct(col("bucket")).as("n_buckets"),
+             count(lit(1)).cast("bigint").as("n_docs"))
+        .orderBy(col("band"))
     }
   )
 
@@ -1005,6 +1035,30 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.vector.Vectors.cellAssignmentsWith(batch, cents)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+  }
+
+  /** q263's job body: drain `src`, computing each arriving batch's
+    * 64-perm MinHash signatures (shared [[graft.text.Text.arrivingShingles]]
+    * → [[graft.text.Text.minhashSignatures]] chain — the exact batch-build
+    * derivation) into the batch's own partition. Fresh checkpoint per
+    * call like [[rollupDrain]]; idempotence pinned by
+    * MinhashMaintenanceSpec. */
+  private[streaming] def minhashDrain(s: SparkSession, src: String, out: String): Unit = {
+    val ckpt = newStageDir("graft_mhidx_ckpt")
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.core.GraftSession.withShufflePartitions(s, 8) {
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.text.Text.minhashSignatures(
+            graft.text.Text.arrivingShingles(batch), 64)
             .write.mode("overwrite").parquet(s"$out/batch=$batchId")
           ()
         }.start()

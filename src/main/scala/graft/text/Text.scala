@@ -1689,21 +1689,29 @@ object Text {
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** Banded candidate pairs from a precomputed signature table. */
-  def lshCandidatesFromSigs(sig: DataFrame, numPerm: Int, bands: Int,
-                            maxBucket: Int): DataFrame = {
+  /** One (doc_id, band, bucket) row per band from a signature table —
+    * band key = hash of the band's signature rows. ONE copy of the band
+    * derivation, shared by the LSH candidate join below and q263's
+    * maintained-index serving read (a banding change lands in both or
+    * the maintained index silently stops serving the dedup tier). */
+  def minhashBandRows(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val rows = numPerm / bands
-    // band key = hash of the band's rows; candidates collide in >=1 band
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Banded candidate pairs from a precomputed signature table. */
+  def lshCandidatesFromSigs(sig: DataFrame, numPerm: Int, bands: Int,
+                            maxBucket: Int): DataFrame = {
     // Not persisted: with an ingest-staged signature table upstream,
     // re-deriving band rows per consumer is a parquet re-scan plus a
     // per-row hash — cheaper than holding cache blocks past the entry
     // (library callers would accumulate them; the bench masks it).
-    val bandRows = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandRows = minhashBandRows(sig, numPerm, bands)
     val hot = bandRows.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
