@@ -45,6 +45,7 @@ object SparkEntry {
       text.LinkGraph.entries ++
       text.Anchors.entries ++
       text.QualityModel.entries ++
+      text.Perceptron.entries ++
       text.Unigram.entries ++
       text.Sentences.entries ++
       text.Pii.entries ++

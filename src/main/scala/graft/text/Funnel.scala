@@ -111,10 +111,10 @@ object Funnel {
       stageNames)
 
   private val stageNamesV2 = stageNames ++ Seq(
-    6 -> "model_quality_pass", 7 -> "lm_perplexity_pass")
+    6 -> "model_quality_pass", 7 -> "lm_perplexity_pass", 8 -> "linear_model_pass")
 
   /** q252: the v1 funnel COMPOSED with the model tiers (VERDICT r14 #7)
-    * — two more nested gates on the text-unique survivors: the q234
+    * — three more nested gates on the text-unique survivors: the q234
     * bucket-posterior model (driver-artifact posture: the O(50)-row
     * posterior table trained once and folded back as literal lookup
     * arrays, so the gate is a map-only column — no join; gated at the
@@ -123,12 +123,15 @@ object Funnel {
     * model already keeps, measured at sf0.01 AND sf0.1 before this gate
     * was pinned: a high-precision corpus keeps what the model is SURE
     * about) and the q244
-    * Kneser-Ney per-doc mean micro-nat gate at [[Text.LmGateUnat]] (the
-    * one corpus-keyed equi-join this report adds: the per-doc LM agg
-    * joined back on doc_id). Missing signals fail closed (a doc the
-    * model or LM never scored cannot pass a gate it was never scored
-    * for; on this fixture every doc has >= 10 tokens so both left joins
-    * hit). */
+    * Kneser-Ney per-doc mean micro-nat gate at [[Text.LmGateUnat]], and
+    * (stage 8) the q264 averaged-perceptron margin gate at
+    * [[Perceptron.FunnelGateMargin]] — a SECOND trained classifier over
+    * a different feature space (hashed lexical profile vs quantized
+    * signals), so the funnel's model tier is an ensemble, not one model
+    * asked twice. The LM and margin per-doc aggs join back on doc_id
+    * (the corpus-keyed equi-joins this report adds). Missing signals
+    * fail closed (a doc a model never scored cannot pass its gate; on
+    * this fixture every doc has >= 10 tokens so all left joins hit). */
   def reportV2(s: SparkSession, d: String): DataFrame = {
     val docs = T(s, d, "documents")
     // persisted: consumed twice — the training collect, then the scored
@@ -138,16 +141,25 @@ object Funnel {
     val m1 = QualityModel.trainPosteriors(g, "label")
     val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
     val lm = Text.knDocMean(s, d).select(col("doc_id"), col("mean_unat"))
+    // stage 8's linear model: the q264 trainer (driver-artifact weights),
+    // margins map-only off the persisted sparse feature frame
+    val pf = Perceptron.sparseFeatures(s, d).persist()
+    val (_, pWsum) = Perceptron.train(pf)
+    val pm = Perceptron.margins(pf, pWsum)
     val perDoc = reachFlags(s, d)
       .select(col("doc_id"), col("allowed"), col("reach3"), col("reach4"), col("reach5"))
       .join(scored, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
+      .join(pm, Seq("doc_id"), "left")
       .withColumn("reach6",
         col("reach5") && coalesce(col("score") >= lit(QualityModel.PseudoPos), lit(false)))
       .withColumn("reach7",
         col("reach6") && coalesce(col("mean_unat") <= lit(Text.LmGateUnat), lit(false)))
+      .withColumn("reach8",
+        col("reach7") && coalesce(col("margin") > lit(Perceptron.FunnelGateMargin), lit(false)))
       .withColumn("reached",
-        when(col("reach7"), 7)
+        when(col("reach8"), 8)
+          .when(col("reach7"), 7)
           .when(col("reach6"), 6)
           .when(col("reach5"), 5)
           .when(col("reach4"), 4)
@@ -189,10 +201,10 @@ object Funnel {
       |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
 
   /** q252's oracle/twin body: the v1 gate ladder (byte-compatible
-    * arithmetic) + the q234 model chain + the q244 per-doc LM mean, all
-    * replayed in SQL — the hash pins the seven-level NESTING across three
-    * subsystems, not just each gate alone. `duck` selects the dialect for
-    * every spliced fragment. */
+    * arithmetic) + the q234 model chain + the q244 per-doc LM mean + the
+    * q264 perceptron chain, all replayed in SQL — the hash pins the
+    * eight-level NESTING across four subsystems, not just each gate
+    * alone. `duck` selects the dialect for every spliced fragment. */
   private def v2Sql(duck: Boolean): String = {
     val idiv = if (duck) "//" else "div"
     val ws = if (duck) Text.tokensSql else Dialect.tokensSparkSql
@@ -211,6 +223,8 @@ object Funnel {
        |  FROM ft),
        |$qm,
        |$kn,
+       |${Perceptron.chainSql(duck)},
+       |${Perceptron.marginCteSql},
        |lv1 AS (
        |  SELECT doc_id, text, allowed, n_tok, n_stop,
        |    allowed AND doc_id = MIN(CASE WHEN allowed THEN doc_id END)
@@ -228,6 +242,9 @@ object Funnel {
        |perdoc AS (
        |  SELECT l.doc_id,
        |    CASE WHEN reach5 AND COALESCE(q.score >= ${QualityModel.PseudoPos}, FALSE)
+       |              AND COALESCE(p.mean_unat <= ${Text.LmGateUnat}, FALSE)
+       |              AND COALESCE(pm.margin > ${Perceptron.FunnelGateMargin}, FALSE) THEN 8
+       |         WHEN reach5 AND COALESCE(q.score >= ${QualityModel.PseudoPos}, FALSE)
        |              AND COALESCE(p.mean_unat <= ${Text.LmGateUnat}, FALSE) THEN 7
        |         WHEN reach5 AND COALESCE(q.score >= ${QualityModel.PseudoPos}, FALSE) THEN 6
        |         WHEN reach5 THEN 5
@@ -237,7 +254,8 @@ object Funnel {
        |         ELSE 1 END AS reached
        |  FROM lv3 l
        |  LEFT JOIN sc q ON q.doc_id = l.doc_id
-       |  LEFT JOIN pd p ON p.doc_id = l.doc_id),
+       |  LEFT JOIN pd p ON p.doc_id = l.doc_id
+       |  LEFT JOIN psm pm ON pm.doc_id = l.doc_id),
        |counts AS (SELECT reached, COUNT(*) AS c FROM perdoc GROUP BY 1),
        |stages AS (
        |  SELECT 1 AS stage_idx, 'fetched' AS stage
@@ -246,7 +264,8 @@ object Funnel {
        |  UNION ALL SELECT 4, 'quality_pass'
        |  UNION ALL SELECT 5, 'text_unique'
        |  UNION ALL SELECT 6, 'model_quality_pass'
-       |  UNION ALL SELECT 7, 'lm_perplexity_pass')
+       |  UNION ALL SELECT 7, 'lm_perplexity_pass'
+       |  UNION ALL SELECT 8, 'linear_model_pass')
        |SELECT stage_idx, stage,
        |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs
        |FROM stages LEFT JOIN counts ON reached >= stage_idx

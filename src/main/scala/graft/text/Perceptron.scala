@@ -1,0 +1,268 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.{Dialect, Entry}
+
+/** Linear hashed-feature quality classifier (SURVEY.md Q264/Q265) — the
+  * model-upgrade tier above q234's bucket-posterior NB: an integer-weight
+  * AVERAGED PERCEPTRON (Freund & Schapire 1999) over hashed token
+  * features, the public fastText-quality-filter shape (a linear model
+  * over hashed n-gram features; Joulin et al. 2017).
+  *
+  * Cross-engine exactness is the design constraint, solved the q219/q234
+  * way — EVERYTHING is integer arithmetic:
+  *  - features: per-mille token-bucket profile (token_hash(w) % 64,
+  *    x = (1000·count) div n_tok — nonnegative, so '//' and 'div'
+  *    agree), plus the raw length and a bias slot (66 weights);
+  *  - labels: the q96/q234 rule law in exact integer form
+  *    (n_tok >= 25 AND 1000·n_stop >= 30·n_tok → +1 else −1);
+  *  - training: 16 deterministic steps (2 epochs over q156's 8
+  *    md5-bucket shards, the seeded epoch-order law) — each step scores
+  *    the step's shard against the current weights and updates on the
+  *    TOP-4 WORST VIOLATORS (most-negative y·score, ties by doc_id) —
+  *    maximal-violation working-set selection, the batch-tractable form
+  *    of the online perceptron: per-example updates are order-dependent
+  *    and not SQL-replayable at corpus size (the q248-EM disposition
+  *    class), while a per-step argmin over integers is deterministic,
+  *    order-independent, and unrolls as ONE linear CTE level per step;
+  *  - inference: the classifier is the SUMMED weight trajectory `wsum`
+  *    (the averaged perceptron's integer-scaled form — the last-step
+  *    weights oscillate, the average separates; measured before
+  *    pinning), thresholded at margin > 0.
+  *
+  * The DuckDB oracle replays all 16 levels exactly: weights ride the
+  * chain as 66 (f, w, wsum) rows, each level referencing ONLY its
+  * predecessor (the running average is a carried state COLUMN — a final
+  * sum over all 16 weight tables would re-inline the chain
+  * quadratically, the q245 lesson), violator selection is a DENSE_RANK
+  * over (violator-flag, y·score, doc_id) — rank keys are all non-NULL
+  * integers inside the violator group, so engine NULL-ordering defaults
+  * cannot reorder it — and the feature/label tables are MATERIALIZED
+  * (duck dialect only) so 16 references cost one derivation, not 16
+  * corpus re-tokenizations.
+  *
+  * Scale posture (the q242 driver-artifact law): training state is O(66)
+  * longs ON THE DRIVER; each step is one map-only scoring pass over the
+  * persisted sparse feature frame (weights enter as literal arrays —
+  * no join), a top-4 TakeOrderedAndProject, and one 66-row update agg —
+  * the corpus is never weight-joined or re-shuffled. At 100 TB a
+  * deployment trains on a driver-sized sample (q234's own posture) and
+  * scores map-only with the folded-back literals; the 16 bounded
+  * collects here are ≤ 4 (doc_id, y) rows + 66 update rows each.
+  */
+object Perceptron {
+
+  val NumBuckets = 64
+  val NumFeatures: Int = NumBuckets + 2   // buckets + n_tok + bias
+  val Shards = 8
+  val Epochs = 2
+  val Steps: Int = Shards * Epochs
+  val TopViolators = 4
+  val Seed = "pcpt1"
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // ---- shared SQL chain (oracle duck=true / spark twin duck=false) ----
+
+  /** The training chain CTEs: t, lab, wrd, feat, w0, then one
+    * (j_k, w_k) pair per step. Splice with `WITH` and consume `w$Steps`
+    * (final weights) / `feat`+`lab` (for scoring). ONE copy shared by
+    * q264, q265 and q252's stage-8 gate. */
+  private[text] def chainSql(duck: Boolean): String = {
+    val idiv = if (duck) "//" else "div"
+    val ws = if (duck) Text.tokensSql else Dialect.tokensSparkSql
+    val len = if (duck) "len" else "size"
+    val fil = if (duck) "list_filter" else "filter"
+    val mat = if (duck) "MATERIALIZED " else ""
+    val th = if (duck) Text.tokenHashSql else "token_hash(w)"
+    val shard =
+      if (duck)
+        s"CAST(('0x' || substr(md5('$Seed:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % $Shards"
+      else
+        s"CAST(CAST(conv(substr(md5(concat('$Seed:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % $Shards AS INT)"
+    val unn = if (duck) "unnest(ws)" else "explode(ws)"
+    val w0 =
+      if (duck) s"SELECT unnest(range($NumFeatures)) AS f"
+      else s"SELECT explode(sequence(0, ${NumFeatures - 1})) AS f"
+    val levels = (1 to Steps).map { k =>
+      val sh = (k - 1) % Shards
+      val upd =
+        s"COALESCE(CAST(SUM(CASE WHEN vrk <= $TopViolators THEN y * x END) AS BIGINT), 0)"
+      s"""pj$k AS (
+         |  SELECT ww.f, ww.w, ww.wsum, fe.doc_id, fe.x, fe.y,
+         |    SUM(ww.w * fe.x) OVER (PARTITION BY fe.doc_id) AS score
+         |  FROM pw${k - 1} ww LEFT JOIN (
+         |    SELECT f0.doc_id, f0.f, f0.x, l.y FROM pfeat f0
+         |    JOIN plab l ON l.doc_id = f0.doc_id AND l.shard = $sh) fe
+         |  ON fe.f = ww.f),
+         |pw$k AS (
+         |  SELECT f, MAX(w) + $upd AS w, MAX(wsum) + MAX(w) + $upd AS wsum
+         |  FROM (
+         |    SELECT f, w, wsum, x, y,
+         |      CASE WHEN doc_id IS NOT NULL AND y * score <= 0 THEN
+         |        DENSE_RANK() OVER (ORDER BY
+         |          CASE WHEN doc_id IS NOT NULL AND y * score <= 0 THEN 0 ELSE 1 END,
+         |          y * score, doc_id)
+         |      END AS vrk
+         |    FROM pj$k)
+         |  GROUP BY f)""".stripMargin
+    }.mkString(",\n")
+    s"""pt AS (SELECT doc_id, $ws AS ws FROM documents),
+       |plab AS $mat(SELECT doc_id,
+       |    CASE WHEN $len(ws) >= 25
+       |              AND 1000 * $len($fil(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) >= 30 * $len(ws)
+       |         THEN 1 ELSE -1 END AS y,
+       |    $shard AS shard,
+       |    CAST($len(ws) AS BIGINT) AS n_tok
+       |  FROM pt WHERE $len(ws) > 0),
+       |pwrd AS (SELECT doc_id, $unn AS w FROM pt),
+       |pfeat AS $mat(
+       |  SELECT w.doc_id, w.f, CAST((1000 * w.c) $idiv l.n_tok AS BIGINT) AS x
+       |  FROM (SELECT doc_id, ($th) % $NumBuckets AS f, COUNT(*) AS c FROM pwrd GROUP BY 1, 2) w
+       |  JOIN plab l ON l.doc_id = w.doc_id
+       |  UNION ALL SELECT doc_id, $NumBuckets, n_tok FROM plab
+       |  UNION ALL SELECT doc_id, ${NumBuckets + 1}, CAST(1 AS BIGINT) FROM plab),
+       |pw0 AS ($w0, CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS wsum),
+       |$levels""".stripMargin
+  }
+
+  /** Per-doc margin under the averaged weights — ONE copy shared by
+    * q265's scoring and q252's stage-8 gate. */
+  private[text] def marginCteSql: String =
+    s"""psm AS (
+       |  SELECT fe.doc_id, CAST(SUM(fe.x * ww.wsum) AS BIGINT) AS margin
+       |  FROM pfeat fe JOIN pw$Steps ww ON ww.f = fe.f GROUP BY 1)""".stripMargin
+
+  /** q252's stage-8 bar: keep stage-7 survivors the linear model scores
+    * CONFIDENTLY positive (margin > 0 alone drops exactly 1 doc at both
+    * fixture scales — a one-row gate is fragile evidence; this bar drops
+    * 5/4 and keeps 50/44 at sf0.001/sf0.01, measured before pinning —
+    * the q225 non-vacuity discipline, stage 6's PseudoPos move). */
+  val FunnelGateMargin = 100000L
+
+  private def trainSql(duck: Boolean): String =
+    s"""WITH ${chainSql(duck)}
+       |SELECT CAST(f AS INT) AS f, w, wsum FROM pw$Steps ORDER BY f""".stripMargin
+
+  /** q265's oracle: the chain + corpus scoring under `wsum`, reported as
+    * the q234-style confusion matrix with margin extrema. */
+  private def applySql(duck: Boolean): String =
+    s"""WITH ${chainSql(duck)},
+       |$marginCteSql
+       |SELECT CASE WHEN l.y = 1 THEN 1 ELSE 0 END AS label,
+       |  CASE WHEN m.margin > 0 THEN 1 ELSE 0 END AS pred,
+       |  COUNT(*) AS n,
+       |  CAST(MIN(m.margin) AS BIGINT) AS min_margin,
+       |  CAST(MAX(m.margin) AS BIGINT) AS max_margin
+       |FROM psm m JOIN plab l ON l.doc_id = m.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- Spark side ----
+
+  private val stop = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Spark twin of the chain's `shard` expression (q156's epoch-order
+    * bucketing under this model's seed). */
+  private def shardCol: Column =
+    expr(s"CAST(CAST(conv(substr(md5(concat('$Seed:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % $Shards AS INT)")
+
+  /** Per-doc label/shard/length rows off the staged token index. */
+  private def labFrame(s: SparkSession, d: String): DataFrame =
+    TokenIndex.toks(s, d)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
+        size(filter(col("ws"), w => w.isin(stop: _*))).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"),
+        when(col("n_tok") >= 25 && lit(1000) * col("n_stop") >= lit(30) * col("n_tok"), 1L)
+          .otherwise(-1L).as("y"),
+        shardCol.as("shard"), col("n_tok"))
+
+  /** The persisted sparse feature frame (doc_id, y, shard, f, x) — the
+    * training-set staging a real job materializes once; every step's
+    * scoring pass and both entries' scoring reads run off it. */
+  private[text] def sparseFeatures(s: SparkSession, d: String): DataFrame = {
+    val lab = labFrame(s, d)
+    val cnt = TokenIndex.words(s, d)
+      .select(col("doc_id"),
+        (graft.functions.vec.tokenHash(col("w")) % NumBuckets).as("f"))
+      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
+    val buckets = cnt.join(lab, "doc_id")
+      .select(col("doc_id"), col("y"), col("shard"), col("f"),
+        expr("CAST((1000 * c) div n_tok AS BIGINT)").as("x"))
+    val lenFeat = lab.select(col("doc_id"), col("y"), col("shard"),
+      lit(NumBuckets.toLong).as("f"), col("n_tok").as("x"))
+    val bias = lab.select(col("doc_id"), col("y"), col("shard"),
+      lit(NumBuckets + 1L).as("f"), lit(1L).as("x"))
+    buckets.unionByName(lenFeat).unionByName(bias)
+  }
+
+  /** The margin expression under literal weights: Σ x·w[f] per doc (the
+    * weights enter as a 66-slot literal array — map-only, no join). */
+  private def marginAgg(wv: Seq[Long]): Column =
+    sum(col("x") * element_at(typedLit(wv), col("f").cast("int") + 1))
+
+  /** Per-doc (doc_id, margin) under literal weights off a
+    * [[sparseFeatures]] frame — the DataFrame twin of [[marginCteSql]],
+    * shared by q265 and q252's stage-8 gate. */
+  private[text] def margins(feats: DataFrame, wv: Seq[Long]): DataFrame =
+    feats.groupBy(col("doc_id")).agg(marginAgg(wv).as("margin"))
+
+  /** The 16-step driver-side trainer — exact twin of the SQL chain.
+    * Returns (final weights, summed weights). Every collect is bounded:
+    * ≤ TopViolators (doc_id, y) rows, then one ≤ NumFeatures update agg,
+    * per step. */
+  private[text] def train(feats: DataFrame): (Seq[Long], Seq[Long]) = {
+    val w = Array.fill(NumFeatures)(0L)
+    val wsum = Array.fill(NumFeatures)(0L)
+    for (k <- 0 until Steps) {
+      val shardFeats = feats.filter(col("shard") === k % Shards)
+      // worst violators: most-negative y·score, ties by doc_id — bounded
+      // TopViolators-row collect (the argmin selection, a top-k plan)
+      val viol = shardFeats
+        .groupBy(col("doc_id"), col("y"))
+        .agg(marginAgg(w.toSeq).as("score"))
+        .filter(col("y") * col("score") <= 0)
+        .orderBy(col("y") * col("score"), col("doc_id"))
+        .limit(TopViolators)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      if (viol.nonEmpty) {
+        // one bounded ≤ NumFeatures-row agg: Σ y·x per feature
+        shardFeats.filter(col("doc_id").isin(viol.toSeq: _*))
+          .groupBy(col("f")).agg(sum(col("y") * col("x")).as("u"))
+          .collect().foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      }
+      for (i <- 0 until NumFeatures) wsum(i) += w(i)
+    }
+    (w.toSeq, wsum.toSeq)
+  }
+
+  val entries: Seq[Entry] = Seq(
+    // ---- the learner (the q161/q162 learn/apply split, model side) ----
+    Entry("q264_perceptron_train", trainSql(duck = true)) { (s, d) =>
+      import s.implicits._
+      val feats = sparseFeatures(s, d).persist()
+      val (w, wsum) = train(feats)
+      feats.unpersist()
+      (0 until NumFeatures).map(f => (f, w(f), wsum(f)))
+        .toDF("f", "w", "wsum").orderBy(col("f"))
+    }.sqlTwin(trainSql(duck = false)),
+
+    // ---- the scorer: corpus confusion under the averaged weights ----
+    Entry("q265_perceptron_apply", applySql(duck = true)) { (s, d) =>
+      val feats = sparseFeatures(s, d).persist()
+      val (_, wsum) = train(feats)
+      val out = feats.groupBy(col("doc_id"), col("y"))
+        .agg(marginAgg(wsum).as("margin"))
+        .groupBy(when(col("y") === 1L, 1).otherwise(0).as("label"),
+          when(col("margin") > 0, 1).otherwise(0).as("pred"))
+        .agg(count(lit(1)).as("n"),
+          min(col("margin")).cast("bigint").as("min_margin"),
+          max(col("margin")).cast("bigint").as("max_margin"))
+        .orderBy(col("label"), col("pred"))
+      out
+    }.sqlTwin(applySql(duck = false))
+  )
+}

@@ -570,6 +570,29 @@ class PlanShapeSpec extends GraftSuite {
       s"the rank's exchange must sit above the per-doc agg:\n$p")
   }
 
+  test("q265_perceptron_apply: weights enter as literals — no model join in the scoring plan") {
+    // the q242 driver-artifact law for the linear model: after the
+    // bounded training collects, the published confusion plan reads the
+    // persisted sparse feature frame and folds literal weight arrays —
+    // the corpus must never be weight-joined (no join of ANY kind in the
+    // scoring plan), and the only exchanges are the per-doc margin agg
+    // and the O(4)-row confusion agg
+    val p = planOf("q265_perceptron_apply")
+    assert(p.contains("InMemoryTableScan"),
+      s"the sparse feature frame must be persisted (training already scanned it 16x):\n$p")
+    // the cached relation echoes its own STAGING plan (which legitimately
+    // joins counts to labels once) — the serving-plan budget is everything
+    // ABOVE the InMemoryRelation marker (the q258 pin's accounting)
+    val serving = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(!serving.contains("Join"),
+      s"scoring must fold literal weights, never join a model table:\n$p")
+    // two legitimate exchanges: the doc_id-keyed margin agg and the
+    // (label, pred) confusion agg whose input is already O(docs) post-agg
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(serving).toList
+    assert(exchanges.forall(e => e.contains("doc_id#") || e.contains("_groupingexpression#")),
+      s"only the margin + confusion aggs may shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("q250_kn_perlang: lang attach + all model tables broadcast; no sort-merge join") {
     // the (doc_id, lang) projection and the (langs x vocab^2)-bounded
     // count tables all broadcast back onto the bigram stream — the corpus

@@ -37,12 +37,12 @@ class FunnelSpec extends GraftSuite {
       urlKeep.length.toLong, qual.length.toLong, textUniq.length.toLong))
   }
 
-  test("q252: v2 extends v1 — common stages identical, 7 levels monotone, gates nested") {
+  test("q252: v2 extends v1 — common stages identical, 8 levels monotone, gates nested") {
     val v1 = Funnel.report(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val v2 = Funnel.reportV2(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    assert(v2.map(_._1).toSeq == Seq(1, 2, 3, 4, 5, 6, 7))
+    assert(v2.map(_._1).toSeq == Seq(1, 2, 3, 4, 5, 6, 7, 8))
     // the shared gate ladder must produce byte-identical counts: one
     // derivation (reachFlags) feeds both reports, and this pins that the
     // composition did not perturb the upstream stages
@@ -50,11 +50,14 @@ class FunnelSpec extends GraftSuite {
       s"v2's common stages diverge from v1: ${v1.toSeq} vs ${v2.take(5).toSeq}")
     val ns = v2.map(_._3)
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"not monotone: ${ns.toSeq}")
-    // both new gates must have real selectivity on the fixture (the q225
-    // degenerate-fixture lesson: a gate that drops nothing is not pinned
-    // by the hash — the 2.5M keep threshold was measured vacuous here,
-    // which is why the funnel gates at the confident-positive bar)
+    // every model gate must have real selectivity on the fixture (the
+    // q225 degenerate-fixture lesson: a gate that drops nothing is not
+    // pinned by the hash — the 2.5M keep threshold was measured vacuous
+    // here, which is why the funnel gates at the confident-positive bar;
+    // likewise stage 8 gates at FunnelGateMargin, not 0)
     assert(ns(5) < ns(4), s"model gate dropped nothing: ${ns.toSeq}")
     assert(ns(6) < ns(5), s"LM gate dropped nothing: ${ns.toSeq}")
+    assert(ns(7) < ns(6), s"linear-model gate dropped nothing: ${ns.toSeq}")
+    assert(ns(7) > 0, s"linear-model gate dropped everything: ${ns.toSeq}")
   }
 }
