@@ -1427,68 +1427,69 @@ object Pipeline {
     // adjudicated posture — a deployment takes the weight threshold from
     // a driver-side quantile sample and the window disappears).
     Entry("q262_dsir_select",
-      s"""WITH ${Text.wordsCtesSql},
-        |${Text.bigramCteSql},
-        |bgs AS (SELECT doc_id, w1 || ' ' || w2 AS w FROM bg),
-        |feat AS (SELECT doc_id, (${Text.tokenHashSql}) % 64 AS b, COUNT(*) AS c
-        |         FROM bgs GROUP BY 1, 2),
-        |tgt AS (SELECT t.doc_id FROM toks t JOIN documents d ON d.doc_id = t.doc_id
-        |        WHERE d.lang = 'en' AND len(t.ws) >= 25
-        |          AND 100 * len(list_filter(t.ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) >= 3 * len(t.ws)),
-        |qd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS qc FROM feat GROUP BY 1),
-        |pd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS pc
-        |       FROM feat JOIN tgt USING (doc_id) GROUP BY 1),
-        |qt AS (SELECT CAST(SUM(qc) AS BIGINT) AS qt FROM qd),
-        |pt AS (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) AS pt FROM pd),
-        |lam AS (SELECT qd.b,
-        |          CAST(FLOOR(1000000 * ln(((COALESCE(pd.pc, 0) + 1.0e0) * (qt + 64.0e0)) /
-        |                                  ((qd.qc + 1.0e0) * (pt + 64.0e0)))) AS BIGINT) AS lam
-        |        FROM qd LEFT JOIN pd ON pd.b = qd.b CROSS JOIN qt CROSS JOIN pt),
-        |score AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-        |                 CAST(SUM(c * lam) AS BIGINT) AS logw_unat
-        |          FROM feat JOIN lam USING (b) GROUP BY 1),
-        |kk AS (SELECT COUNT(*) // 4 AS k FROM score),
-        |rkd AS (SELECT doc_id, n_bigrams, logw_unat,
-        |          ROW_NUMBER() OVER (ORDER BY logw_unat DESC,
-        |            (doc_id % 1000003) * 2654435761 % 1000000007, doc_id) AS rk
-        |        FROM score)
+      s"""WITH $dsirCtesSql
         |SELECT r.doc_id, d.lang, r.n_bigrams, r.logw_unat
         |FROM rkd r JOIN documents d ON d.doc_id = r.doc_id
         |WHERE r.rk <= (SELECT k FROM kk)
         |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
-      val feat = Text.bigramPairs(s, d)
-        .select(col("doc_id"),
-          (graft.functions.vec.tokenHash(
-            concat(col("w1"), lit(" "), col("w2"))) % 64).as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      val tgt = TokenIndex.toks(s, d)
-        .filter(col("lang") === "en" && size(col("ws")) >= 25 &&
-          size(filter(col("ws"), w => w.isin(dsirStop: _*))) * 100 >= size(col("ws")) * 3)
-        .select(col("doc_id"))
-      val qd = feat.groupBy(col("b")).agg(sum(col("c")).cast("bigint").as("qc"))
-      val pd = feat.join(tgt, "doc_id")
-        .groupBy(col("b")).agg(sum(col("c")).cast("bigint").as("pc"))
-      val qt = qd.agg(sum(col("qc")).cast("bigint").as("qt"))
-      val pt = pd.agg(coalesce(sum(col("pc")), lit(0L)).cast("bigint").as("pt"))
-      // one float op per BUCKET (64 rows), expression text identical to
-      // the oracle so the doubles entering ln are bit-equal on both sides
-      val lam = qd.join(broadcast(pd), Seq("b"), "left")
-        .crossJoin(broadcast(qt)).crossJoin(broadcast(pt))
-        .select(col("b"),
-          expr("CAST(FLOOR(1000000 * ln(((COALESCE(pc, 0) + 1.0e0) * (qt + 64.0e0)) / " +
-               "((qc + 1.0e0) * (pt + 64.0e0)))) AS BIGINT)").as("lam"))
-      val score = feat.join(broadcast(lam), "b")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).cast("bigint").as("n_bigrams"),
-             sum(col("c") * col("lam")).cast("bigint").as("logw_unat"))
-      val kk = score.agg(expr("COUNT(*) div 4").as("k"))
-      val ranked = score
-        .withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("logw_unat").desc, col("ord"), col("doc_id"))))
-      ranked.crossJoin(broadcast(kk)).filter(col("rk") <= col("k"))
-        .join(T(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      dsirSelected(s, d)
         .select(col("doc_id"), col("lang"), col("n_bigrams"), col("logw_unat"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- the DSIR-curated training draw (q262 ∘ q258 ∘ q119) ----
+    // The composition a data-order job actually executes: DSIR keeps the
+    // top-quarter by target-importance (q262), Hamilton splits half of
+    // the KEPT corpus's token mass across its languages exactly (q258's
+    // method on the selected totals), and each language draws its
+    // selected docs in q119's deterministic hash order until its
+    // allocation is exhausted. The kept set is the training mix after
+    // BOTH curation moves: importance-selected AND language-balanced —
+    // reproducible end-to-end from pure integer arithmetic, so the hash
+    // pins the full select→apportion→draw pipeline, not each stage in
+    // isolation. Budget is scale-proportional (half the selected tokens),
+    // so the cut is real at every sf (q259's vacuity lesson).
+    // Scale: q262's plan + one lang agg on the O(selected) rows + the
+    // per-lang cumulative window + the broadcast O(langs) allocation —
+    // exactly q259's economics over the selected subset.
+    Entry("q266_dsir_resample",
+      s"""WITH $dsirCtesSql,
+        |sel AS (SELECT doc_id FROM rkd WHERE rk <= (SELECT k FROM kk)),
+        |nt AS (SELECT t.doc_id, d.lang, CAST(len(t.ws) AS BIGINT) AS n_tok
+        |       FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+        |       JOIN sel s ON s.doc_id = t.doc_id),
+        |nl AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_lang FROM nt GROUP BY 1),
+        |tb AS (SELECT CAST(SUM(n_lang) AS BIGINT) AS t FROM nl),
+        |qa AS (SELECT lang, n_lang, t // 2 AS bud,
+        |         CAST(((t // 2) * n_lang) // t AS BIGINT) AS base_tok,
+        |         CAST(((t // 2) * n_lang) % t AS BIGINT) AS rem
+        |       FROM nl CROSS JOIN tb),
+        |lo AS (SELECT CAST(MIN(bud) - SUM(base_tok) AS BIGINT) AS leftover FROM qa),
+        |ra AS (SELECT lang, base_tok, rem,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk FROM qa),
+        |al AS (SELECT lang,
+        |         CAST(base_tok + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tok
+        |       FROM ra CROSS JOIN lo),
+        |oo AS (SELECT doc_id, lang, n_tok,
+        |         (doc_id % 1000003) * 2654435761 % 1000000007 AS ord FROM nt),
+        |cc AS (SELECT doc_id, lang, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum FROM oo)
+        |SELECT cc.doc_id, cc.lang, cc.n_tok, CAST(cc.cum AS BIGINT) AS cum_tok
+        |FROM cc JOIN al ON al.lang = cc.lang
+        |WHERE cc.cum <= al.alloc_tok ORDER BY cc.doc_id""".stripMargin) { (s, d) =>
+      val nt = TokenIndex.toks(s, d)
+        .join(dsirSelected(s, d).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("lang"), size(col("ws")).cast("bigint").as("n_tok"))
+      val al = hamiltonAlloc(
+        nt.groupBy(col("lang")).agg(sum(col("n_tok")).cast("bigint").as("n_tok")),
+        "t div 2").select(col("lang"), col("alloc_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
+      nt.withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .join(broadcast(al), "lang")
+        .filter(col("cum") <= col("alloc_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+                col("cum").cast("bigint").as("cum_tok"))
         .orderBy(col("doc_id"))
     }
   )
@@ -1496,6 +1497,78 @@ object Pipeline {
   /** q262's target-slice stopword list — the q96 rule set (a def: `entries`
     * above initializes first and would read a null val declared below). */
   private def dsirStop: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** The q262 DSIR chain CTEs (features → smoothed log-ratios → scores →
+    * selection rank) — ONE copy shared by the selection entry (q262) and
+    * the curated draw (q266); dialect-shared, so both twins derive via
+    * the rename bridge. Consume `rkd` (ranked scores), `kk` (the top-k
+    * threshold) and `toks` (from the spliced words CTEs). */
+  private def dsirCtesSql: String =
+    s"""${Text.wordsCtesSql},
+      |${Text.bigramCteSql},
+      |bgs AS (SELECT doc_id, w1 || ' ' || w2 AS w FROM bg),
+      |feat AS (SELECT doc_id, (${Text.tokenHashSql}) % 64 AS b, COUNT(*) AS c
+      |         FROM bgs GROUP BY 1, 2),
+      |tgt AS (SELECT t.doc_id FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+      |        WHERE d.lang = 'en' AND len(t.ws) >= 25
+      |          AND 100 * len(list_filter(t.ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) >= 3 * len(t.ws)),
+      |qd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS qc FROM feat GROUP BY 1),
+      |pd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS pc
+      |       FROM feat JOIN tgt USING (doc_id) GROUP BY 1),
+      |qt AS (SELECT CAST(SUM(qc) AS BIGINT) AS qt FROM qd),
+      |pt AS (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) AS pt FROM pd),
+      |lam AS (SELECT qd.b,
+      |          CAST(FLOOR(1000000 * ln(((COALESCE(pd.pc, 0) + 1.0e0) * (qt + 64.0e0)) /
+      |                                  ((qd.qc + 1.0e0) * (pt + 64.0e0)))) AS BIGINT) AS lam
+      |        FROM qd LEFT JOIN pd ON pd.b = qd.b CROSS JOIN qt CROSS JOIN pt),
+      |score AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |                 CAST(SUM(c * lam) AS BIGINT) AS logw_unat
+      |          FROM feat JOIN lam USING (b) GROUP BY 1),
+      |kk AS (SELECT COUNT(*) // 4 AS k FROM score),
+      |rkd AS (SELECT doc_id, n_bigrams, logw_unat,
+      |          ROW_NUMBER() OVER (ORDER BY logw_unat DESC,
+      |            (doc_id % 1000003) * 2654435761 % 1000000007, doc_id) AS rk
+      |        FROM score)""".stripMargin
+
+  /** DataFrame twin of [[dsirCtesSql]]'s selection: the top-quarter of
+    * the corpus by smoothed hashed-bigram importance weight, with lang
+    * attached — shared by q262 (the published selection) and q266 (the
+    * draw that consumes it). */
+  private def dsirSelected(s: SparkSession, d: String): DataFrame = {
+    val feat = Text.bigramPairs(s, d)
+      .select(col("doc_id"),
+        (graft.functions.vec.tokenHash(
+          concat(col("w1"), lit(" "), col("w2"))) % 64).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val tgt = TokenIndex.toks(s, d)
+      .filter(col("lang") === "en" && size(col("ws")) >= 25 &&
+        size(filter(col("ws"), w => w.isin(dsirStop: _*))) * 100 >= size(col("ws")) * 3)
+      .select(col("doc_id"))
+    val qd = feat.groupBy(col("b")).agg(sum(col("c")).cast("bigint").as("qc"))
+    val pd = feat.join(tgt, "doc_id")
+      .groupBy(col("b")).agg(sum(col("c")).cast("bigint").as("pc"))
+    val qt = qd.agg(sum(col("qc")).cast("bigint").as("qt"))
+    val pt = pd.agg(coalesce(sum(col("pc")), lit(0L)).cast("bigint").as("pt"))
+    // one float op per BUCKET (64 rows), expression text identical to
+    // the oracle so the doubles entering ln are bit-equal on both sides
+    val lam = qd.join(broadcast(pd), Seq("b"), "left")
+      .crossJoin(broadcast(qt)).crossJoin(broadcast(pt))
+      .select(col("b"),
+        expr("CAST(FLOOR(1000000 * ln(((COALESCE(pc, 0) + 1.0e0) * (qt + 64.0e0)) / " +
+             "((qc + 1.0e0) * (pt + 64.0e0)))) AS BIGINT)").as("lam"))
+    val score = feat.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_bigrams"),
+           sum(col("c") * col("lam")).cast("bigint").as("logw_unat"))
+    val kk = score.agg(expr("COUNT(*) div 4").as("k"))
+    score
+      .withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("logw_unat").desc, col("ord"), col("doc_id"))))
+      .crossJoin(broadcast(kk)).filter(col("rk") <= col("k"))
+      .join(Tables(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("logw_unat"))
+  }
 
   /** q192's PII patterns — character classes + bounded quantifiers only,
     * so Java regex (Spark) and RE2 (DuckDB) agree by construction.

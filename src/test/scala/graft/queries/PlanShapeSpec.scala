@@ -570,6 +570,23 @@ class PlanShapeSpec extends GraftSuite {
       s"the rank's exchange must sit above the per-doc agg:\n$p")
   }
 
+  test("q266_dsir_resample: allocation broadcasts; exchanges stay on doc/bucket/lang keys") {
+    // q262's selection plan plus the draw: the O(langs) allocation joins
+    // back as a broadcast (q259's pin applied to the selected subset),
+    // and every hash exchange is a key the pipeline genuinely needs —
+    // the (doc_id, b) feature agg, b-keyed bucket rollups, doc_id-keyed
+    // score/selection joins, or the lang partitioning of the cumulative
+    // window. Nothing corpus-sized collapses to one partition except the
+    // O(docs) post-agg selection rank (the q249 posture).
+    val p = planOf("q266_dsir_resample")
+    assert(p.contains("BroadcastExchange"), s"allocation must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product joins:\n$p")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.forall(e =>
+        e.contains("doc_id#") || e.contains("b#") || e.contains("lang#")),
+      s"unexpected exchange key:\n${exchanges.mkString("\n")}")
+  }
+
   test("q265_perceptron_apply: weights enter as literals — no model join in the scoring plan") {
     // the q242 driver-artifact law for the linear model: after the
     // bounded training collects, the published confusion plan reads the

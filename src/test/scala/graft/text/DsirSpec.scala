@@ -112,4 +112,43 @@ class DsirSpec extends GraftSuite {
     val alloc = base.map { case (l, b) => l -> (b + (if (bonus(l)) 1L else 0L)) }
     assert(alloc.values.sum == bud, "apportioning the DSIR output drifted off-budget")
   }
+
+  test("q266: the curated draw is the maximal per-lang prefix of the q262 selection") {
+    val sel = graft.SparkEntry.queries("q262_dsir_select")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = graft.SparkEntry.queries("q266_dsir_resample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // the draw must cut WITHIN the selection (subset + strictly smaller —
+    // the scale-proportional half budget is non-vacuous by construction)
+    val selIds = sel.map(_._1).toSet
+    assert(kept.forall(k => selIds(k._1)), "draw kept a document DSIR rejected")
+    assert(kept.length < sel.length, "draw kept the whole selection — vacuous budget")
+    assert(kept.map(_._2).toSet == sel.map(_._2).toSet,
+      "a language got no docs — apportionment starved it")
+
+    // independent replay: selected totals -> Hamilton(T/2) -> per-lang
+    // ordered walk (q259's replay law applied to the q262 output)
+    val ws = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tok(r.getString(1)).size.toLong).toMap
+    val docs = sel.map { case (id, lang) => (id, lang, ws(id)) }
+    val perLang = docs.groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3).sum }
+    val t = perLang.values.sum
+    val bud = t / 2
+    val base = perLang.map { case (l, n) => l -> (bud * n / t, bud * n % t) }
+    val leftover = bud - base.values.map(_._1).sum
+    val bonus = base.keys.toSeq.sortBy(l => (-base(l)._2, l)).take(leftover.toInt).toSet
+    val alloc = base.map { case (l, (b, _)) => l -> (b + (if (bonus(l)) 1L else 0L)) }
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (l, ds) =>
+      val ordered = ds.sortBy(x => (ord(x._1), x._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).takeWhile(_._2 <= alloc(l))
+        .map { case ((id, _, n), c) => id -> ((l, n, c)) }
+    }.toMap
+    assert(kept.map(_._1).toSet == expect.keySet,
+      s"kept set diverges from the replay (${kept.length} vs ${expect.size})")
+    for ((id, l, n, c) <- kept)
+      assert((l, n, c) == expect(id), s"doc $id: row mismatch")
+  }
 }
