@@ -196,7 +196,12 @@ object Perceptron {
       lit(NumBuckets.toLong).as("f"), col("n_tok").as("x"))
     val bias = lab.select(col("doc_id"), col("y"), col("shard"),
       lit(NumBuckets + 1L).as("f"), lit(1L).as("x"))
-    buckets.unionByName(lenFeat).unionByName(bias)
+    // narrow partitioning: the frame is O(docs x ~33) 40-byte rows and
+    // every consumer is a 16-iteration loop of tiny per-shard jobs — at
+    // the session's 32 partitions each step pays 32-task scheduling for
+    // kilobytes of work (the clusterPairs loop lesson). A deployment
+    // whose feature frame is genuinely large raises the same knob.
+    buckets.unionByName(lenFeat).unionByName(bias).coalesce(4)
   }
 
   /** The margin expression under literal weights: Σ x·w[f] per doc (the
@@ -211,30 +216,34 @@ object Perceptron {
     feats.groupBy(col("doc_id")).agg(marginAgg(wv).as("margin"))
 
   /** The 16-step driver-side trainer — exact twin of the SQL chain.
-    * Returns (final weights, summed weights). Every collect is bounded:
-    * ≤ TopViolators (doc_id, y) rows, then one ≤ NumFeatures update agg,
-    * per step. */
+    * Returns (final weights, summed weights). ONE job per step: the
+    * per-doc score agg also carries each doc's feature structs, so the
+    * top-4 violator collect delivers the update material in the same
+    * pass (a second lookup job per step doubled the wall time in pure
+    * scheduling floor — data volume is unchanged either way). Each
+    * collect is bounded: ≤ TopViolators rows × ≤ NumFeatures structs. */
   private[text] def train(feats: DataFrame): (Seq[Long], Seq[Long]) = {
     val w = Array.fill(NumFeatures)(0L)
     val wsum = Array.fill(NumFeatures)(0L)
-    for (k <- 0 until Steps) {
-      val shardFeats = feats.filter(col("shard") === k % Shards)
-      // worst violators: most-negative y·score, ties by doc_id — bounded
-      // TopViolators-row collect (the argmin selection, a top-k plan)
-      val viol = shardFeats
-        .groupBy(col("doc_id"), col("y"))
-        .agg(marginAgg(w.toSeq).as("score"))
-        .filter(col("y") * col("score") <= 0)
-        .orderBy(col("y") * col("score"), col("doc_id"))
-        .limit(TopViolators)
-        .select(col("doc_id")).collect().map(_.getLong(0))
-      if (viol.nonEmpty) {
-        // one bounded ≤ NumFeatures-row agg: Σ y·x per feature
-        shardFeats.filter(col("doc_id").isin(viol.toSeq: _*))
-          .groupBy(col("f")).agg(sum(col("y") * col("x")).as("u"))
-          .collect().foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    // the loop moves O(shard x 33) rows per step — run its shuffles at a
+    // narrow partitioning so per-step cost is the work, not 32-task
+    // scheduling floor (the clusterPairs loop posture)
+    graft.core.GraftSession.withShufflePartitions(feats.sparkSession, 4) {
+      for (k <- 0 until Steps) {
+        // worst violators: most-negative y·score, ties by doc_id — a
+        // bounded top-k plan (the argmin selection) over the step's shard
+        val viol = feats.filter(col("shard") === k % Shards)
+          .groupBy(col("doc_id"), col("y"))
+          .agg(marginAgg(w.toSeq).as("score"),
+               collect_list(struct(col("f"), col("x"))).as("fx"))
+          .filter(col("y") * col("score") <= 0)
+          .orderBy(col("y") * col("score"), col("doc_id"))
+          .limit(TopViolators)
+          .select(col("y"), col("fx")).collect()
+        for (r <- viol; p <- r.getSeq[org.apache.spark.sql.Row](1))
+          w(p.getLong(0).toInt) += r.getLong(0) * p.getLong(1)
+        for (i <- 0 until NumFeatures) wsum(i) += w(i)
       }
-      for (i <- 0 until NumFeatures) wsum(i) += w(i)
     }
     (w.toSeq, wsum.toSeq)
   }
