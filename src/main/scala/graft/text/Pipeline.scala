@@ -264,7 +264,13 @@ object Pipeline {
     * string itself never leaves the scan projection, so every downstream
     * exchange carries 16 bytes of key instead of ~100. */
   private[text] def winFingerprints(s: SparkSession, d: String): DataFrame =
-    TokenIndex.toks(s, d).filter(size(col("ws")) >= 16)
+    winFingerprintsOf(TokenIndex.toks(s, d))
+
+  /** Same derivation over an arbitrary `(doc_id, ws)` projection — q267
+    * windows a FABRICATED token stream, so the fingerprint diet must not
+    * be welded to the staged index. */
+  private[text] def winFingerprintsOf(toks: DataFrame): DataFrame =
+    toks.filter(size(col("ws")) >= 16)
       .select(col("doc_id"),
               posexplode(transform(sequence(lit(0), size(col("ws")) - 16),
                 i => array_join(slice(col("ws"), i + 1, lit(16)), " "))))
@@ -1491,7 +1497,115 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("n_tok"),
                 col("cum").cast("bigint").as("cum_tok"))
         .orderBy(col("doc_id"))
-    }
+    },
+
+    // ---- decontamination by EXCISION (the q256 edit on q254's signal) ----
+    // q254 audits benchmark overlap and q261 gates arrivals — both DROP
+    // whole documents. The surgical alternative a pipeline prefers for
+    // long documents quoting a short eval passage is the Lee et al. edit
+    // applied to CONTAMINATED SPANS: every 16-token window that appears
+    // verbatim in the benchmark slice (doc_id % 97 = 0, q254's set) is
+    // marked in every non-benchmark doc, marked positions union and
+    // collapse into contiguous islands (the q256 machinery), and the
+    // report is the per-doc excision ledger. The fixture's natural
+    // cross-slice window overlap is zero at sf0.01 (measured), so
+    // contamination is FABRICATED deterministically (the q255/q192
+    // pattern): docs with doc_id % 7 = 3 append the canonical benchmark
+    // span — the first 16 tokens of the smallest benchmark doc long
+    // enough to carry one full window — so the scrubber has planted
+    // ground truth to find at every scale, plus whatever natural overlap
+    // exists (127 windows at sf0.1); the oracle replays fabrication and
+    // excision in one chain.
+    // Scale: the benchmark window set is eval-suite-sized at ANY corpus
+    // scale (q254's argument) so it BROADCASTS onto the map-only window
+    // stream — the marking costs zero corpus-keyed exchanges; the island
+    // step is doc-keyed over marked positions only (the contaminated
+    // tail, not the corpus).
+    Entry("q267_decontam_scrub",
+      s"""WITH t0 AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
+        |sp AS (SELECT list_slice(ws, 1, 16) AS spn FROM t0
+        |       WHERE doc_id % 97 = 0 AND len(ws) >= 16 ORDER BY doc_id LIMIT 1),
+        |toks AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 3 AND doc_id % 97 <> 0
+        |                THEN list_concat(ws, spn) ELSE ws END AS ws
+        |         FROM t0 CROSS JOIN sp),
+        |$winCtesSql,
+        |bw AS (SELECT DISTINCT win FROM wins WHERE doc_id % 97 = 0),
+        |mk AS (SELECT w.doc_id, w.start FROM wins w JOIN bw b ON b.win = w.win
+        |       WHERE w.doc_id % 97 <> 0),
+        |cv AS (SELECT DISTINCT doc_id, pos
+        |       FROM (SELECT doc_id, unnest(range(start, start + 16)) AS pos FROM mk)),
+        |il AS (SELECT doc_id,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |       FROM cv),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_rm, COUNT(DISTINCT g) AS n_spans
+        |       FROM il GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(pd.n_rm, 0) AS BIGINT) AS n_removed,
+        |       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(len(t.ws) - COALESCE(pd.n_rm, 0) AS BIGINT) AS n_kept
+        |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        |WHERE t.doc_id % 97 <> 0 AND len(t.ws) > 0 ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val t0 = TokenIndex.toks(s, d).select(col("doc_id"), col("ws"))
+      // the planted span: a bounded 16-token driver scalar, mirrored by
+      // the oracle's 1-row sp CTE (fails loudly if no benchmark doc can
+      // carry a full window — impossible on the 10-99-word fixture)
+      val span: Seq[String] = t0
+        .filter(col("doc_id") % 97 === 0 && size(col("ws")) >= 16)
+        .orderBy(col("doc_id")).limit(1)
+        .select(slice(col("ws"), 1, 16)).collect()(0).getSeq[String](0).toIndexedSeq
+      val toks = t0.select(col("doc_id"),
+        when(col("doc_id") % 7 === 3 && col("doc_id") % 97 =!= 0,
+          concat(col("ws"), typedLit(span))).otherwise(col("ws")).as("ws"))
+      val wf = winFingerprintsOf(toks)
+      val bw = wf.filter(col("doc_id") % 97 === 0)
+        .select(col("h1"), col("h2")).distinct()
+      val mk = wf.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bw), Seq("h1", "h2"))
+        .select(col("doc_id"), col("start"))
+      val cv = mk.select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 15)).as("pos"))
+        .distinct()
+      val il = cv.withColumn("g",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val pd = il.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_rm"), countDistinct(col("g")).as("n_spans"))
+      toks.filter(col("doc_id") % 97 =!= 0 && size(col("ws")) > 0)
+        .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tok"))
+        .join(pd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+                coalesce(col("n_rm"), lit(0L)).cast("bigint").as("n_removed"),
+                coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"),
+                (col("n_tok") - coalesce(col("n_rm"), lit(0L))).cast("bigint").as("n_kept"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      // structural gaps: list_slice/list_concat/range spellings + the
+      // end-exclusive range (see winCtesSparkSql)
+      s"""WITH t0 AS (SELECT doc_id, ${Dialect.tokensSparkSql} AS ws FROM documents),
+        |sp AS (SELECT slice(ws, 1, 16) AS spn FROM t0
+        |       WHERE doc_id % 97 = 0 AND size(ws) >= 16 ORDER BY doc_id LIMIT 1),
+        |toks AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 7 = 3 AND doc_id % 97 <> 0
+        |                THEN concat(ws, spn) ELSE ws END AS ws
+        |         FROM t0 CROSS JOIN sp),
+        |$winCtesSparkSql,
+        |bw AS (SELECT DISTINCT win FROM wins WHERE doc_id % 97 = 0),
+        |mk AS (SELECT w.doc_id, w.start FROM wins w JOIN bw b ON b.win = w.win
+        |       WHERE w.doc_id % 97 <> 0),
+        |cv AS (SELECT DISTINCT doc_id, pos
+        |       FROM (SELECT doc_id, explode(sequence(start, start + 15)) AS pos FROM mk)),
+        |il AS (SELECT doc_id,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |       FROM cv),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_rm, COUNT(DISTINCT g) AS n_spans
+        |       FROM il GROUP BY 1)
+        |SELECT t.doc_id, CAST(size(t.ws) AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(pd.n_rm, 0) AS BIGINT) AS n_removed,
+        |       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(size(t.ws) - COALESCE(pd.n_rm, 0) AS BIGINT) AS n_kept
+        |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+        |WHERE t.doc_id % 97 <> 0 AND size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin)
   )
 
   /** q262's target-slice stopword list — the q96 rule set (a def: `entries`

@@ -570,6 +570,27 @@ class PlanShapeSpec extends GraftSuite {
       s"the rank's exchange must sit above the per-doc agg:\n$p")
   }
 
+  test("q267_decontam_scrub: benchmark windows broadcast; marking costs no corpus exchange") {
+    // the q254 decontamination posture applied to the excision tier: the
+    // benchmark window-fingerprint set is eval-suite-sized at any corpus
+    // scale, so the marking probe must be a broadcast join on the
+    // map-only window stream; the only hash exchanges are doc_id-keyed
+    // (the marked-position union / islands / ledger join — the
+    // contaminated tail, not the corpus)
+    val p = planOf("q267_decontam_scrub")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"marking must never shuffle the corpus on a window key:\n$p")
+    // one fingerprint-keyed exchange is legitimate: the benchmark set's
+    // own DISTINCT, which runs on the %97 slice only (eval-suite-sized);
+    // with SMJ excluded above, no corpus rows can ride a window key
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.forall(e => e.contains("doc_id#") || e.contains("h1#")),
+      s"unexpected exchange key:\n${exchanges.mkString("\n")}")
+    assert(exchanges.count(_.contains("h1#")) <= 1,
+      s"more than the benchmark-distinct may not shuffle on the fingerprint:\n${exchanges.mkString("\n")}")
+  }
+
   test("q266_dsir_resample: allocation broadcasts; exchanges stay on doc/bucket/lang keys") {
     // q262's selection plan plus the draw: the O(langs) allocation joins
     // back as a broadcast (q259's pin applied to the selected subset),
