@@ -150,12 +150,14 @@ object Pipeline {
       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
 
-  /** Spark twin of q90: Spark 4's recursive CTEs allow only UNION ALL,
-    * which cannot express a fixpoint over a cyclic graph — so the twin
-    * unrolls the SAME min-label rule the DataFrame loop applies, to a
+  /** The unrolled min-label propagation CTEs (`l0..l<depth>` over
+    * `edges`) — Spark 4's recursive CTEs allow only UNION ALL, which
+    * cannot express a fixpoint over a cyclic graph, so the Spark twins
+    * unroll the SAME min-label rule the DataFrame loop applies, to a
     * depth comfortably past the fixture's component diameter (the parity
-    * test fails loudly if a deeper component ever appears). */
-  private def unrolledClusterTwin(depth: Int): String = {
+    * tests fail loudly if a deeper component ever appears). ONE copy
+    * shared by the q90 twin and the q268 quality-keeper twin. */
+  private def clusterLevelCtes(depth: Int): String = {
     val levels = (1 to depth).map { i =>
       s"""l$i AS (SELECT v.id, LEAST(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
          |  FROM l${i - 1} v
@@ -163,12 +165,15 @@ object Pipeline {
          |  LEFT JOIN l${i - 1} n ON n.id = e.t
          |  GROUP BY v.id, v.lbl)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM edges),
+       |$levels""".stripMargin
+  }
+
+  private def unrolledClusterTwin(depth: Int): String =
     s"""WITH ${Dialect.duckToSpark(pairCtes)},
-       |l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM edges),
-       |$levels
+       |${clusterLevelCtes(depth)}
        |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l$depth
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** q246's oracle: one GROUPING SETS pass over per-doc curation signals.
     * The q96 keep rule in its integer form (q234's chain) as a dimension;
@@ -1605,8 +1610,76 @@ object Pipeline {
         |       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
         |       CAST(size(t.ws) - COALESCE(pd.n_rm, 0) AS BIGINT) AS n_kept
         |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
-        |WHERE t.doc_id % 97 <> 0 AND size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin)
+        |WHERE t.doc_id % 97 <> 0 AND size(t.ws) > 0 ORDER BY t.doc_id""".stripMargin),
+
+    // ---- quality-aware canonical selection (q90 ∘ q234) ----
+    // q90 keeps each near-dup cluster's SMALLEST doc_id — the right
+    // deterministic default when members are interchangeable, but a
+    // curation pipeline keeps the BEST member (the FineWeb/CCNet keeper
+    // rule: among near-duplicates, retain the highest-quality copy — the
+    // cleanest extraction of a template page, not the first-crawled one).
+    // This entry publishes the keep/drop decision: every doc with its
+    // cluster (singletons are their own), its q234 quality score, and
+    // the keeper flag — argmax score per cluster, ties by doc_id. The
+    // keeper genuinely diverges from min-id on 2/3/29 multi-doc clusters
+    // at sf0.001/0.01/0.1 (measured before pinning), so the hash pins
+    // the quality rule, not a re-spelling of q90.
+    // Scale: q90's clustering economics (the edge set moves, never the
+    // corpus) + q234's scoring economics (the O(50)-row posterior table
+    // folds back as literals — scoring is map-only) + one doc_id-keyed
+    // left join and a per-cluster rank window (cluster sizes are bounded
+    // by true duplication).
+    Entry("q268_quality_keeper",
+      s"""WITH RECURSIVE $pairCtes,
+        |${QualityModel.chain("//", duck = true)},
+        |r(s, t) AS (SELECT s, t FROM edges
+        |            UNION SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t),
+        |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(t)) AS BIGINT) AS cluster
+        |       FROM r GROUP BY s),
+        |$keeperTailSql""".stripMargin) { (s, d) =>
+      val sh = TokenIndex.shingles3(s, d)
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val cl = clusterPairs(
+        Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
+      val g = QualityModel.bucketFrame(T(s, d, "documents")).persist()
+      val m1 = QualityModel.trainPosteriors(g, "label")
+      val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
+      scored
+        .join(cl.withColumnRenamed("doc_id", "cid"),
+          col("doc_id") === col("cid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
+          col("score").cast("bigint").as("score"),
+          when(col("rk") === 1, 1L).otherwise(0L).as("keeper"))
+        .orderBy(col("doc_id"))
+    }.sqlTwin(
+      s"""WITH ${Dialect.duckToSpark(pairCtes)},
+        |${QualityModel.chain("div", duck = false)},
+        |${clusterLevelCtes(6)},
+        |cl AS (SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l6),
+        |$keeperTailSql""".stripMargin)
   )
+
+  /** q268's closure→score→keeper tail — consumes `cl` (doc_id, cluster
+    * over edge docs) and the q234 chain's `sc` (doc_id, label, score);
+    * ONE copy shared by the oracle (recursive closure) and the Spark
+    * twin (unrolled closure), so the keeper rule cannot drift between
+    * the two cluster derivations. */
+  private def keeperTailSql: String =
+    """asg AS (SELECT sc.doc_id, COALESCE(cl.cluster, sc.doc_id) AS cluster, sc.score
+      |        FROM sc LEFT JOIN cl ON cl.doc_id = sc.doc_id),
+      |rkq AS (SELECT doc_id, cluster, score,
+      |          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rk
+      |        FROM asg)
+      |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, CAST(score AS BIGINT) AS score,
+      |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keeper
+      |FROM rkq ORDER BY doc_id""".stripMargin
 
   /** q262's target-slice stopword list — the q96 rule set (a def: `entries`
     * above initializes first and would read a null val declared below). */
