@@ -66,6 +66,9 @@ class OracleLintSpec extends AnyFunSuite {
     "q99_dis_max" -> Set("0.3"),
     "q180_dup_source_matrix" -> Set("0.2"),
     "q90_dedup_clusters" -> Set("0.2"),
+    // q268 splices q90's grandfathered pairCtes verbatim (same 0.2, same
+    // double-safe comparison context: CAST(... AS DOUBLE)/... >= 0.2)
+    "q268_quality_keeper" -> Set("0.2"),
     "q96_quality_filter" -> Set("0.03"),
     "q154_curation_report" -> Set("0.03", "0.2"),
     "q179_mix_weights" -> Set("0.5"),
