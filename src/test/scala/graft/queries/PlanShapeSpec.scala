@@ -562,11 +562,19 @@ class PlanShapeSpec extends GraftSuite {
     val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
     assert(exchanges.forall(e => e.contains("doc_id#") || e.contains("b#")),
       s"unexpected exchange key:\n${exchanges.mkString("\n")}")
-    // the rank's single-partition exchange must sit above the per-doc
-    // score agg (every SinglePartition in this plan is a bounded tier:
-    // the qt/pt/k one-row totals and the rank over O(docs) score rows)
+    // every SinglePartition in this plan is a bounded tier: the qt/pt/k
+    // one-row totals and the rank over O(docs) post-agg score rows — pin
+    // the exact count (the q249 accounting; a vacuous indexOf(-1) check
+    // here once passed with the rank exchange missing entirely), and the
+    // rank's exchange must sit above the per-doc score agg
+    // exactly six: the rank window, qt/pt, the k count, and the qt/pt
+    // echoes inside k's branch (score is consumed by both the rank and
+    // the count, so its lam subtree plans twice with pruned outputs)
+    val sps = "Exchange SinglePartition".r.findAllMatchIn(p).map(_.start).toList
+    assert(sps.size == 6,
+      s"expected exactly the rank + qt/pt/k-total single-partition exchanges (got ${sps.size}):\n$p")
     val docAgg = p.indexOf("HashAggregate(keys=[doc_id")
-    assert(docAgg >= 0 && p.indexOf("Exchange SinglePartition") < docAgg,
+    assert(docAgg >= 0 && sps.min < docAgg,
       s"the rank's exchange must sit above the per-doc agg:\n$p")
   }
 

@@ -18,10 +18,13 @@ import graft.text.TokenIndex
   *    idempotence mechanism, as RollupReplaySpec pins for q183). */
 class MinhashMaintenanceSpec extends GraftSuite {
 
-  private def sigRows(out: String): Set[String] =
+  // sorted MULTISET, not a Set: a replay that duplicated a doc's row
+  // into a second batch partition would collapse invisibly under a Set
+  // compare while double-counting in the serving read
+  private def sigRows(out: String): Seq[String] =
     spark.read.parquet(out)
       .select("doc_id", (0 until 64).map(i => s"h$i"): _*)
-      .collect().map(_.toSeq.mkString(",")).toSet
+      .collect().map(_.toSeq.mkString(",")).toSeq.sorted
 
   test("maintained signatures equal the batch-built artifact; replay is idempotent") {
     val src = Streams.stageQ158(spark, sf)
@@ -31,7 +34,7 @@ class MinhashMaintenanceSpec extends GraftSuite {
     val maintained = sigRows(out)
     val batchBuilt = TokenIndex.minhashSigs(spark, sf)
       .select("doc_id", (0 until 64).map(i => s"h$i"): _*)
-      .collect().map(_.toSeq.mkString(",")).toSet
+      .collect().map(_.toSeq.mkString(",")).toSeq.sorted
     assert(maintained.nonEmpty)
     assert(maintained == batchBuilt,
       s"incremental vs batch drift: ${(maintained diff batchBuilt).take(3)} / " +

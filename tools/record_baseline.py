@@ -3,7 +3,8 @@
 `graft.Bench` sweeps -> tools/bench_expect.json + the BASELINE.md
 3-column table body (printed to stdout for manual splice), plus a
 continuity report vs the previous bench_expect.json using the bench's
-own retry threshold max(1.8x, +0.75 s).
+own retry rules: max(1.8x, +0.75 s) OR a pure 2.0x ratio (the
+sub-second class the absolute floor misses — q25/q28, round 15).
 
 The continuity check GATES the write: if any entry crosses the
 threshold vs the previous baseline, nothing is written and the script
@@ -41,7 +42,7 @@ thresh = []
 for k in sorted(names & set(prev)):
     a, b = prev[k], med[k]
     hi, lo = max(a, b), min(a, b)
-    if hi > max(1.8 * lo, lo + 0.75):
+    if hi > max(1.8 * lo, lo + 0.75) or hi > 2.0 * lo:
         thresh.append((k, a, b))
 
 print(f"entries: {len(med)}  (new: {sorted(names - set(prev))})")
@@ -50,7 +51,7 @@ print("continuity threshold crossers (prev -> new):")
 for k, a, b in thresh:
     print(f"  {k}: {a} -> {b}")
 if thresh and not force:
-    print(f"\nREFUSING to record: {len(thresh)} entries cross max(1.8x, +0.75s) "
+    print(f"\nREFUSING to record: {len(thresh)} entries cross max(1.8x, +0.75s) or 2x "
           "vs the previous baseline. Fix and re-sweep, or pass --force for a "
           "deliberate re-record.")
     sys.exit(1)
