@@ -22,12 +22,24 @@ class RobotsPropertySpec extends AnyFunSuite {
     if (anchored) m.matches() else m.lookingAt()
   }
 
-  // small alphabet so collisions (and thus positive matches) are common
+  // Small alphabet so collisions (and thus positive matches) are common.
+  // BOUNDED sizes: the reference translation is a backtracking regex, and
+  // an unbounded pattern (dozens of `*`-separated ambiguous segments)
+  // against a long non-matching path is exponential in the star count —
+  // one unlucky ScalaCheck draw ran the suite into a multi-hour regex
+  // spin (round-16 close). <= 6 stars and <= 32-char paths keep every
+  // boundary case (consecutive stars, empty segments, star-at-ends,
+  // pattern==path) while capping the reference's worst case far below
+  // the product matcher's O(n·m).
   private val pathGen: Gen[String] =
-    Gen.listOf(Gen.oneOf('a', 'b', '/', '1')).map("/" + _.mkString)
+    Gen.choose(0, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', '/', '1')).map("/" + _.mkString))
 
   private val patternGen: Gen[String] = for {
-    segs <- Gen.listOf(Gen.listOf(Gen.oneOf('a', 'b', '/', '1')).map(_.mkString))
+    nSegs <- Gen.choose(0, 6)
+    segs <- Gen.listOfN(nSegs,
+      Gen.choose(0, 6).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf('a', 'b', '/', '1')).map(_.mkString)))
     anchor <- Gen.oneOf("", "$")
   } yield "/" + segs.mkString("*") + anchor
 
