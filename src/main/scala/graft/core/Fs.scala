@@ -8,4 +8,19 @@ object Fs {
     f.delete()
     ()
   }
+
+  /** Recursive file-tree copy (q183's compacted-read clones the memoized
+    * drained-rollup artifact before mutating it — a raw copy, never a
+    * Spark rewrite, so the clone is byte-identical to the pristine dir). */
+  def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).toSeq.flatten
+        .foreach(f => copyRecursively(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
 }

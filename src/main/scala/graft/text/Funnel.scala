@@ -137,6 +137,13 @@ object Funnel {
     // persisted: consumed twice — the training collect, then the scored
     // plan inside the report (the q242 pattern; without the pin the
     // 5-signal tokenize pass runs twice per report)
+    // Persist-to-return contract (here and the q265/q268 entries): `g` and
+    // `pf` back the RETURNED plan, so this function cannot unpersist them —
+    // the caller owns eviction after materializing. Both harnesses drop
+    // them via clearCache() per entry; a library caller holding the report
+    // across many calls should clear the cache likewise (blocks are
+    // MEMORY_AND_DISK and LRU-evicted under pressure, so worst case is
+    // recompute-on-read, never OOM).
     val g = QualityModel.bucketFrame(docs).persist()
     val m1 = QualityModel.trainPosteriors(g, "label")
     val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))

@@ -260,6 +260,10 @@ object Perceptron {
     }.sqlTwin(trainSql(duck = false)),
 
     // ---- the scorer: corpus confusion under the averaged weights ----
+    // `feats` backs the RETURNED plan (training materializes it, then the
+    // confusion agg reads it again at the caller's materialization), so it
+    // cannot unpersist here — the Funnel.reportV2 persist-to-return
+    // contract; both harnesses clearCache() per entry.
     Entry("q265_perceptron_apply", applySql(duck = true)) { (s, d) =>
       val feats = sparseFeatures(s, d).persist()
       val (_, wsum) = train(feats)

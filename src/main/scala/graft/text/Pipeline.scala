@@ -1526,6 +1526,12 @@ object Pipeline {
     // stream — the marking costs zero corpus-keyed exchanges; the island
     // step is doc-keyed over marked positions only (the contaminated
     // tail, not the corpus).
+    // Parity contract: the DataFrame path marks by 128-bit (h1, h2)
+    // window fingerprints while the oracle compares full window strings —
+    // the declared q146/q256 posture (the string bytes never ride an
+    // exchange); a 2^-64-scale fingerprint collision would diverge the
+    // entry from its oracle, accepted by design and stated here so the
+    // assumption is explicit (r16 advice).
     Entry("q267_decontam_scrub",
       s"""WITH t0 AS (SELECT doc_id, ${Text.tokensSql} AS ws FROM documents),
         |sp AS (SELECT list_slice(ws, 1, 16) AS spn FROM t0
@@ -1555,10 +1561,14 @@ object Pipeline {
       // the planted span: a bounded 16-token driver scalar, mirrored by
       // the oracle's 1-row sp CTE (fails loudly if no benchmark doc can
       // carry a full window — impossible on the 10-99-word fixture)
-      val span: Seq[String] = t0
+      val spanRows = t0
         .filter(col("doc_id") % 97 === 0 && size(col("ws")) >= 16)
         .orderBy(col("doc_id")).limit(1)
-        .select(slice(col("ws"), 1, 16)).collect()(0).getSeq[String](0).toIndexedSeq
+        .select(slice(col("ws"), 1, 16)).collect()
+      require(spanRows.nonEmpty,
+        "q267: no benchmark doc (doc_id % 97 = 0) carries a full 16-token window — " +
+        "the oracle's sp CTE would go empty and the fabrication is vacuous")
+      val span: Seq[String] = spanRows(0).getSeq[String](0).toIndexedSeq
       val toks = t0.select(col("doc_id"),
         when(col("doc_id") % 7 === 3 && col("doc_id") % 97 =!= 0,
           concat(col("ws"), typedLit(span))).otherwise(col("ws")).as("ws"))
@@ -1644,6 +1654,8 @@ object Pipeline {
         .agg(count(lit(1)).as("inter"))
       val cl = clusterPairs(
         Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
+      // persist-to-return contract (see Funnel.reportV2): `g` backs the
+      // returned keeper plan; harnesses clearCache() per entry
       val g = QualityModel.bucketFrame(T(s, d, "documents")).persist()
       val m1 = QualityModel.trainPosteriors(g, "label")
       val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))

@@ -567,12 +567,16 @@ class PlanShapeSpec extends GraftSuite {
     // the exact count (the q249 accounting; a vacuous indexOf(-1) check
     // here once passed with the rank exchange missing entirely), and the
     // rank's exchange must sit above the per-doc score agg
-    // exactly six: the rank window, qt/pt, the k count, and the qt/pt
-    // echoes inside k's branch (score is consumed by both the rank and
-    // the count, so its lam subtree plans twice with pruned outputs)
+    // six under Spark 4.1.2/AQE-off plan text: the rank window, qt/pt,
+    // the k count, and the qt/pt echoes inside k's branch (score is
+    // consumed by both the rank and the count, so its lam subtree plans
+    // twice with pruned outputs). Bounded ABOVE at that count — a seventh
+    // would mean a new unaccounted total-order tier — with the required
+    // rank exchange pinned positionally below; a benign planner change
+    // that merely dedups an echo must not fail the suite (r16 advice).
     val sps = "Exchange SinglePartition".r.findAllMatchIn(p).map(_.start).toList
-    assert(sps.size == 6,
-      s"expected exactly the rank + qt/pt/k-total single-partition exchanges (got ${sps.size}):\n$p")
+    assert(sps.nonEmpty && sps.size <= 6,
+      s"expected at most the rank + qt/pt/k-total single-partition exchanges (got ${sps.size}):\n$p")
     val docAgg = p.indexOf("HashAggregate(keys=[doc_id")
     assert(docAgg >= 0 && sps.min < docAgg,
       s"the rank's exchange must sit above the per-doc agg:\n$p")

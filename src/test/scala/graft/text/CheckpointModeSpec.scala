@@ -18,12 +18,16 @@ import graft.GraftSuite
 class CheckpointModeSpec extends GraftSuite {
 
   private def withCheckpointDir[A](body: => A): A = {
+    // Spark never cleans non-streaming checkpoint files, and the session is
+    // shared across suites — restore the previous dir and delete ours so no
+    // state leaks past this spec (r16 advice).
+    val prev = spark.sparkContext.getCheckpointDir
     val dir = Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try body finally {
-      // leave sc state clean-ish for other suites sharing the session;
-      // temp dir itself is small (toy graphs) and /tmp-reaped
+      prev.foreach(spark.sparkContext.setCheckpointDir)
       spark.catalog.clearCache()
+      graft.core.Fs.deleteRecursively(new java.io.File(dir))
     }
   }
 

@@ -37,23 +37,27 @@ med = {k: round(statistics.median(s["queries"][k] for s in sweeps), 2)
        for k in sorted(names)}
 
 # continuity vs previous medians — computed BEFORE the write so a
-# regressed recording can't overwrite the baseline unnoticed
-thresh = []
+# regressed recording can't overwrite the baseline unnoticed. Only a
+# REGRESSION (new slower than prev past the threshold) blocks recording;
+# a same-magnitude improvement is reported but records freely — refusing
+# it would force --force for exactly the change the gate exists to
+# encourage (r16 advice).
+slower, faster = [], []
 for k in sorted(names & set(prev)):
     a, b = prev[k], med[k]
     hi, lo = max(a, b), min(a, b)
     if hi > max(1.8 * lo, lo + 0.75) or hi > 2.0 * lo:
-        thresh.append((k, a, b))
+        (slower if b > a else faster).append((k, a, b))
 
 print(f"entries: {len(med)}  (new: {sorted(names - set(prev))})")
 print(f"sweep totals: {[s['value'] for s in sweeps]}  median-sum: {round(sum(med.values()), 1)}")
 print("continuity threshold crossers (prev -> new):")
-for k, a, b in thresh:
-    print(f"  {k}: {a} -> {b}")
-if thresh and not force:
-    print(f"\nREFUSING to record: {len(thresh)} entries cross max(1.8x, +0.75s) or 2x "
-          "vs the previous baseline. Fix and re-sweep, or pass --force for a "
-          "deliberate re-record.")
+for k, a, b in slower + faster:
+    print(f"  {k}: {a} -> {b}" + ("  (improvement)" if b < a else ""))
+if slower and not force:
+    print(f"\nREFUSING to record: {len(slower)} entries REGRESSED past "
+          "max(1.8x, +0.75s) or 2x vs the previous baseline. Fix and "
+          "re-sweep, or pass --force for a deliberate re-plan/re-record.")
     sys.exit(1)
 
 with open("tools/bench_expect.json", "w") as f:
