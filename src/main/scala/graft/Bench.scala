@@ -46,6 +46,7 @@ object Bench {
       }
     staged("token-index")(graft.text.TokenIndex.ensure(spark, sfDir))
     staged("vector-index")(graft.vector.VectorIndex.ensure(spark, sfDir))
+    staged("mm-index")(graft.multimodal.MmEmbed.ensure(spark, sfDir))
     staged("stream-prestage")(graft.streaming.Streams.prestage(spark, sfDir))
     // the q220/q227 versioned merge table: committing it is the write
     // path's amortized work (the deployment's sink maintains the table

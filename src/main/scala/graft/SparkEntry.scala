@@ -51,6 +51,7 @@ object SparkEntry {
       text.Pii.entries ++
       vector.Vectors.entries ++
       multimodal.Multimodal.entries ++
+      multimodal.MmEmbed.entries ++
       multimodal.Video.entries ++
       multimodal.Spectral.entries ++
       multimodal.Ulaw.entries ++

@@ -72,6 +72,26 @@ class AnnRecallSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("media-embedding staged IVF: all-cells probe == exact; nprobe=3/8 keeps recall") {
+    // the q269/q270 multimodal->ANN bridge: the staged media IVF must be
+    // (a) exactly the top-k when every cell is probed and (b) within the
+    // contracted recall at its operating point (3 of 8 cells scanned)
+    import graft.multimodal.MmEmbed
+    val emb = MmEmbed.stagedMediaEmbeddings(spark, sf01)
+    val qids = Seq(1, 2, 4)
+    val coarse = MmEmbed.mmIvf(spark, sf01)
+    val exact = Vectors.topK(emb, qids, 5).collect().toSeq
+    val full = Vectors.annIvfStaged(emb, qids, 5, nprobe = 8, coarse = coarse)
+      .collect().toSeq
+    assert(full == exact, "media IVF with every cell probed must equal exact top-k")
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Vectors.annIvfStaged(emb, qids, 5, nprobe = 3, coarse = coarse)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & approx).size.toDouble / exactSet.size
+    assert(recall >= 0.6, s"media IVF recall@nprobe=3/8 was $recall")
+    spark.catalog.clearCache()
+  }
+
   test("sign-LSH recovers planted near-duplicates (its design regime)") {
     import spark.implicits._
     val emb = Tables(spark, sf01, "embeddings")
