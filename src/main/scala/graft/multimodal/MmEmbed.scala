@@ -186,7 +186,7 @@ object MmEmbed {
       |         CAST(SUM(CASE WHEN (4*i) $idiv n = 1 THEN ABS(s) ELSE 0 END) AS DOUBLE) AS e1,
       |         CAST(SUM(CASE WHEN (4*i) $idiv n = 2 THEN ABS(s) ELSE 0 END) AS DOUBLE) AS e2,
       |         CAST(SUM(CASE WHEN (4*i) $idiv n = 3 THEN ABS(s) ELSE 0 END) AS DOUBLE) AS e3,
-      |         SUM(s*s) / 1024.0 AS e4,
+      |         SUM(s*s) / 1024.0e0 AS e4,
       |         CAST(SUM(CASE WHEN i >= 1 AND s * ((doc_id*37 + (i-1)*101) % 4001 - 2000) < 0
       |                       THEN 1 ELSE 0 END) * 1000 AS DOUBLE) AS e5,
       |         CAST(n*1000 AS DOUBLE) AS e6,

@@ -152,6 +152,85 @@ object Streams {
       .filter(col("permille") >= 100)
       .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("permille"))
 
+  /** q142's write path: drain the staged 3-wave arrival feed through the
+    * per-batch index probe into batch=<id> partitions under `out`.
+    *
+    * The static index side is persisted: every micro-batch probes it, and
+    * the probe join BROADCASTS the batch-sized arriving side (pinned in
+    * PlanShapeSpec), so the cached index streams MAP-ONLY — zero
+    * exchanges of corpus-sized data per batch. The previous plan
+    * re-shuffled the whole index on h every batch (VERDICT r14 #2).
+    * Each row carries its doc's set size (szs) read off the in-row
+    * shingle array at build time — map-only from the staged token
+    * index, so neither the probe nor the final merge ever joins a
+    * separate size table (the round-15 plan-count fold).
+    *
+    * The Jaccard gate is pushed INTO the batch as a provable prune
+    * (VERDICT r14 #2): an arriving doc probes the COMPLETE corpus index,
+    * so a pair's per-batch partial inter2 is already its full
+    * intersection i (one endpoint arrived this batch) or 2i (both did) —
+    * never less. jac is monotone in i and i <= inter2, so keeping
+    * exactly the pairs with 6*inter2 >= sa+sb (the cross-multiplied
+    * jac(i)>=0.2 gate at the upper bound i := inter2; integer form — the
+    * division form hits a 0 denominator when identical docs arrive in
+    * one batch and inter2 = 2i = sa+sb) (a) keeps a superset of the true
+    * survivors, (b) decides identically for both partials of a
+    * split-discovered pair (both carry inter2 = i), so the final merge
+    * still sees all-or-none of a pair's partials and its exact gate is
+    * unchanged. Sink volume drops from EVERY candidate pair (~1.1M at
+    * sf0.1 — at corpus scale, the silent sink-explosion) to the gate's
+    * survivors. Each batch owns its own batch=<id> partition: idempotent
+    * under replay, the q183 posture. ONE copy shared by the q142 entry
+    * (whose subject IS this write path, drained fresh) and the memoized
+    * store q275 serves from. */
+  private def neardupDrain(s: SparkSession, d: String, out: String): Unit = {
+    val shStatic = graft.text.Text
+      .sizedShingles3(graft.text.TokenIndex.toks(s, d), col("ws"), "szs")
+      .persist()   // (doc_id, szs, h)
+    val src = stageQ142(s, d)
+    val ckpt = newStageDir("graft_neardup_ckpt")
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    graft.core.GraftSession.withShufflePartitions(s, 8) {
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          neardupProbe(batch, shStatic)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    // only the (now drained) per-batch plans referenced the cached index
+    shStatic.unpersist()
+    ()
+  }
+
+  /** The final exact merge over a maintained pair store (q142's read
+    * side): sum the 2x-counted partials, apply the EXACT gate on the
+    * carried size sum — no size join here either. */
+  private[streaming] def neardupMerged(s: SparkSession, out: String): DataFrame = {
+    val counted = s.read.parquet(out)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("inter2")).as("inter2"), min(col("szsum")).as("szsum"))
+    val jac = (col("inter2") / 2) / (col("szsum") - col("inter2") / 2)
+    counted
+      .filter(jac >= 0.2)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
+  }
+
+  /** The maintained pair store as a memoized prestaged artifact — the
+    * output q142's continuously-running ingest stream has already
+    * produced in a deployment (the drainedRollup posture); q275's timed
+    * read serves clusters from it. */
+  private val neardupStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[streaming] def drainedNeardupStore(s: SparkSession, d: String): String =
+    neardupStoreCache.getOrElseUpdate(d, {
+      val out = newStageDir("graft_neardup_store")
+      neardupDrain(s, d, out)
+      out
+    })
+
   private[streaming] def stageQ142(s: SparkSession, d: String): String =
     stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
   private[streaming] def stageQ158(s: SparkSession, d: String): String =
@@ -192,6 +271,11 @@ object Streams {
     stageQ195(s, dir)
     stageQ207(s, dir)
     drainedRollup(s, dir)
+    // q274's deployed gate models — offline training artifacts, not
+    // query-serving work (the gate never trains at the door)
+    graft.text.Funnel.gateModels(s, dir)
+    // q275's maintained pair store — the ingest stream's standing output
+    drainedNeardupStore(s, dir)
     ()
   }
 
@@ -571,63 +655,30 @@ object Streams {
     // route stays bench-only (q61_minhash_lsh): banding recall < 1
     // can't meet a hash-equality contract.
     Entry("q142_stream_neardup_ingest", graft.text.Text.neardupPairsOracleSql) { (s, d) =>
-      // The static index side, persisted: every micro-batch probes it, and
-      // the probe join BROADCASTS the batch-sized arriving side (pinned in
-      // PlanShapeSpec), so the cached index streams MAP-ONLY — zero
-      // exchanges of corpus-sized data per batch. The previous plan
-      // re-shuffled the whole index on h every batch (VERDICT r14 #2).
-      // Each row carries its doc's set size (szs) read off the in-row
-      // shingle array at build time — map-only from the staged token
-      // index, so neither the probe nor the final merge ever joins a
-      // separate size table (the round-15 plan-count fold).
-      val shStatic = graft.text.Text
-        .sizedShingles3(graft.text.TokenIndex.toks(s, d), col("ws"), "szs")
-        .persist()   // (doc_id, szs, h)
-      val src = stageQ142(s, d)
       val out = newStageDir("graft_neardup_out")
-      val ckpt = newStageDir("graft_neardup_ckpt")
-      val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-      graft.core.GraftSession.withShufflePartitions(s, 8) {
-        val q = stream.writeStream.trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // Push the Jaccard gate INTO the batch as a provable prune
-            // (VERDICT r14 #2): an arriving doc probes the COMPLETE
-            // corpus index, so a pair's per-batch partial inter2 is
-            // already its full intersection i (one endpoint arrived this
-            // batch) or 2i (both did) — never less. jac is monotone in i
-            // and i <= inter2, so keeping exactly the pairs with
-            // 6*inter2 >= sa+sb (the cross-multiplied jac(i)>=0.2 gate
-            // at the upper bound i := inter2; integer form — the
-            // division form hits a 0 denominator when identical docs
-            // arrive in one batch and inter2 = 2i = sa+sb) (a) keeps a
-            // superset of the true survivors, (b) decides identically
-            // for both partials of a split-discovered pair (both carry
-            // inter2 = i), so the final merge still sees all-or-none of
-            // a pair's partials and its exact gate is unchanged. Sink
-            // volume drops from EVERY candidate pair (~1.1M at sf0.1 —
-            // at corpus scale, the silent sink-explosion) to the gate's
-            // survivors. Each batch owns its own batch=<id> partition:
-            // idempotent under replay, the q183 posture.
-            neardupProbe(batch, shStatic)
-              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-            ()
-          }.start()
-        q.awaitTermination()
-      }
-      // final merge over the pruned sink (tiny): sum the 2x-counted
-      // partials, apply the EXACT gate on the carried size sum — no size
-      // join here either
-      val counted = s.read.parquet(out)
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum(col("inter2")).as("inter2"), min(col("szsum")).as("szsum"))
-      val jac = (col("inter2") / 2) / (col("szsum") - col("inter2") / 2)
-      counted
-        .filter(jac >= 0.2)
-        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      neardupDrain(s, d, out)
+      // final merge over the pruned sink (tiny)
+      neardupMerged(s, out).orderBy(col("doc_a"), col("doc_b"))
     },
+
+    // The end-to-end incremental dedup SERVING path (SURVEY Q275): q142
+    // maintains the pruned pair store at ingest; the query a pipeline
+    // actually runs against it is "give me the clusters" — exact-gate
+    // merge over the maintained partitions, then the q90 min-label
+    // closure, with NO shingle work at query time (the probe paid it at
+    // the door). The pair store is a memoized prestaged artifact (the
+    // production posture: the ingest stream maintains it continuously —
+    // the q183/q270 staging argument), so the timed entry is the read
+    // path: O(survivor-pairs) merge + the closure loop over the edge
+    // list. The oracle is q90's closure text, ONE copy — the hash pins
+    // "clusters off the stream-maintained store" == "clusters at rest"
+    // (q142's merge is itself pinned equal to the q61 pair law, and the
+    // closure consumes only the pair set).
+    Entry("q275_stream_dedup_clusters", graft.text.Pipeline.q90OracleSql) { (s, d) =>
+      graft.text.Pipeline.clusterPairs(
+        neardupMerged(s, drainedNeardupStore(s, d))
+          .select(col("doc_a"), col("doc_b")))
+    }.sqlTwin(graft.text.Pipeline.q90TwinSql),
 
     // Decontamination as an INGEST-TIME gate (SURVEY Q261) — q254 audits
     // the corpus at rest; a deployment wants eval leakage stopped at the
@@ -668,6 +719,49 @@ object Streams {
         .select(col("doc_id"), col("n_shingles"), col("n_hits"), col("permille"))
         .orderBy(col("doc_id"))
     },
+
+    // The curation funnel as an INGEST-TIME gate (SURVEY Q274, VERDICT
+    // r16 #5) — q261's broadcast-probe posture generalized to ALL of
+    // q252's per-doc gates: arriving docs get their robots verdict,
+    // canonical URL, rule-quality counts and all three MODEL verdicts
+    // (NB posterior / KN perplexity / perceptron margin — each model a
+    // static staged artifact, Funnel.gateModels) decided inside their
+    // own micro-batch and landed in idempotent batch=<id> partitions.
+    // Only the two keeper resolutions (url/text-unique — inherently
+    // cross-doc) wait for the read-side merge over the maintained
+    // verdict table (the q142 contrast). The oracle is q252's text, ONE
+    // copy — the hash pins "gate at ingest" == "funnel at rest" across
+    // all eight nesting levels. StreamFunnelSpec additionally pins
+    // frame-level equality with q252 across the three arrival waves;
+    // PlanShapeSpec pins the per-batch plan (models broadcast, every
+    // hash exchange batch-keyed — zero corpus-keyed exchanges).
+    Entry("q274_stream_funnel_gate", graft.text.Funnel.v2OracleSql) { (s, d) =>
+      val gm = graft.text.Funnel.gateModels(s, d)
+      val cb = s.read.parquet(s"${gm.knDir}/cb").persist()
+      val cw1 = s.read.parquet(s"${gm.knDir}/cw1").persist()
+      val cw2 = s.read.parquet(s"${gm.knDir}/cw2").persist()
+      val tt = s.read.parquet(s"${gm.knDir}/tt").persist()
+      val src = stageQ142(s, d)
+      val out = newStageDir("graft_funnelgate_out")
+      val ckpt = newStageDir("graft_funnelgate_ckpt")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+      graft.core.GraftSession.withShufflePartitions(s, 8) {
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.text.Funnel
+              .gateVerdicts(batch, gm.posteriors, gm.wsum, cb, cw1, cw2, tt)
+              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      // the model tables back only the (already drained) per-batch plans,
+      // never the returned report — safe to evict here
+      Seq(cb, cw1, cw2, tt).foreach(_.unpersist())
+      graft.text.Funnel.reportFromGateVerdicts(s.read.parquet(out))
+    }.sqlTwin(graft.text.Funnel.v2TwinSql),
 
     // Q59: update output mode — per-batch emissions; the final value per key
     // is the batch-equivalent count (counts are monotone across batches).

@@ -44,12 +44,15 @@ object Funnel {
     * copy shared by the v1 funnel (q224) and the model-composed v2
     * (q252), so the upstream gates cannot drift between the two reports.
     * Map-only except the two doc_id equi-joins of same-scan projections. */
-  private def gateInputs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val stop = Seq("the", "a", "of", "and", "to", "is", "in")
+  private val stop = Seq("the", "a", "of", "and", "to", "is", "in")
 
-    // per-doc robots verdict + canonical group key, via the real kernels
-    val decisions = T(s, d, "documents").select(col("doc_id")).as[Long]
+  /** Per-doc robots verdict + canonical URL via the real kernels
+    * (per-partition rule-set memo) off ANY frame with doc_id — shared by
+    * the batch gate ladder and the per-batch ingest gate. Map-only. */
+  private def decisionsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         val memo = scala.collection.mutable.Map.empty[Long, Seq[Robots.Rule]]
         ids.map { id =>
@@ -60,13 +63,15 @@ object Funnel {
           (id, Robots.decide(rules, Robots.pathOf(canon))._1, canon)
         }
       }.toDF("doc_id", "allowed", "canon_url")
+  }
 
+  private def gateInputs(s: SparkSession, d: String): DataFrame = {
     val toks = TokenIndex.toks(s, d)
       .select(col("doc_id"), size(col("ws")).as("n_tok"),
               size(filter(col("ws"), w => w.isin(stop: _*))).as("n_stop"))
 
     T(s, d, "documents").select(col("doc_id"), col("text"))
-      .join(decisions, "doc_id")
+      .join(decisionsOf(T(s, d, "documents")), "doc_id")
       .join(toks, "doc_id")
   }
 
@@ -176,7 +181,9 @@ object Funnel {
     stageFold(perDoc, stageNamesV2)
   }
 
-  private val oracleBody: String =
+  /** The v1 per-doc `reached` derivation over `base` — ONE copy shared
+    * by q224's stage fold and q276's host attribution. */
+  private val perdocCteSql: String =
     s"""perdoc AS (
       |  SELECT doc_id,
       |    CASE WHEN reach4 AND doc_id = MIN(CASE WHEN reach4 THEN doc_id END)
@@ -194,7 +201,10 @@ object Funnel {
       |        allowed AND doc_id = MIN(CASE WHEN allowed THEN doc_id END)
       |                        OVER (PARTITION BY grp) AS reach3
       |      FROM base))
-      |),
+      |)""".stripMargin
+
+  private val oracleBody: String =
+    s"""$perdocCteSql,
       |counts AS (SELECT reached, COUNT(*) AS c FROM perdoc GROUP BY 1),
       |stages AS (
       |  SELECT 1 AS stage_idx, 'fetched' AS stage
@@ -206,6 +216,35 @@ object Funnel {
       |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs
       |FROM stages LEFT JOIN counts ON reached >= stage_idx
       |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
+
+  /** q276's oracle/twin: the same base + perdoc derivation rolled up per
+    * HOST with each doc attributed to the gate that dropped it (reached
+    * = k ⇔ survived stage k and failed stage k+1) — the report a crawl
+    * operator reads to see WHERE each host's documents die. `duck`
+    * selects the dialect of the spliced base fragment. */
+  private def yieldByHostSql(duck: Boolean): String = {
+    val idiv = if (duck) "//" else "div"
+    val ws = if (duck) Text.tokensSql else Dialect.tokensSparkSql
+    val len = if (duck) "len" else "size"
+    val fil = if (duck) "list_filter" else "filter"
+    s"""WITH t AS (SELECT doc_id, text, $ws AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id, text,
+      |    NOT ((((doc_id $idiv 4) % 5) % 2 = 1) AND ((doc_id $idiv 4) % 10 IN (1, 3))) AS allowed,
+      |    doc_id $idiv 4 AS grp,
+      |    $len(ws) AS n_tok,
+      |    $len($fil(ws, w -> w IN ('the', 'a', 'of', 'and', 'to', 'is', 'in'))) AS n_stop
+      |  FROM t),
+      |$perdocCteSql
+      |SELECT CAST((doc_id $idiv 4) % 5 AS BIGINT) AS host,
+      |  CAST(COUNT(*) AS BIGINT) AS n_fetched,
+      |  CAST(SUM(CASE WHEN reached = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_robots_blocked,
+      |  CAST(SUM(CASE WHEN reached = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_url_dup,
+      |  CAST(SUM(CASE WHEN reached = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+      |  CAST(SUM(CASE WHEN reached = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup,
+      |  CAST(SUM(CASE WHEN reached = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM perdoc GROUP BY 1 ORDER BY host""".stripMargin
+  }
 
   /** q252's oracle/twin body: the v1 gate ladder (byte-compatible
     * arithmetic) + the q234 model chain + the q244 per-doc LM mean + the
@@ -279,10 +318,158 @@ object Funnel {
        |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
   }
 
+  /** q252's oracle/twin, exposed for the ingest-time gate (q274 in
+    * Streams) — ONE copy: the hash check pins "gate at ingest" ==
+    * "funnel at rest" the same way q261 rides q254's text. */
+  private[graft] def v2OracleSql: String = v2Sql(duck = true)
+  private[graft] def v2TwinSql: String = v2Sql(duck = false)
+
+  /** The deployed ingest-gate model artifacts (q274): the three trained
+    * models q252's stages 6-8 gate on — the q234 bucket posteriors, the
+    * q264 averaged-perceptron weights, and the q244 KN count tables —
+    * staged ONCE per corpus dir (the q271 frozen-codebook posture: a
+    * deployment trains offline and ships the artifact to the gate; the
+    * gate never trains at the door). Posteriors/weights are O(50)/O(66)
+    * rows; the KN tables are vocab²-bounded at any corpus scale. */
+  private[graft] case class GateModels(posteriors: Seq[Seq[Long]],
+                                       wsum: Seq[Long], knDir: String)
+
+  private[graft] def gateModels(s: SparkSession, d: String): GateModels = {
+    val dir = graft.core.Staging.stagedDir(d, "documents", "funnelgate") { tmp =>
+      import s.implicits._
+      val g = QualityModel.bucketFrame(T(s, d, "documents")).persist()
+      val m1 = QualityModel.trainPosteriors(g, "label")
+      g.unpersist()
+      m1.zipWithIndex.flatMap { case (row, sig) =>
+        row.zipWithIndex.map { case (ppm, b) => (sig, b, ppm) } }
+        .toDF("sig", "b", "ppm").coalesce(1).write.parquet(s"$tmp/posteriors")
+      val pf = Perceptron.sparseFeatures(s, d).persist()
+      val (_, wsum) = Perceptron.train(pf)
+      pf.unpersist()
+      wsum.zipWithIndex.map { case (w, f) => (f, w) }.toDF("f", "wsum")
+        .coalesce(1).write.parquet(s"$tmp/wsum")
+      val (cb, cw1, cw2, tt) = Text.knModelTables(Text.bigramPairs(s, d))
+      cb.write.parquet(s"$tmp/cb"); cw1.write.parquet(s"$tmp/cw1")
+      cw2.write.parquet(s"$tmp/cw2"); tt.write.parquet(s"$tmp/tt")
+    }
+    val posts = Array.fill(5)(Array.fill(10)(500000L))
+    s.read.parquet(s"$dir/posteriors").collect()
+      .foreach(r => posts(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val wsum = Array.fill(Perceptron.NumFeatures)(0L)
+    s.read.parquet(s"$dir/wsum").collect()
+      .foreach(r => wsum(r.getInt(0)) = r.getLong(1))
+    GateModels(posts.map(_.toSeq).toSeq, wsum.toSeq, dir)
+  }
+
+  /** q274's per-batch ingest gate: every arriving doc's per-doc verdict
+    * columns, decided INSIDE its micro-batch — the q261 broadcast-probe
+    * posture generalized to all of q252's per-doc gate inputs. A doc's
+    * text is complete in its batch and every model is a static staged
+    * artifact, so each per-doc verdict here IS its final value (the
+    * q261 argument); only the two KEEPER resolutions (url/text-unique,
+    * inherently cross-doc) wait for the read-side merge — the q142
+    * contrast, where pair partials straddle batches.
+    *
+    * Plan shape (pinned in PlanShapeSpec): robots/canon kernels map-only
+    * with the batch side of the one kernel join broadcast; the NB score
+    * a literal fold (no join); KN model tables and the per-doc signal
+    * frames broadcast — every hash exchange is keyed by the BATCH's own
+    * doc rows, zero corpus-keyed exchanges per batch.
+    *
+    * `tkey` is the md5 of the text — the text-keeper window key, so
+    * verdict rows never carry the document body (the q267 fingerprint
+    * posture: a 128-bit collision would silently diverge from the
+    * oracle's text-keyed window; odds ~n²/2^128, accepted as in
+    * q146/q256). */
+  private[graft] def gateVerdicts(batch: DataFrame, posts: Seq[Seq[Long]],
+      wsum: Seq[Long], cb: DataFrame, cw1: DataFrame, cw2: DataFrame,
+      tt: DataFrame): DataFrame = {
+    val tcol = Text.tokens(col("text"))
+    val flags = batch.select(col("doc_id"), md5(col("text")).as("tkey"),
+        size(tcol).as("n_tok"),
+        size(filter(tcol, w => w.isin(stop: _*))).as("n_stop"))
+      .join(broadcast(decisionsOf(batch)), "doc_id")
+    val toks = batch.select(col("doc_id"), tcol.as("ws"))
+    val scored = QualityModel.bucketFrame(batch)
+      .select(col("doc_id"), QualityModel.scoreCol(posts).as("score"))
+    val lm = Text.knDocMeanOf(
+        Text.knScoredAgainst(Text.bigramPairsOf(toks), cb, cw1, cw2, tt))
+      .select(col("doc_id"), col("mean_unat"))
+    val pm = Perceptron.margins(Perceptron.sparseFeaturesOf(toks), wsum)
+    flags
+      .join(broadcast(scored), Seq("doc_id"), "left")
+      .join(broadcast(lm), Seq("doc_id"), "left")
+      .join(broadcast(pm), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tkey"), col("allowed"), col("canon_url"),
+        col("n_tok"), col("n_stop"),
+        coalesce(col("score") >= lit(QualityModel.PseudoPos), lit(false)).as("g6"),
+        coalesce(col("mean_unat") <= lit(Text.LmGateUnat), lit(false)).as("g7"),
+        coalesce(col("margin") > lit(Perceptron.FunnelGateMargin), lit(false)).as("g8"))
+  }
+
+  /** q274's read side: the two keeper windows (the only cross-doc
+    * resolutions) + the 8-level fold over the maintained verdict table —
+    * reportV2's ladder with the model gates already decided at ingest. */
+  private[graft] def reportFromGateVerdicts(v: DataFrame): DataFrame = {
+    val perDoc = v
+      .withColumn("url_keeper",
+        min(when(col("allowed"), col("doc_id")))
+          .over(Window.partitionBy(col("canon_url"))))
+      .withColumn("reach3", col("allowed") && col("doc_id") === col("url_keeper"))
+      .withColumn("reach4", col("reach3") && col("n_tok") >= 25 &&
+        col("n_stop").cast("double") / col("n_tok") >= 0.03)
+      .withColumn("text_keeper",
+        min(when(col("reach4"), col("doc_id")))
+          .over(Window.partitionBy(col("tkey"))))
+      .withColumn("reach5", col("reach4") && col("doc_id") === col("text_keeper"))
+      .withColumn("reach6", col("reach5") && col("g6"))
+      .withColumn("reach7", col("reach6") && col("g7"))
+      .withColumn("reach8", col("reach7") && col("g8"))
+      .withColumn("reached",
+        when(col("reach8"), 8)
+          .when(col("reach7"), 7)
+          .when(col("reach6"), 6)
+          .when(col("reach5"), 5)
+          .when(col("reach4"), 4)
+          .when(col("reach3"), 3)
+          .when(col("allowed"), 2)
+          .otherwise(1))
+    stageFold(perDoc, stageNamesV2)
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q252_curation_funnel_v2", v2Sql(duck = true)) { (s, d) =>
       reportV2(s, d)
     }.sqlTwin(v2Sql(duck = false)),
+
+    // ---- drop ATTRIBUTION by host (SURVEY Q276) ----
+    // q224 reports how many docs survive each gate; the question a crawl
+    // operator actually asks is WHERE each host's documents die — per
+    // host, the count attributed to the gate that dropped it (reached=k
+    // ⇔ survived stage k, failed k+1; host is the robots fabrication
+    // key, so the blocked column follows each host's real rule set).
+    // Rides the SAME reachFlags derivation as q224/q252 (one copy — the
+    // attribution cannot drift from the funnel) plus one O(hosts)
+    // host-keyed rollup; at 100 TB the two keeper windows are the
+    // funnel's own cost and the rollup is a map-side-combinable agg to
+    // O(hosts) rows.
+    Entry("q276_funnel_yield_by_host", yieldByHostSql(duck = true)) { (s, d) =>
+      reachFlags(s, d)
+        .withColumn("reached",
+          when(col("reach5"), 5)
+            .when(col("reach4"), 4)
+            .when(col("reach3"), 3)
+            .when(col("allowed"), 2)
+            .otherwise(1))
+        .groupBy(expr("(doc_id div 4) % 5").cast("bigint").as("host"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(col("reached") === 1, 1L).otherwise(0L)).as("n_robots_blocked"),
+          sum(when(col("reached") === 2, 1L).otherwise(0L)).as("n_url_dup"),
+          sum(when(col("reached") === 3, 1L).otherwise(0L)).as("n_low_quality"),
+          sum(when(col("reached") === 4, 1L).otherwise(0L)).as("n_text_dup"),
+          sum(when(col("reached") === 5, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("host"))
+    }.sqlTwin(yieldByHostSql(duck = false)),
 
     Entry("q224_curation_funnel",
       s"""WITH t AS (SELECT doc_id, text, ${Text.tokensSql} AS ws FROM documents),

@@ -140,12 +140,68 @@ object Perceptron {
     * CONFIDENTLY positive (margin > 0 alone drops exactly 1 doc at both
     * fixture scales — a one-row gate is fragile evidence; this bar drops
     * 5/4 and keeps 50/44 at sf0.001/sf0.01, measured before pinning —
-    * the q225 non-vacuity discipline, stage 6's PseudoPos move). */
+    * the q225 non-vacuity discipline, stage 6's PseudoPos move). q273's
+    * sweep is the measurement that makes this constant an OPERATING
+    * POINT rather than a hand pick: the chosen-row rule must land here. */
   val FunnelGateMargin = 100000L
+
+  /** q273's threshold grid — integer margins bracketing the stage-8
+    * constant (0 = q265's confusion-matrix point; the rest double up
+    * from the gate's scale). O(thresholds) is the whole post-agg tier. */
+  val SweepGrid: Seq[Long] = Seq(0L, 25000L, 50000L, 100000L, 200000L, 400000L)
+
+  /** q273's chosen-row rule: the LARGEST grid threshold whose recall (vs
+    * the rule label, in integer permille) still clears this floor — "the
+    * most aggressive gate that keeps >= 80% of the true positives"
+    * (precision rises monotonically with the threshold on this grid, so
+    * the recall floor IS the binding constraint; a precision bar is
+    * vacuous here — measured 819..921 permille across the whole grid at
+    * sf0.001). Measured before pinning (the q225/q252 discipline):
+    * recall at the stage-8 constant is 876/821 permille at
+    * sf0.001/sf0.01 and collapses to 729/547 one grid step up, so the
+    * rule lands exactly on [[FunnelGateMargin]] at both hash-checked
+    * scales — PerceptronSpec pins it. */
+  val SweepRecallFloor = 800L
 
   private def trainSql(duck: Boolean): String =
     s"""WITH ${chainSql(duck)}
        |SELECT CAST(f AS INT) AS f, w, wsum FROM pw$Steps ORDER BY f""".stripMargin
+
+  /** q273's oracle: the chain + per-doc margins swept over [[SweepGrid]]
+    * — one confusion row per threshold (tp/fp/fn/tn at `margin > thr`)
+    * with integer-permille precision/recall, and the chosen-row flag
+    * (largest threshold clearing [[SweepRecallFloor]] — the measured
+    * operating point the funnel's stage-8 constant must equal). The
+    * q249 decision-layer posture: the sweep runs on the O(thresholds)
+    * POST-AGG tier (the grid cross-join multiplies O(docs) margin rows
+    * by 6 before ONE agg; the window rides 6 rows). */
+  private def sweepSql(duck: Boolean): String = {
+    val idiv = if (duck) "//" else "div"
+    val grid =
+      if (duck) s"SELECT unnest([${SweepGrid.mkString(", ")}]) AS thr"
+      else s"SELECT explode(array(${SweepGrid.mkString("L, ")}L)) AS thr"
+    s"""WITH ${chainSql(duck)},
+       |$marginCteSql,
+       |pgrid AS ($grid),
+       |pcells AS (
+       |  SELECT g.thr,
+       |    CAST(SUM(CASE WHEN l.y = 1 AND m.margin > g.thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN l.y <> 1 AND m.margin > g.thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN l.y = 1 AND m.margin <= g.thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN l.y <> 1 AND m.margin <= g.thr THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM psm m JOIN plab l ON l.doc_id = m.doc_id CROSS JOIN pgrid g
+       |  GROUP BY 1),
+       |pstat AS (
+       |  SELECT thr, tp, fp, fn, tn,
+       |    CAST(1000 * tp $idiv NULLIF(tp + fp, 0) AS BIGINT) AS precision_permille,
+       |    CAST(1000 * tp $idiv NULLIF(tp + fn, 0) AS BIGINT) AS recall_permille
+       |  FROM pcells)
+       |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+       |  precision_permille, recall_permille,
+       |  CAST(CASE WHEN thr = MAX(CASE WHEN recall_permille >= $SweepRecallFloor
+       |                                THEN thr END) OVER () THEN 1 ELSE 0 END AS BIGINT) AS chosen
+       |FROM pstat ORDER BY thr""".stripMargin
+  }
 
   /** q265's oracle: the chain + corpus scoring under `wsum`, reported as
     * the q234-style confusion matrix with margin extrema. */
@@ -169,9 +225,9 @@ object Perceptron {
   private def shardCol: Column =
     expr(s"CAST(CAST(conv(substr(md5(concat('$Seed:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % $Shards AS INT)")
 
-  /** Per-doc label/shard/length rows off the staged token index. */
-  private def labFrame(s: SparkSession, d: String): DataFrame =
-    TokenIndex.toks(s, d)
+  /** Per-doc label/shard/length rows off a (doc_id, ws) token frame. */
+  private def labFrame(toks: DataFrame): DataFrame =
+    toks
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
         size(filter(col("ws"), w => w.isin(stop: _*))).cast("long").as("n_stop"))
       .filter(col("n_tok") > 0)
@@ -180,12 +236,20 @@ object Perceptron {
           .otherwise(-1L).as("y"),
         shardCol.as("shard"), col("n_tok"))
 
-  /** The persisted sparse feature frame (doc_id, y, shard, f, x) — the
+  /** The sparse feature frame off the STAGED token index — the
     * training-set staging a real job materializes once; every step's
     * scoring pass and both entries' scoring reads run off it. */
-  private[text] def sparseFeatures(s: SparkSession, d: String): DataFrame = {
-    val lab = labFrame(s, d)
-    val cnt = TokenIndex.words(s, d)
+  private[text] def sparseFeatures(s: SparkSession, d: String): DataFrame =
+    sparseFeaturesOf(TokenIndex.toks(s, d))
+
+  /** The sparse feature frame (doc_id, y, shard, f, x) off any (doc_id,
+    * ws) token frame — ONE copy of the feature law, shared by the corpus
+    * path above and the per-batch ingest gate (Funnel.gateVerdicts
+    * featurizes arriving docs and scores them map-only under the staged
+    * literal weights). */
+  private[graft] def sparseFeaturesOf(toks: DataFrame): DataFrame = {
+    val lab = labFrame(toks)
+    val cnt = toks.select(col("doc_id"), explode(col("ws")).as("w"))
       .select(col("doc_id"),
         (graft.functions.vec.tokenHash(col("w")) % NumBuckets).as("f"))
       .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
@@ -276,6 +340,43 @@ object Perceptron {
           max(col("margin")).cast("bigint").as("max_margin"))
         .orderBy(col("label"), col("pred"))
       out
-    }.sqlTwin(applySql(duck = false))
+    }.sqlTwin(applySql(duck = false)),
+
+    // ---- the operating-point sweep (VERDICT r16 #6) ----
+    // q265 reports ONE confusion matrix at margin 0 while q252's stage 8
+    // gates at FunnelGateMargin — this entry is the measurement that
+    // connects them: precision/recall per grid threshold, and the
+    // chosen-row rule (smallest threshold reaching the precision bar)
+    // landing exactly on the stage-8 constant. Same persist-to-return
+    // contract as q265 (`feats` backs the returned plan; harnesses
+    // clearCache() per entry). Scale: margins are the q265 plan (no
+    // join, literal weights); the grid multiplies O(docs) margin rows
+    // by |grid| inside ONE agg to O(thresholds) rows; the chosen-row
+    // window rides those 6 rows.
+    Entry("q273_perceptron_sweep", sweepSql(duck = true)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val feats = sparseFeatures(s, d).persist()
+      val (_, wsum) = train(feats)
+      val pm = feats.groupBy(col("doc_id"), col("y")).agg(marginAgg(wsum).as("margin"))
+      val grid = {
+        import s.implicits._
+        SweepGrid.toDF("thr")
+      }
+      pm.crossJoin(broadcast(grid))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("y") === 1L && col("margin") > col("thr"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") =!= 1L && col("margin") > col("thr"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1L && col("margin") <= col("thr"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y") =!= 1L && col("margin") <= col("thr"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("precision_permille", expr("1000 * tp div NULLIF(tp + fp, 0)"))
+        .withColumn("recall_permille", expr("1000 * tp div NULLIF(tp + fn, 0)"))
+        .withColumn("chosen",
+          when(col("thr") === max(when(col("recall_permille") >= SweepRecallFloor,
+            col("thr"))).over(Window.partitionBy(lit(1))), 1L).otherwise(0L))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("precision_permille"), col("recall_permille"), col("chosen"))
+        .orderBy(col("thr"))
+    }.sqlTwin(sweepSql(duck = false))
   )
 }

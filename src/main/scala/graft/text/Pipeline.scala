@@ -175,6 +175,18 @@ object Pipeline {
        |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l$depth
        |ORDER BY doc_id""".stripMargin
 
+  /** q90's closure oracle/twin, exposed for the stream-maintained
+    * cluster read (q275 in Streams) — ONE copy: the hash check pins
+    * "clusters off the maintained pair store" == "clusters at rest" the
+    * same way q274 rides q252's text. */
+  private[graft] val q90OracleSql: String =
+    s"""WITH RECURSIVE $pairCtes,
+      |r(s, t) AS (SELECT s, t FROM edges
+      |            UNION SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t)
+      |SELECT s AS doc_id, CAST(LEAST(s, MIN(t)) AS BIGINT) AS cluster
+      |FROM r GROUP BY s ORDER BY doc_id""".stripMargin
+  private[graft] def q90TwinSql: String = unrolledClusterTwin(6)
+
   /** q246's oracle: one GROUPING SETS pass over per-doc curation signals.
     * The q96 keep rule in its integer form (q234's chain) as a dimension;
     * measures are counts plus the integer mean doc length `SUM div COUNT`
@@ -364,12 +376,7 @@ object Pipeline {
     // list; at 100 TB the same clusterPairs consumes the MinHash-LSH
     // verified candidates instead (q61_minhash_lsh) — identical pair
     // semantics up to LSH recall, sub-quadratic generation.
-    Entry("q90_dedup_clusters",
-      s"""WITH RECURSIVE $pairCtes,
-        |r(s, t) AS (SELECT s, t FROM edges
-        |            UNION SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t)
-        |SELECT s AS doc_id, CAST(LEAST(s, MIN(t)) AS BIGINT) AS cluster
-        |FROM r GROUP BY s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Entry("q90_dedup_clusters", q90OracleSql) { (s, d) =>
       // sh is the ingest-staged shingle table (TokenIndex.shingles3): its
       // consumers re-scan a small staged parquet instead of re-deriving
       // shingles, and no persisted blocks leak past the entry.
@@ -379,7 +386,7 @@ object Pipeline {
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
       clusterPairs(Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
-    }.sqlTwin(unrolledClusterTwin(6)),
+    }.sqlTwin(q90TwinSql),
 
     // The promised 100 TB composition (q90's comment above): the SAME
     // clusterPairs loop consuming the MinHash-LSH verified candidates
@@ -1654,29 +1661,56 @@ object Pipeline {
         .agg(count(lit(1)).as("inter"))
       val cl = clusterPairs(
         Text.jaccardScored(sh, inter, 0.2).select(col("doc_a"), col("doc_b")))
-      // persist-to-return contract (see Funnel.reportV2): `g` backs the
-      // returned keeper plan; harnesses clearCache() per entry
-      val g = QualityModel.bucketFrame(T(s, d, "documents")).persist()
-      val m1 = QualityModel.trainPosteriors(g, "label")
-      val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
-      scored
-        .join(cl.withColumnRenamed("doc_id", "cid"),
-          col("doc_id") === col("cid"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("score"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("doc_id"))))
-        .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
-          col("score").cast("bigint").as("score"),
-          when(col("rk") === 1, 1L).otherwise(0L).as("keeper"))
-        .orderBy(col("doc_id"))
+      keeperFrame(s, d, cl)
     }.sqlTwin(
       s"""WITH ${Dialect.duckToSpark(pairCtes)},
         |${QualityModel.chain("div", duck = false)},
         |${clusterLevelCtes(6)},
         |cl AS (SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l6),
-        |$keeperTailSql""".stripMargin)
+        |$keeperTailSql""".stripMargin),
+
+    // ---- the keeper rule on the LSH tier (q272, VERDICT r16 #4) ----
+    // q268's declared entry derives its clusters from the exact
+    // shared-shingle pair tier; at 100 TB the SAME keeper runs over
+    // q90_lsh's banded clusters (the scale path — banded LSH candidates,
+    // exact-verified at the same Jaccard 0.2 gate, so the LSH edge set is
+    // a SUBSET of the exact edge set and every LSH cluster sits inside
+    // one exact cluster). Bench-only by the q90_lsh rationale (xxhash64
+    // band buckets are engine-specific); KeeperLshSpec pins the parity
+    // contract in q148's precision/recall posture: the LSH-tier DROP set
+    // is a subset of the exact tier's (precision 1.0 — structural: a
+    // dropped doc lost its sub-cluster argmax, and the winner is still
+    // present in the enclosing exact cluster) with recall >= the pinned
+    // bound, and every kept doc is its own cluster's argmax.
+    Entry.benchOnly("q272_quality_keeper_lsh") { (s, d) =>
+      val cl = clusterPairs(
+        Text.minhashNearDups(s, d).select(col("doc_a"), col("doc_b")))
+      keeperFrame(s, d, cl)
+    }
   )
+
+  /** q268's Spark-side keeper tail — q234 quality scores (literal-fold,
+    * map-only), cluster attach (singletons self-labeled), per-cluster
+    * (score DESC, doc_id) argmax — ONE copy consumed by both cluster
+    * tiers (exact q268 / LSH q272) so the keeper rule cannot drift
+    * between them. Persist-to-return contract (see Funnel.reportV2):
+    * `g` backs the returned plan; harnesses clearCache() per entry. */
+  private def keeperFrame(s: SparkSession, d: String, cl: DataFrame): DataFrame = {
+    val g = QualityModel.bucketFrame(T(s, d, "documents")).persist()
+    val m1 = QualityModel.trainPosteriors(g, "label")
+    val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
+    scored
+      .join(cl.withColumnRenamed("doc_id", "cid"),
+        col("doc_id") === col("cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"), col("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
+        col("score").cast("bigint").as("score"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("keeper"))
+      .orderBy(col("doc_id"))
+  }
 
   /** q268's closure→score→keeper tail — consumes `cl` (doc_id, cluster
     * over edge docs) and the q234 chain's `sc` (doc_id, label, score);

@@ -61,7 +61,13 @@ object Text {
   /** DataFrame twin of [[bigramCteSql]]: (doc_id, w1, w2) straight off the
     * staged token arrays — adjacency is array order, no positional join. */
   def bigramPairs(s: SparkSession, d: String): DataFrame =
-    TokenIndex.toks(s, d)
+    bigramPairsOf(TokenIndex.toks(s, d))
+
+  /** The adjacent-bigram explode off any (doc_id, ws) token frame — ONE
+    * copy shared by the staged-index corpus path ([[bigramPairs]]) and
+    * the per-batch ingest gate tokenizing arriving docs. */
+  def bigramPairsOf(toks: DataFrame): DataFrame =
+    toks
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         explode(transform(
@@ -130,7 +136,14 @@ object Text {
   /** DataFrame twin of [[knDocMeanCteSql]]: (doc_id, n_bigrams, nll_unat,
     * mean_unat) off [[knScored]]'s rows. */
   def knDocMean(s: SparkSession, d: String): DataFrame =
-    knScored(s, d)
+    knDocMeanOf(knScored(s, d))
+
+  /** The per-doc rollup off any scored-bigram frame — ONE copy shared by
+    * the corpus path ([[knDocMean]]) and the per-batch ingest gate
+    * (Funnel.gateVerdicts scoring arriving docs against the STAGED
+    * model). */
+  def knDocMeanOf(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
            sum(col("row_unat")).as("nll_unat"))
@@ -274,16 +287,28 @@ object Text {
       .withColumn("row_unat", floor(lit(1000000) * -log(p)))
   }
 
-  /** DataFrame twin of the KN scoring pass: every bigram row with its
-    * quantized micro-nat NLL (`row_unat`) attached — q244 aggregates it
-    * per doc, q248 per host. */
-  def knScored(s: SparkSession, d: String): DataFrame = {
-    val bg = bigramPairs(s, d)
+  /** The resubstitution KN model tables (cb, cw1, cw2, tt) off a bigram
+    * frame — the count-table derivation in ONE copy, shared by the
+    * self-scoring corpus path ([[knScored]]) and the staged-model ingest
+    * gate (Funnel.gateModels materializes these four tables as the
+    * deployed LM artifact the stream scores against). */
+  def knModelTables(bg: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cw1 = bg.groupBy(col("w1"))
       .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
     val cw2 = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
     val tt = cb.agg(count(lit(1)).as("t"))
+    (cb, cw1, cw2, tt)
+  }
+
+  /** Score bigram rows against KN model tables (all four broadcast —
+    * vocab²-bounded at any corpus scale): every row gains its quantized
+    * micro-nat NLL. INNER joins are the resubstitution contract — every
+    * scored bigram is in the model (true for the corpus scoring itself,
+    * and for arriving docs whose text the staged model was trained
+    * over). ONE copy of the probability law. */
+  def knScoredAgainst(bg: DataFrame, cb: DataFrame, cw1: DataFrame,
+                      cw2: DataFrame, tt: DataFrame): DataFrame = {
     val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
       ((lit(0.75) * col("n1p")) / col("c1")) *
         (col("np2").cast("double") / col("t"))
@@ -292,6 +317,15 @@ object Text {
       .join(broadcast(cw2), "w2")
       .crossJoin(broadcast(tt))
       .withColumn("row_unat", floor(lit(1000000) * -log(p)))
+  }
+
+  /** DataFrame twin of the KN scoring pass: every bigram row with its
+    * quantized micro-nat NLL (`row_unat`) attached — q244 aggregates it
+    * per doc, q248 per host. */
+  def knScored(s: SparkSession, d: String): DataFrame = {
+    val bg = bigramPairs(s, d)
+    val (cb, cw1, cw2, tt) = knModelTables(bg)
+    knScoredAgainst(bg, cb, cw1, cw2, tt)
   }
 
   /** Shared oracle CTE text for the 16-bit SimHash (q67/q231): tokens →

@@ -73,6 +73,15 @@ class OracleLintSpec extends AnyFunSuite {
     "q154_curation_report" -> Set("0.03", "0.2"),
     "q179_mix_weights" -> Set("0.5"),
     "q252_curation_funnel_v2" -> Set("0.03"),
+    // q274 IS q252's oracle text, one copy (the ingest-time gate hashes
+    // against the funnel-at-rest law) — same grandfathered 0.03
+    "q274_stream_funnel_gate" -> Set("0.03"),
+    // q275 IS q90's closure text, one copy (clusters off the maintained
+    // pair store hash against the at-rest law) — same grandfathered 0.2
+    "q275_stream_dedup_clusters" -> Set("0.2"),
+    // q276 splices q224's grandfathered perdoc CTE verbatim (the same
+    // 0.03 stopword-ratio gate in the same double comparison context)
+    "q276_funnel_yield_by_host" -> Set("0.03"),
     "q224_curation_funnel" -> Set("0.03"),
     "q62_vector_stats" -> Set("1.0"),
     "q72_embed_neardup" -> Set("0.4"),

@@ -717,6 +717,31 @@ class PlanShapeSpec extends GraftSuite {
       s"unexpected shuffle in the gate:\n${exchanges.mkString("\n")}")
   }
 
+  test("q274 gate: model artifacts broadcast; every per-batch exchange is batch-keyed") {
+    import org.apache.spark.sql.functions._
+    // the per-batch funnel gate (VERDICT r16 #5): every model artifact
+    // (KN count tables, the kernel decisions, the three per-doc signal
+    // frames) enters broadcast-side; the only hash exchanges are the
+    // batch's own per-doc / per-(doc, feature) aggregations — zero
+    // corpus-keyed exchanges per batch at any deployment scale
+    val gm = graft.text.Funnel.gateModels(spark, sf)
+    val cb = spark.read.parquet(s"${gm.knDir}/cb")
+    val cw1 = spark.read.parquet(s"${gm.knDir}/cw1")
+    val cw2 = spark.read.parquet(s"${gm.knDir}/cw2")
+    val tt = spark.read.parquet(s"${gm.knDir}/tt")
+    val batch = graft.core.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0)
+    val p = graft.text.Funnel.gateVerdicts(batch, gm.posteriors, gm.wsum,
+        cb, cw1, cw2, tt)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"model tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join in the gate:\n$p")
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("doc_id#")),
+      s"non-batch-keyed shuffle in the gate:\n${exchanges.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("q01_scan: whole-stage codegen covers the scan (AQE-final plan)") {
     // AQE keeps the plan speculative until execution; materialize first,
     // then inspect the finalized physical plan.

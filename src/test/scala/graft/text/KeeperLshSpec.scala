@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.GraftSuite
+
+/** q272 — the q268 keeper rule over the LSH-tier clusters, pinned in the
+  * q148/q90_lsh precision-recall posture against the exact tier on the
+  * mid fixture:
+  *
+  *  - PRECISION 1.0 structurally: LSH edges are exact-verified at the
+  *    same Jaccard gate, so LSH clusters refine exact clusters; a doc
+  *    dropped on the LSH tier lost its sub-cluster's (score DESC,
+  *    doc_id) argmax, and that winner is still present in the enclosing
+  *    exact cluster — so the doc loses there too. Any LSH drop outside
+  *    the exact drop set is a bug, not recall noise.
+  *  - RECALL on the DROP set (the dedup-relevant decision — "this copy
+  *    is removed"): >= the pinned bound, headroom below observed
+  *    (q90_lsh recovers >= 0.8 of co-cluster pairs; a split cluster
+  *    keeps one extra argmax per lost merge).
+  *  - Internal consistency: exactly one keeper per LSH cluster, scores
+  *    identical to the exact tier's (same q234 fold).
+  */
+class KeeperLshSpec extends GraftSuite {
+
+  test("q272: LSH-tier drops ⊆ exact-tier drops; recall >= 0.7; one keeper per cluster") {
+    def rowsOf(name: String): Array[(Long, Long, Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sf01).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = rowsOf("q268_quality_keeper")
+    val lsh = rowsOf("q272_quality_keeper_lsh")
+
+    // same doc set, same scores (the q234 fold is tier-independent)
+    val exScore = exact.map(r => r._1 -> r._3).toMap
+    assert(lsh.length == exact.length, "tiers cover different doc sets")
+    for ((id, _, score, _) <- lsh)
+      assert(score == exScore(id), s"doc $id: score diverges across tiers")
+
+    // one keeper per cluster, keeper = (score DESC, doc_id) argmax
+    for ((c, ms) <- lsh.groupBy(_._2)) {
+      val keepers = ms.filter(_._4 == 1L)
+      assert(keepers.length == 1, s"LSH cluster $c has ${keepers.length} keepers")
+      assert(keepers.head._1 == ms.minBy(m => (-m._3, m._1))._1,
+        s"LSH cluster $c: keeper is not the argmax")
+    }
+
+    // the parity contract on the drop decision
+    val exDrops = exact.filter(_._4 == 0L).map(_._1).toSet
+    val lshDrops = lsh.filter(_._4 == 0L).map(_._1).toSet
+    assert(exDrops.nonEmpty, "fixture produced no exact-tier drops — vacuous")
+    val leaked = lshDrops -- exDrops
+    assert(leaked.isEmpty,
+      s"${leaked.size} LSH-tier drops absent from the exact tier: " +
+        leaked.take(5).mkString(", "))
+    val recall = (exDrops & lshDrops).size.toDouble / exDrops.size
+    assert(recall >= 0.7, s"drop recall $recall < 0.7 over ${exDrops.size} drops")
+    spark.catalog.clearCache()
+  }
+}

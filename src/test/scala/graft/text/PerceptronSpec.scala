@@ -110,4 +110,31 @@ class PerceptronSpec extends GraftSuite {
     assert(agree > disagree.size,
       s"models mostly disagree (${disagree.size} vs $agree) — one of them is noise")
   }
+
+  // q273 — the operating-point sweep (VERDICT r16 #6): the funnel's
+  // stage-8 margin must be a MEASURED point, not a hand pick. Pinned at
+  // both fixture scales: exactly one chosen row, and it is the stage-8
+  // constant; the thr=0 row is q265's confusion matrix restated; kept
+  // mass (tp+fp) is monotone non-increasing in the threshold.
+  test("q273: chosen operating point == the stage-8 constant at both scales") {
+    for (dir <- Seq(sf, sf01)) {
+      val rows = graft.SparkEntry.queries("q273_perceptron_sweep")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(7)))
+      assert(rows.map(_._1).toSeq == Perceptron.SweepGrid, s"grid drifted: ${rows.toSeq}")
+      val chosen = rows.filter(_._6 == 1L)
+      assert(chosen.length == 1, s"[$dir] expected one chosen row: ${rows.toSeq}")
+      assert(chosen.head._1 == Perceptron.FunnelGateMargin,
+        s"[$dir] chosen threshold ${chosen.head._1} != stage-8 constant " +
+          s"${Perceptron.FunnelGateMargin} — re-measure the operating point")
+      val kept = rows.map(r => r._2 + r._3)
+      assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+        s"[$dir] kept mass not monotone in the threshold: ${kept.toSeq}")
+      // total mass is constant across thresholds (every doc lands in a cell)
+      val totals = rows.map(r => r._2 + r._3 + r._4 + r._5).distinct
+      assert(totals.length == 1, s"[$dir] cell totals drift: ${rows.toSeq}")
+    }
+    spark.catalog.clearCache()
+  }
 }
