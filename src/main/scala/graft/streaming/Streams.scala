@@ -231,6 +231,42 @@ object Streams {
       out
     })
 
+  /** q158's write path: drain the arrival feed's per-doc distinct hashed
+    * shingles into a parquet file sink (Spark's exactly-once append) —
+    * ONE copy shared by the q158 entry (drained fresh; the write path is
+    * its subject) and the memoized store q277 serves from. */
+  private[streaming] def shingleDrain(s: SparkSession, d: String, out: String): Unit = {
+    val src = stageQ158(s, d)
+    val schema = s.read.parquet(src).schema
+    val arriving = graft.text.Text.arrivingShingles(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src))
+    val ckpt = newStageDir("graft_idx_ckpt")
+    graft.core.GraftSession.withShufflePartitions(s, 8) {
+      val q = arriving.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
+  /** The maintained shingle index and MinHash-signature table as
+    * memoized prestaged artifacts (the q158/q263 write paths' standing
+    * output in a deployment) — q277 serves the LSH keeper off them. */
+  private val shingleStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[streaming] def drainedShingleStore(s: SparkSession, d: String): String =
+    shingleStoreCache.getOrElseUpdate(d, {
+      val out = newStageDir("graft_shingle_store")
+      shingleDrain(s, d, out)
+      out
+    })
+  private val minhashStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[streaming] def drainedMinhashStore(s: SparkSession, d: String): String =
+    minhashStoreCache.getOrElseUpdate(d, {
+      val out = newStageDir("graft_mhidx_store")
+      minhashDrain(s, stageQ158(s, d), out)
+      out
+    })
+
   private[streaming] def stageQ142(s: SparkSession, d: String): String =
     stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
   private[streaming] def stageQ158(s: SparkSession, d: String): String =
@@ -276,6 +312,9 @@ object Streams {
     graft.text.Funnel.gateModels(s, dir)
     // q275's maintained pair store — the ingest stream's standing output
     drainedNeardupStore(s, dir)
+    // q277's maintained dedup artifacts (shingle index + signatures)
+    drainedShingleStore(s, dir)
+    drainedMinhashStore(s, dir)
     ()
   }
 
@@ -680,6 +719,39 @@ object Streams {
           .select(col("doc_a"), col("doc_b")))
     }.sqlTwin(graft.text.Pipeline.q90TwinSql),
 
+    // The canonical-selection pipeline served ENTIRELY from write-path
+    // artifacts (SURVEY Q277): every object the keeper needs already
+    // exists as a stream-maintained or staged table — MinHash signatures
+    // (q263's write path), the shingle index (q158's), the quality
+    // model (q274's staged posteriors, folded back as literals) — so the
+    // query is reads + the keeper rule: band the maintained signatures,
+    // exact-verify candidates against the maintained shingles, cluster,
+    // argmax. No query-time tokenization, sketching, or training
+    // anywhere in the plan — the full dedup+selection path a deployment
+    // actually serves. Bench-only (band buckets are engine-specific);
+    // KeeperLshSpec pins row-for-row equality with q272 (whose artifacts
+    // are batch-built), closing maintained == at-rest at the DECISION
+    // level.
+    Entry.benchOnly("q277_keeper_from_maintained") { (s, d) =>
+      val sigs = s.read.parquet(drainedMinhashStore(s, d))
+      val sh = s.read.parquet(drainedShingleStore(s, d))
+        .select(col("doc_id"), col("h"))
+      val cands = graft.text.Text.lshCandidatesFromSigs(sigs, 64, 8, 1000)
+      val inter = sh.as("a").join(cands, col("a.doc_id") === col("doc_a"))
+        .join(sh.as("b"),
+          col("b.doc_id") === col("doc_b") && col("a.h") === col("b.h"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val pairs = graft.text.Text.jaccardScored(sh, inter, 0.2)
+      val cl = graft.text.Pipeline.clusterPairs(
+        pairs.select(col("doc_a"), col("doc_b")))
+      val gm = graft.text.Funnel.gateModels(s, d)
+      val scored = graft.text.QualityModel
+        .bucketFrame(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.text.QualityModel.scoreColOf(gm.posteriors).as("score"))
+      graft.text.Pipeline.keeperTail(scored, cl)
+    },
+
     // Decontamination as an INGEST-TIME gate (SURVEY Q261) — q254 audits
     // the corpus at rest; a deployment wants eval leakage stopped at the
     // door, before a contaminated doc ever lands in the training store.
@@ -794,18 +866,8 @@ object Streams {
         |SELECT t.doc_id, CAST(COALESCE(c.n_shingles, 0) AS BIGINT) AS n_shingles
         |FROM toks t LEFT JOIN cnt c ON c.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
-      val src = stageQ158(s, d)
-      val schema = s.read.parquet(src).schema
-      val arriving = graft.text.Text.arrivingShingles(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src))
       val out = newStageDir("graft_idx_out")
-      val ckpt = newStageDir("graft_idx_ckpt")
-      graft.core.GraftSession.withShufflePartitions(s, 8) {
-        val q = arriving.writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+      shingleDrain(s, d, out)
       val counts = s.read.parquet(out)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       Tables(s, d, "documents").select(col("doc_id"))

@@ -1698,7 +1698,14 @@ object Pipeline {
   private def keeperFrame(s: SparkSession, d: String, cl: DataFrame): DataFrame = {
     val g = QualityModel.bucketFrame(T(s, d, "documents")).persist()
     val m1 = QualityModel.trainPosteriors(g, "label")
-    val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
+    keeperTail(g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score")), cl)
+  }
+
+  /** The keeper RULE alone — cluster attach (singletons self-labeled) +
+    * per-cluster (score DESC, doc_id) argmax — over externally-supplied
+    * per-doc scores; [[keeperFrame]] feeds it freshly-trained scores,
+    * q277 (Streams) feeds it the STAGED gate-model fold. */
+  private[graft] def keeperTail(scored: DataFrame, cl: DataFrame): DataFrame =
     scored
       .join(cl.withColumnRenamed("doc_id", "cid"),
         col("doc_id") === col("cid"), "left")
@@ -1710,7 +1717,6 @@ object Pipeline {
         col("score").cast("bigint").as("score"),
         when(col("rk") === 1, 1L).otherwise(0L).as("keeper"))
       .orderBy(col("doc_id"))
-  }
 
   /** q268's closure→score→keeper tail — consumes `cl` (doc_id, cluster
     * over edge docs) and the q234 chain's `sc` (doc_id, label, score);

@@ -180,6 +180,11 @@ object QualityModel {
     (0 to 4).map(i =>
       element_at(typedLit(m(i)), col(s"b$i").cast("int") + 1)).reduce(_ + _)
 
+  /** [[scoreCol]] for callers outside the text package — q277 (Streams)
+    * folds the STAGED gate-model posteriors back as literals. */
+  private[graft] def scoreColOf(m: Seq[Seq[Long]]): org.apache.spark.sql.Column =
+    scoreCol(m)
+
   /** Confidence gates for the q242 pseudo-label round: only documents the
     * round-1 model is SURE about join the round-2 training set (the
     * classic self-training recipe — training on every prediction lets the

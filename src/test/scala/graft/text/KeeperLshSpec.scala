@@ -54,4 +54,23 @@ class KeeperLshSpec extends GraftSuite {
     assert(recall >= 0.7, s"drop recall $recall < 0.7 over ${exDrops.size} drops")
     spark.catalog.clearCache()
   }
+
+  // q277 — the same decision served ENTIRELY from write-path artifacts
+  // (stream-maintained signatures + shingle index, staged posteriors):
+  // must equal q272 (batch-built artifacts) row-for-row. This closes
+  // maintained == at-rest at the DECISION level — MinhashMaintenanceSpec
+  // pins the signature rows, q158 pins the shingle index, q274's staging
+  // pins the model; a drift any of those misses would surface here as a
+  // flipped keeper.
+  test("q277: keeper served from maintained artifacts == q272 row-for-row") {
+    def rowsOf(name: String): Seq[(Long, Long, Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batchBuilt = rowsOf("q272_quality_keeper_lsh")
+    val served = rowsOf("q277_keeper_from_maintained")
+    assert(batchBuilt.exists(_._4 == 0L), "no drops at this scale — vacuous")
+    assert(served == batchBuilt,
+      s"served keeper diverges from batch-built artifacts:\n  batch  $batchBuilt\n  served $served")
+    spark.catalog.clearCache()
+  }
 }
