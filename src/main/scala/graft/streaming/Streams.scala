@@ -267,6 +267,46 @@ object Streams {
       out
     })
 
+  /** q274's write path: drain the arrival feed through the per-batch
+    * funnel gate (staged models broadcast) into batch=<id> verdict
+    * partitions under `out` — ONE copy shared by the q274 entry (drained
+    * fresh) and the memoized store q279 serves from. */
+  private[streaming] def funnelGateDrain(s: SparkSession, d: String, out: String): Unit = {
+    val gm = graft.text.Funnel.gateModels(s, d)
+    val cb = s.read.parquet(s"${gm.knDir}/cb").persist()
+    val cw1 = s.read.parquet(s"${gm.knDir}/cw1").persist()
+    val cw2 = s.read.parquet(s"${gm.knDir}/cw2").persist()
+    val tt = s.read.parquet(s"${gm.knDir}/tt").persist()
+    val src = stageQ142(s, d)
+    val ckpt = newStageDir("graft_funnelgate_ckpt")
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    graft.core.GraftSession.withShufflePartitions(s, 8) {
+      val q = stream.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.text.Funnel
+            .gateVerdicts(batch, gm.posteriors, gm.wsum, cb, cw1, cw2, tt)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    // the model tables back only the (now drained) per-batch plans
+    Seq(cb, cw1, cw2, tt).foreach(_.unpersist())
+    ()
+  }
+
+  /** The maintained verdict store — q274's standing output, memoized
+    * for q279's shipped-corpus read. */
+  private val verdictStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[streaming] def drainedVerdictStore(s: SparkSession, d: String): String =
+    verdictStoreCache.getOrElseUpdate(d, {
+      val out = newStageDir("graft_verdict_store")
+      funnelGateDrain(s, d, out)
+      out
+    })
+
   private[streaming] def stageQ142(s: SparkSession, d: String): String =
     stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
   private[streaming] def stageQ158(s: SparkSession, d: String): String =
@@ -315,6 +355,8 @@ object Streams {
     // q277's maintained dedup artifacts (shingle index + signatures)
     drainedShingleStore(s, dir)
     drainedMinhashStore(s, dir)
+    // q279's maintained verdict store (q274's standing output)
+    drainedVerdictStore(s, dir)
     ()
   }
 
@@ -808,32 +850,54 @@ object Streams {
     // PlanShapeSpec pins the per-batch plan (models broadcast, every
     // hash exchange batch-keyed — zero corpus-keyed exchanges).
     Entry("q274_stream_funnel_gate", graft.text.Funnel.v2OracleSql) { (s, d) =>
-      val gm = graft.text.Funnel.gateModels(s, d)
-      val cb = s.read.parquet(s"${gm.knDir}/cb").persist()
-      val cw1 = s.read.parquet(s"${gm.knDir}/cw1").persist()
-      val cw2 = s.read.parquet(s"${gm.knDir}/cw2").persist()
-      val tt = s.read.parquet(s"${gm.knDir}/tt").persist()
-      val src = stageQ142(s, d)
       val out = newStageDir("graft_funnelgate_out")
-      val ckpt = newStageDir("graft_funnelgate_ckpt")
-      val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-      graft.core.GraftSession.withShufflePartitions(s, 8) {
-        val q = stream.writeStream.trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.text.Funnel
-              .gateVerdicts(batch, gm.posteriors, gm.wsum, cb, cw1, cw2, tt)
-              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
-            ()
-          }.start()
-        q.awaitTermination()
-      }
-      // the model tables back only the (already drained) per-batch plans,
-      // never the returned report — safe to evict here
-      Seq(cb, cw1, cw2, tt).foreach(_.unpersist())
+      funnelGateDrain(s, d, out)
       graft.text.Funnel.reportFromGateVerdicts(s.read.parquet(out))
     }.sqlTwin(graft.text.Funnel.v2TwinSql),
+
+    // The SHIPPED corpus (SURVEY Q279) — the terminal read of the whole
+    // curation pipeline, served from write-path artifacts: per-doc
+    // funnel verdicts off the MAINTAINED verdict store (q274's standing
+    // output), near-dup clusters off the MAINTAINED pair store (q142's,
+    // via q275's merge), quality scores as the STAGED posterior fold —
+    // composed into the per-language card of what actually ships: a doc
+    // ships iff it survives all eight funnel gates AND is its near-dup
+    // cluster's quality argmax (stage 5 removed exact copies keep-min;
+    // the keeper removes near-dup losers keep-best). The oracle replays
+    // the ENTIRE composition at rest in one SQL text built from the
+    // same shared fragments q252 and q268 hash against — one hash pins
+    // five subsystems' composition per language.
+    // Non-vacuity measured before pinning (the q225 discipline): the
+    // keeper strictly drops funnel survivors at sf0.001 (4 docs:
+    // es/fr/zh) and sf0.1 (3 docs: en); at sf0.01 the two systems
+    // happen to agree doc-for-doc — the hash there still pins the
+    // composition arithmetic, and ShippedCorpusSpec pins the strict
+    // drop at sf0.001.
+    Entry("q279_shipped_corpus", graft.text.Funnel.shippedSql(duck = true)) { (s, d) =>
+      val reach = graft.text.Funnel.gateReach(
+        s.read.parquet(drainedVerdictStore(s, d)))
+      val cl = graft.text.Pipeline.clusterPairs(
+        neardupMerged(s, drainedNeardupStore(s, d))
+          .select(col("doc_a"), col("doc_b")))
+      val gm = graft.text.Funnel.gateModels(s, d)
+      val scored = graft.text.QualityModel
+        .bucketFrame(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.text.QualityModel.scoreColOf(gm.posteriors).as("score"))
+      val keeper = graft.text.Pipeline.keeperTail(scored, cl)
+        .select(col("doc_id").as("kid"), col("keeper"))
+      val lng = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+      reach.join(lng, "doc_id")
+        .join(keeper, col("doc_id") === col("kid"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("reached") >= 8, 1L).otherwise(0L)).as("n_funnel"),
+          sum(when(col("reached") >= 8 && col("keeper") === 1L, 1L).otherwise(0L))
+            .as("n_shipped"),
+          coalesce(sum(when(col("reached") >= 8 && col("keeper") === 1L,
+            col("n_tok"))), lit(0L)).cast("bigint").as("n_tok_shipped"))
+        .orderBy(col("lang"))
+    }.sqlTwin(graft.text.Funnel.shippedSql(duck = false)),
 
     // Q59: update output mode — per-batch emissions; the final value per key
     // is the batch-equivalent count (counts are monotone across batches).

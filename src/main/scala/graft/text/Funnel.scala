@@ -251,7 +251,29 @@ object Funnel {
     * q264 perceptron chain, all replayed in SQL — the hash pins the
     * eight-level NESTING across four subsystems, not just each gate
     * alone. `duck` selects the dialect for every spliced fragment. */
-  private def v2Sql(duck: Boolean): String = {
+  private def v2Sql(duck: Boolean): String =
+    s"""WITH ${v2CtesSql(duck)},
+       |counts AS (SELECT reached, COUNT(*) AS c FROM perdoc GROUP BY 1),
+       |stages AS (
+       |  SELECT 1 AS stage_idx, 'fetched' AS stage
+       |  UNION ALL SELECT 2, 'robots_allowed'
+       |  UNION ALL SELECT 3, 'url_unique'
+       |  UNION ALL SELECT 4, 'quality_pass'
+       |  UNION ALL SELECT 5, 'text_unique'
+       |  UNION ALL SELECT 6, 'model_quality_pass'
+       |  UNION ALL SELECT 7, 'lm_perplexity_pass'
+       |  UNION ALL SELECT 8, 'linear_model_pass')
+       |SELECT stage_idx, stage,
+       |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs
+       |FROM stages LEFT JOIN counts ON reached >= stage_idx
+       |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
+
+  /** The v2 funnel's CTE body through `perdoc` (doc_id, reached 1..8) —
+    * factored so the shipped-corpus composition (q279 in Streams) can
+    * mount the keeper tier on the SAME eight-level derivation q252
+    * hashes against; `base` (n_tok) and the model CTEs stay visible to
+    * downstream fragments. */
+  private[graft] def v2CtesSql(duck: Boolean): String = {
     val idiv = if (duck) "//" else "div"
     val ws = if (duck) Text.tokensSql else Dialect.tokensSparkSql
     val len = if (duck) "len" else "size"
@@ -259,7 +281,7 @@ object Funnel {
     val qm = QualityModel.chain(idiv, duck)
     val knDuck = s"${Text.knChainSql},\n${Text.knDocMeanCteSql}"
     val kn = if (duck) knDuck else Dialect.duckToSpark(knDuck)
-    s"""WITH ft AS (SELECT doc_id, text, $ws AS ws FROM documents),
+    s"""ft AS (SELECT doc_id, text, $ws AS ws FROM documents),
        |base AS (
        |  SELECT doc_id, text,
        |    NOT ((((doc_id $idiv 4) % 5) % 2 = 1) AND ((doc_id $idiv 4) % 10 IN (1, 3))) AS allowed,
@@ -301,21 +323,7 @@ object Funnel {
        |  FROM lv3 l
        |  LEFT JOIN sc q ON q.doc_id = l.doc_id
        |  LEFT JOIN pd p ON p.doc_id = l.doc_id
-       |  LEFT JOIN psm pm ON pm.doc_id = l.doc_id),
-       |counts AS (SELECT reached, COUNT(*) AS c FROM perdoc GROUP BY 1),
-       |stages AS (
-       |  SELECT 1 AS stage_idx, 'fetched' AS stage
-       |  UNION ALL SELECT 2, 'robots_allowed'
-       |  UNION ALL SELECT 3, 'url_unique'
-       |  UNION ALL SELECT 4, 'quality_pass'
-       |  UNION ALL SELECT 5, 'text_unique'
-       |  UNION ALL SELECT 6, 'model_quality_pass'
-       |  UNION ALL SELECT 7, 'lm_perplexity_pass'
-       |  UNION ALL SELECT 8, 'linear_model_pass')
-       |SELECT stage_idx, stage,
-       |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs
-       |FROM stages LEFT JOIN counts ON reached >= stage_idx
-       |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
+       |  LEFT JOIN psm pm ON pm.doc_id = l.doc_id)""".stripMargin
   }
 
   /** q252's oracle/twin, exposed for the ingest-time gate (q274 in
@@ -323,6 +331,44 @@ object Funnel {
     * "funnel at rest" the same way q261 rides q254's text. */
   private[graft] def v2OracleSql: String = v2Sql(duck = true)
   private[graft] def v2TwinSql: String = v2Sql(duck = false)
+
+  /** q279's oracle/twin: the SHIPPED corpus — the eight-level funnel
+    * (v2CtesSql, the exact text q252 hashes against) COMPOSED with the
+    * near-dup quality keeper (Pipeline's pair/closure/keeper fragments,
+    * the exact text q268 hashes against), rolled up per language with
+    * shipped token mass. The two decision systems compose: stage 5
+    * removes EXACT text duplicates (keep-min), the keeper removes
+    * NEAR-dup cluster losers (keep-best); a doc ships iff it survives
+    * all eight gates AND is its cluster's quality argmax. Every fragment
+    * is the ONE shared copy, so this hash pins the full composition of
+    * five subsystems (robots/URL/rule ladder, NB, KN, perceptron,
+    * keeper) in a single number per language. */
+  private[graft] def shippedSql(duck: Boolean): String = {
+    val shingles =
+      if (duck) Text.shingle3CteSql(distinct = true)
+      else Dialect.duckToSpark(Text.shingle3CteSql(distinct = true))
+    val closure =
+      if (duck) Pipeline.closureCtesSql
+      else s"""${Pipeline.clusterLevelCtes(6)},
+              |cl AS (SELECT id AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM l6)""".stripMargin
+    val recursive = if (duck) "RECURSIVE " else ""
+    s"""WITH $recursive${v2CtesSql(duck)},
+       |$shingles,
+       |${Pipeline.pairTailCtes},
+       |$closure,
+       |${Pipeline.keeperCtesSql},
+       |lng AS (SELECT doc_id, lang FROM documents)
+       |SELECT lng.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN p.reached >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel,
+       |  CAST(SUM(CASE WHEN p.reached >= 8 AND k.rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shipped,
+       |  CAST(COALESCE(SUM(CASE WHEN p.reached >= 8 AND k.rk = 1 THEN b.n_tok END), 0) AS BIGINT) AS n_tok_shipped
+       |FROM perdoc p
+       |JOIN lng ON lng.doc_id = p.doc_id
+       |JOIN base b ON b.doc_id = p.doc_id
+       |LEFT JOIN rkq k ON k.doc_id = p.doc_id
+       |GROUP BY 1 ORDER BY lang""".stripMargin
+  }
 
   /** The deployed ingest-gate model artifacts (q274): the three trained
     * models q252's stages 6-8 gate on — the q234 bucket posteriors, the
@@ -410,7 +456,13 @@ object Funnel {
   /** q274's read side: the two keeper windows (the only cross-doc
     * resolutions) + the 8-level fold over the maintained verdict table —
     * reportV2's ladder with the model gates already decided at ingest. */
-  private[graft] def reportFromGateVerdicts(v: DataFrame): DataFrame = {
+  private[graft] def reportFromGateVerdicts(v: DataFrame): DataFrame =
+    stageFold(gateReach(v), stageNamesV2)
+
+  /** The per-doc resolution alone (doc_id, n_tok, reached 1..8) over a
+    * maintained verdict table — shared by q274's stage fold and q279's
+    * shipped-corpus composition. */
+  private[graft] def gateReach(v: DataFrame): DataFrame = {
     val perDoc = v
       .withColumn("url_keeper",
         min(when(col("allowed"), col("doc_id")))
@@ -434,7 +486,7 @@ object Funnel {
           .when(col("reach3"), 3)
           .when(col("allowed"), 2)
           .otherwise(1))
-    stageFold(perDoc, stageNamesV2)
+    perDoc.select(col("doc_id"), col("n_tok"), col("reached"))
   }
 
   val entries: Seq[Entry] = Seq(

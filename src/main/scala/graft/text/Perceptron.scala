@@ -203,6 +203,46 @@ object Perceptron {
        |FROM pstat ORDER BY thr""".stripMargin
   }
 
+  /** q278's oracle: q273's sweep PARTITIONED BY LANGUAGE — the q250/q253
+    * conditioning move applied to the decision layer: one shared model,
+    * per-language operating points (a margin calibrated on the pooled
+    * corpus mis-gates languages whose lexical profile shifts the margin
+    * distribution — the report shows each language's own knee). The lang
+    * attach is a broadcast O(docs) projection (q250's argument); cells
+    * aggregate map-side to O(langs × thresholds) rows; the chosen-row
+    * window partitions by lang — no single-partition stage (q253's
+    * scale-correct window shape). */
+  private def sweepByLangSql(duck: Boolean): String = {
+    val idiv = if (duck) "//" else "div"
+    val grid =
+      if (duck) s"SELECT unnest([${SweepGrid.mkString(", ")}]) AS thr"
+      else s"SELECT explode(array(${SweepGrid.mkString("L, ")}L)) AS thr"
+    s"""WITH ${chainSql(duck)},
+       |$marginCteSql,
+       |pgrid AS ($grid),
+       |plng AS (SELECT doc_id, lang FROM documents),
+       |pcells AS (
+       |  SELECT dl.lang, g.thr,
+       |    CAST(SUM(CASE WHEN l.y = 1 AND m.margin > g.thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN l.y <> 1 AND m.margin > g.thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN l.y = 1 AND m.margin <= g.thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN l.y <> 1 AND m.margin <= g.thr THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM psm m JOIN plab l ON l.doc_id = m.doc_id
+       |  JOIN plng dl ON dl.doc_id = m.doc_id CROSS JOIN pgrid g
+       |  GROUP BY 1, 2),
+       |pstat AS (
+       |  SELECT lang, thr, tp, fp, fn, tn,
+       |    CAST(1000 * tp $idiv NULLIF(tp + fp, 0) AS BIGINT) AS precision_permille,
+       |    CAST(1000 * tp $idiv NULLIF(tp + fn, 0) AS BIGINT) AS recall_permille
+       |  FROM pcells)
+       |SELECT lang, CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+       |  precision_permille, recall_permille,
+       |  CAST(CASE WHEN thr = MAX(CASE WHEN recall_permille >= $SweepRecallFloor
+       |                                THEN thr END) OVER (PARTITION BY lang)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS chosen
+       |FROM pstat ORDER BY lang, thr""".stripMargin
+  }
+
   /** q265's oracle: the chain + corpus scoring under `wsum`, reported as
     * the q234-style confusion matrix with margin extrema. */
   private def applySql(duck: Boolean): String =
@@ -377,6 +417,42 @@ object Perceptron {
         .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
           col("precision_permille"), col("recall_permille"), col("chosen"))
         .orderBy(col("thr"))
-    }.sqlTwin(sweepSql(duck = false))
+    }.sqlTwin(sweepSql(duck = false)),
+
+    // ---- per-language operating points (q273 × q250's conditioning) ----
+    // One shared model, per-language knees: the pooled margin hides
+    // languages whose lexical profile shifts the margin distribution —
+    // this report publishes each language's own chosen threshold under
+    // the same recall-floor rule. The lang attach broadcasts; the window
+    // partitions by lang (q253's scale-correct shape, no single-partition
+    // stage). PerceptronSpec pins per-lang internal consistency and that
+    // the per-lang cells sum to q273's global cells.
+    Entry("q278_perceptron_sweep_by_lang", sweepByLangSql(duck = true)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val feats = sparseFeatures(s, d).persist()
+      val (_, wsum) = train(feats)
+      val pm = feats.groupBy(col("doc_id"), col("y")).agg(marginAgg(wsum).as("margin"))
+      val lng = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
+      val grid = {
+        import s.implicits._
+        SweepGrid.toDF("thr")
+      }
+      pm.join(broadcast(lng), "doc_id")
+        .crossJoin(broadcast(grid))
+        .groupBy(col("lang"), col("thr"))
+        .agg(
+          sum(when(col("y") === 1L && col("margin") > col("thr"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") =!= 1L && col("margin") > col("thr"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1L && col("margin") <= col("thr"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y") =!= 1L && col("margin") <= col("thr"), 1L).otherwise(0L)).as("tn"))
+        .withColumn("precision_permille", expr("1000 * tp div NULLIF(tp + fp, 0)"))
+        .withColumn("recall_permille", expr("1000 * tp div NULLIF(tp + fn, 0)"))
+        .withColumn("chosen",
+          when(col("thr") === max(when(col("recall_permille") >= SweepRecallFloor,
+            col("thr"))).over(Window.partitionBy(col("lang"))), 1L).otherwise(0L))
+        .select(col("lang"), col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("precision_permille"), col("recall_permille"), col("chosen"))
+        .orderBy(col("lang"), col("thr"))
+    }.sqlTwin(sweepByLangSql(duck = false))
   )
 }

@@ -138,10 +138,13 @@ object Pipeline {
   /** The q61 near-dup pair derivation as shared DuckDB CTE text (3-shingle
     * Jaccard >= 0.2) — q90's oracle builds its closure on top of it, and
     * the Spark twin reuses it through the dialect bridge. */
-  private val pairCtes: String =
-    s"""${Text.wordsCtesSql},
-      |${Text.shingle3CteSql(distinct = true)},
-      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+  /** The exact-pair tail over an existing `sh` (doc_id, sh) shingle CTE
+    * — factored from [[pairCtes]] so compositions that already carry the
+    * words/shingle CTEs (q279's shipped-corpus oracle rides the v2
+    * funnel chain, whose KN tier spliced them) can mount the SAME pair
+    * law without duplicating CTE names. */
+  private[graft] val pairTailCtes: String =
+    """sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
       |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2),
       |pairs AS (SELECT doc_a, doc_b FROM inter
@@ -150,6 +153,11 @@ object Pipeline {
       |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs)""".stripMargin
 
+  private val pairCtes: String =
+    s"""${Text.wordsCtesSql},
+      |${Text.shingle3CteSql(distinct = true)},
+      |$pairTailCtes""".stripMargin
+
   /** The unrolled min-label propagation CTEs (`l0..l<depth>` over
     * `edges`) — Spark 4's recursive CTEs allow only UNION ALL, which
     * cannot express a fixpoint over a cyclic graph, so the Spark twins
@@ -157,7 +165,7 @@ object Pipeline {
     * depth comfortably past the fixture's component diameter (the parity
     * tests fail loudly if a deeper component ever appears). ONE copy
     * shared by the q90 twin and the q268 quality-keeper twin. */
-  private def clusterLevelCtes(depth: Int): String = {
+  private[graft] def clusterLevelCtes(depth: Int): String = {
     val levels = (1 to depth).map { i =>
       s"""l$i AS (SELECT v.id, LEAST(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
          |  FROM l${i - 1} v
@@ -1649,10 +1657,7 @@ object Pipeline {
     Entry("q268_quality_keeper",
       s"""WITH RECURSIVE $pairCtes,
         |${QualityModel.chain("//", duck = true)},
-        |r(s, t) AS (SELECT s, t FROM edges
-        |            UNION SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t),
-        |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(t)) AS BIGINT) AS cluster
-        |       FROM r GROUP BY s),
+        |$closureCtesSql,
         |$keeperTailSql""".stripMargin) { (s, d) =>
       val sh = TokenIndex.shingles3(s, d)
       val inter = sh.as("x").join(sh.as("y"),
@@ -1724,14 +1729,31 @@ object Pipeline {
     * twin (unrolled closure), so the keeper rule cannot drift between
     * the two cluster derivations. */
   private def keeperTailSql: String =
+    s"""$keeperCtesSql
+      |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, CAST(score AS BIGINT) AS score,
+      |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keeper
+      |FROM rkq ORDER BY doc_id""".stripMargin
+
+  /** The DuckDB recursive min-label closure (`r`, `cl` over `edges`) —
+    * ONE copy shared by q268's oracle and q279's shipped-corpus oracle.
+    * The consuming WITH must carry the RECURSIVE keyword. (A def: see
+    * [[keeperCtesSql]].) */
+  private[graft] def closureCtesSql: String =
+    """r(s, t) AS (SELECT s, t FROM edges
+      |            UNION SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t),
+      |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(t)) AS BIGINT) AS cluster
+      |       FROM r GROUP BY s)""".stripMargin
+
+  /** The keeper CTEs alone (`asg`, `rkq` over `cl` + `sc`) — the piece
+    * q279's shipped-corpus oracle mounts inside a larger chain. (A def:
+    * `entries` above initializes first and would read a null val
+    * declared below — the dsirStop lesson.) */
+  private[graft] def keeperCtesSql: String =
     """asg AS (SELECT sc.doc_id, COALESCE(cl.cluster, sc.doc_id) AS cluster, sc.score
       |        FROM sc LEFT JOIN cl ON cl.doc_id = sc.doc_id),
       |rkq AS (SELECT doc_id, cluster, score,
       |          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rk
-      |        FROM asg)
-      |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, CAST(score AS BIGINT) AS score,
-      |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keeper
-      |FROM rkq ORDER BY doc_id""".stripMargin
+      |        FROM asg)""".stripMargin
 
   /** q262's target-slice stopword list — the q96 rule set (a def: `entries`
     * above initializes first and would read a null val declared below). */

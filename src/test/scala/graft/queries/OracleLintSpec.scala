@@ -82,6 +82,9 @@ class OracleLintSpec extends AnyFunSuite {
     // q276 splices q224's grandfathered perdoc CTE verbatim (the same
     // 0.03 stopword-ratio gate in the same double comparison context)
     "q276_funnel_yield_by_host" -> Set("0.03"),
+    // q279 composes q252's funnel CTEs (0.03) with q90's pair law (0.2)
+    // — both fragments are the one shared, grandfathered copy
+    "q279_shipped_corpus" -> Set("0.03", "0.2"),
     "q224_curation_funnel" -> Set("0.03"),
     "q62_vector_stats" -> Set("1.0"),
     "q72_embed_neardup" -> Set("0.4"),

@@ -137,4 +137,39 @@ class PerceptronSpec extends GraftSuite {
     }
     spark.catalog.clearCache()
   }
+
+  // q278 — the per-language conditioning of the sweep: per-lang cells
+  // must SUM to q273's global cells threshold-for-threshold (same model,
+  // same docs — the partition is a reclassification, not a re-score), at
+  // most one chosen row per language, and every chosen row is that
+  // language's own largest recall-clearing threshold.
+  test("q278: per-lang sweep partitions q273's cells; chosen rows obey the rule per lang") {
+    val global = graft.SparkEntry.queries("q273_perceptron_sweep")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = graft.SparkEntry.queries("q278_perceptron_sweep_by_lang")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(7), r.getLong(8)))
+    // cells partition the global sweep
+    for ((thr, byThr) <- rows.groupBy(_._2)) {
+      val sums = (byThr.map(_._3).sum, byThr.map(_._4).sum,
+        byThr.map(_._5).sum, byThr.map(_._6).sum)
+      assert(sums == global(thr),
+        s"thr=$thr: per-lang cells ${sums} != global ${global(thr)}")
+    }
+    // chosen discipline per language
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.size >= 2, "fixture has one language — conditioning untested")
+    for ((lang, ms) <- byLang) {
+      val chosen = ms.filter(_._8 == 1L)
+      assert(chosen.length <= 1, s"[$lang] multiple chosen rows")
+      val clearing = ms.filter(_._7 >= Perceptron.SweepRecallFloor).map(_._2)
+      if (clearing.nonEmpty) {
+        assert(chosen.length == 1 && chosen.head._2 == clearing.max,
+          s"[$lang] chosen ${chosen.map(_._2).toSeq} != largest clearing ${clearing.max}")
+      } else assert(chosen.isEmpty, s"[$lang] chosen row without a clearing threshold")
+    }
+    assert(rows.exists(_._8 == 1L), "no language has a chosen row — vacuous")
+    spark.catalog.clearCache()
+  }
 }
