@@ -884,7 +884,7 @@ object Streams {
         .bucketFrame(Tables(s, d, "documents"))
         .select(col("doc_id"),
           graft.text.QualityModel.scoreColOf(gm.posteriors).as("score"))
-      val keeper = graft.text.Pipeline.keeperTail(scored, cl)
+      val keeper = graft.text.Pipeline.keeperVerdicts(scored, cl)
         .select(col("doc_id").as("kid"), col("keeper"))
       val lng = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
       reach.join(lng, "doc_id")

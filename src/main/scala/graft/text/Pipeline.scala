@@ -1709,8 +1709,11 @@ object Pipeline {
   /** The keeper RULE alone — cluster attach (singletons self-labeled) +
     * per-cluster (score DESC, doc_id) argmax — over externally-supplied
     * per-doc scores; [[keeperFrame]] feeds it freshly-trained scores,
-    * q277 (Streams) feeds it the STAGED gate-model fold. */
-  private[graft] def keeperTail(scored: DataFrame, cl: DataFrame): DataFrame =
+    * q277 (Streams) feeds it the STAGED gate-model fold. UNSORTED: the
+    * presentation entries append the doc_id sort; q279 consumes these
+    * rows under a join + rollup, where a global sort would be a wasted
+    * range exchange at corpus scale. */
+  private[graft] def keeperVerdicts(scored: DataFrame, cl: DataFrame): DataFrame =
     scored
       .join(cl.withColumnRenamed("doc_id", "cid"),
         col("doc_id") === col("cid"), "left")
@@ -1721,7 +1724,11 @@ object Pipeline {
       .select(col("doc_id"), col("cluster").cast("bigint").as("cluster"),
         col("score").cast("bigint").as("score"),
         when(col("rk") === 1, 1L).otherwise(0L).as("keeper"))
-      .orderBy(col("doc_id"))
+
+  /** [[keeperVerdicts]] in presentation order — the declared keeper
+    * entries' output shape. */
+  private[graft] def keeperTail(scored: DataFrame, cl: DataFrame): DataFrame =
+    keeperVerdicts(scored, cl).orderBy(col("doc_id"))
 
   /** q268's closure→score→keeper tail — consumes `cl` (doc_id, cluster
     * over edge docs) and the q234 chain's `sc` (doc_id, label, score);
