@@ -54,32 +54,27 @@ object Streams {
 
   /** Stage a table into a fresh dir for a file-stream source (optionally
     * as N identical ordered files = N deterministic batches). Memoized per
-    * (dir, table, copies): seven of the streaming queries stream the same
-    * events table, and staging is a full table rewrite. */
-  private val stageCache = scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
-
+    * (dir, table, copies) via the shared per-JVM staging cache
+    * ([[graft.core.Staging.stagedDir]] — VERDICT r17 #4: one copy of the
+    * TrieMap+temp-dir+shutdown-hook pattern): seven of the streaming
+    * queries stream the same events table, and staging is a full table
+    * rewrite. */
   private def stage(s: SparkSession, dir: String, table: String, copies: Int = 1): String =
-    stageCache.getOrElseUpdate((dir, table, copies), {
-      val tmp = newStageDir(s"graft_stream_$table")
+    graft.core.Staging.stagedDir(dir, table, s"stream_x$copies") { tmp =>
       val df = Tables(s, dir, table)
       (0 until copies).foreach(i => writeOrderedFile(df, tmp, i))
-      tmp
-    })
+    }
 
   /** Stage a table split into N ordered files by deterministic predicates
     * (file i = rows matching preds(i)) to force N micro-batches. Memoized
     * under the caller-supplied key (predicates are Columns, not hashable)
     * — the split is a deterministic function of (dir, table, key). */
-  private val splitCache = scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
-
   private def stageSplit(s: SparkSession, dir: String, table: String, key: String,
                          preds: => Seq[org.apache.spark.sql.Column]): String =
-    splitCache.getOrElseUpdate((dir, table, key), {
-      val tmp = newStageDir(s"graft_stream2_$table")
+    graft.core.Staging.stagedDir(dir, table, s"split_$key") { tmp =>
       val df = Tables(s, dir, table)
       preds.zipWithIndex.foreach { case (p, i) => writeOrderedFile(df.filter(p), tmp, i) }
-      tmp
-    })
+    }
 
   /** q55's three-way split staging (evens, on-time odds, late odds) — shared
     * by the entry and [[prestage]] so the split predicates live in one place.
@@ -223,13 +218,8 @@ object Streams {
     * output q142's continuously-running ingest stream has already
     * produced in a deployment (the drainedRollup posture); q275's timed
     * read serves clusters from it. */
-  private val neardupStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[streaming] def drainedNeardupStore(s: SparkSession, d: String): String =
-    neardupStoreCache.getOrElseUpdate(d, {
-      val out = newStageDir("graft_neardup_store")
-      neardupDrain(s, d, out)
-      out
-    })
+    graft.core.Staging.stagedDir(d, "documents", "neardup_store")(neardupDrain(s, d, _))
 
   /** q158's write path: drain the arrival feed's per-doc distinct hashed
     * shingles into a parquet file sink (Spark's exactly-once append) —
@@ -252,20 +242,11 @@ object Streams {
   /** The maintained shingle index and MinHash-signature table as
     * memoized prestaged artifacts (the q158/q263 write paths' standing
     * output in a deployment) — q277 serves the LSH keeper off them. */
-  private val shingleStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[streaming] def drainedShingleStore(s: SparkSession, d: String): String =
-    shingleStoreCache.getOrElseUpdate(d, {
-      val out = newStageDir("graft_shingle_store")
-      shingleDrain(s, d, out)
-      out
-    })
-  private val minhashStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
+    graft.core.Staging.stagedDir(d, "documents", "shingle_store")(shingleDrain(s, d, _))
   private[streaming] def drainedMinhashStore(s: SparkSession, d: String): String =
-    minhashStoreCache.getOrElseUpdate(d, {
-      val out = newStageDir("graft_mhidx_store")
-      minhashDrain(s, stageQ158(s, d), out)
-      out
-    })
+    graft.core.Staging.stagedDir(d, "documents", "mhidx_store")(
+      minhashDrain(s, stageQ158(s, d), _))
 
   /** q274's write path: drain the arrival feed through the per-batch
     * funnel gate (staged models broadcast) into batch=<id> verdict
@@ -299,13 +280,8 @@ object Streams {
 
   /** The maintained verdict store — q274's standing output, memoized
     * for q279's shipped-corpus read. */
-  private val verdictStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[streaming] def drainedVerdictStore(s: SparkSession, d: String): String =
-    verdictStoreCache.getOrElseUpdate(d, {
-      val out = newStageDir("graft_verdict_store")
-      funnelGateDrain(s, d, out)
-      out
-    })
+    graft.core.Staging.stagedDir(d, "documents", "verdict_store")(funnelGateDrain(s, d, _))
 
   private[streaming] def stageQ142(s: SparkSession, d: String): String =
     stage3Way(s, d, "documents", "q142_neardup_3way", "doc_id")
@@ -321,15 +297,12 @@ object Streams {
     * split into three arrival waves BY SHARD (shard_id % 3, never by
     * doc — samples must not span arrival units, the property the shard
     * format guarantees). Memoized like the other staged sources. */
-  private val shardStageCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[streaming] def stageQ207(s: SparkSession, d: String): String =
-    shardStageCache.getOrElseUpdate(d, {
-      val tmp = newStageDir("graft_stream_shards")
+    graft.core.Staging.stagedDir(d, "documents", "stream_shards") { tmp =>
       val shards = graft.ingest.Shards.shardTable(s, d).toDF("shard_id", "bytes")
       (0 until 3).foreach(i =>
         writeOrderedFile(shards.filter(col("shard_id") % 3 === i), tmp, i))
-      tmp
-    })
+    }
 
   /** Pre-build every staged stream-source dir (bench hygiene, VERDICT r3 #7):
     * staging is harness machinery that converts a static table into the
@@ -778,7 +751,9 @@ object Streams {
       val sigs = s.read.parquet(drainedMinhashStore(s, d))
       val sh = s.read.parquet(drainedShingleStore(s, d))
         .select(col("doc_id"), col("h"))
-      val cands = graft.text.Text.lshCandidatesFromSigs(sigs, 64, 8, 1000)
+      val cands = graft.text.Text.lshCandidatesFromSigs(sigs,
+        graft.text.Text.LshNumPerm, graft.text.Text.LshBands,
+        graft.text.Text.LshMaxBucket)
       val inter = sh.as("a").join(cands, col("a.doc_id") === col("doc_a"))
         .join(sh.as("b"),
           col("b.doc_id") === col("doc_b") && col("a.h") === col("b.h"))
@@ -1145,7 +1120,8 @@ object Streams {
       val src = stageQ158(s, d)
       val out = newStageDir("graft_mhidx_out")
       minhashDrain(s, src, out)
-      graft.text.Text.minhashBandRows(s.read.parquet(out), 64, 8)
+      graft.text.Text.minhashBandRows(s.read.parquet(out),
+          graft.text.Text.LshNumPerm, graft.text.Text.LshBands)
         .groupBy(col("band"))
         .agg(countDistinct(col("bucket")).as("n_buckets"),
              count(lit(1)).cast("bigint").as("n_docs"))
@@ -1229,13 +1205,9 @@ object Streams {
     * percentiles read it in place; compacted-read clones it before
     * mutating); only q183_rollup_job, whose subject IS the write path,
     * runs its own fresh drain. Prestaged untimed like the token index. */
-  private val drainedRollupCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private[streaming] def drainedRollup(s: SparkSession, d: String): String =
-    drainedRollupCache.getOrElseUpdate(d, {
-      val out = newStageDir("graft_rollup_pristine")
-      rollupDrain(s, stageQ183(s, d), out)
-      out
-    })
+    graft.core.Staging.stagedDir(d, "events", "rollup_pristine")(
+      rollupDrain(s, stageQ183(s, d), _))
 
   private[streaming] def rollupDrain(s: SparkSession, src: String, out: String): Unit = {
     val ckpt = newStageDir("graft_rollup_ckpt")
@@ -1354,7 +1326,7 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.text.Text.minhashSignatures(
-            graft.text.Text.arrivingShingles(batch), 64)
+            graft.text.Text.arrivingShingles(batch), graft.text.Text.LshNumPerm)
             .write.mode("overwrite").parquet(s"$out/batch=$batchId")
           ()
         }.start()

@@ -27,8 +27,10 @@ import graft.queries.{Dialect, Entry}
   * the hash pins the NESTING, not just the individual decisions.
   *
   * At 100 TB the shape is unchanged: map-only flags, two shuffles on
-  * (url-group, text) — both already paid by the dedup tiers themselves
-  * — and an O(stages) report.
+  * (url-group, text-fingerprint) — both already paid by the dedup tiers
+  * themselves, and neither exchange carries document text (the keeper
+  * window keys on md5, the q146/q256 payload diet) — and an O(stages)
+  * report.
   */
 object Funnel {
 
@@ -65,12 +67,25 @@ object Funnel {
       }.toDF("doc_id", "allowed", "canon_url")
   }
 
+  /** The exact-dup keeper window's key: md5 of the text, so the window
+    * exchange carries a 128-bit fingerprint instead of the document body
+    * (the q146/q256 payload diet; at 100 TB a text-keyed window would
+    * shuffle the whole corpus's text through one exchange). ONE
+    * derivation shared by the batch ladder ([[reachFlags]]) and the
+    * per-batch ingest gate ([[gateVerdicts]]), so the tiers cannot
+    * drift. Collision posture as q267: an md5 collision would merge two
+    * distinct texts into one dedup group; odds ~n²/2^128, accepted. The
+    * oracle windows by the text itself — equality of results IS the
+    * collision-freeness check at fixture scale. */
+  private def tkeyOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(text)
+
   private def gateInputs(s: SparkSession, d: String): DataFrame = {
     val toks = TokenIndex.toks(s, d)
       .select(col("doc_id"), size(col("ws")).as("n_tok"),
               size(filter(col("ws"), w => w.isin(stop: _*))).as("n_stop"))
 
-    T(s, d, "documents").select(col("doc_id"), col("text"))
+    T(s, d, "documents").select(col("doc_id"), tkeyOf(col("text")).as("tkey"))
       .join(decisionsOf(T(s, d, "documents")), "doc_id")
       .join(toks, "doc_id")
   }
@@ -78,7 +93,8 @@ object Funnel {
   /** Per-doc reach flags through stage 5 (the v1 gate ladder) — shared by
     * q224 and q252, so the two reports' common stages are ONE derivation:
     * robots verdict, URL-keeper resolution among permitted docs, the rule
-    * quality screen, text-keeper resolution among quality survivors. */
+    * quality screen, text-keeper resolution among quality survivors (the
+    * keeper window keyed by [[tkeyOf]]'s fingerprint, never the text). */
   private def reachFlags(s: SparkSession, d: String): DataFrame =
     gateInputs(s, d)
       .withColumn("url_keeper",
@@ -89,7 +105,7 @@ object Funnel {
         col("n_stop").cast("double") / col("n_tok") >= 0.03)
       .withColumn("text_keeper",
         min(when(col("reach4"), col("doc_id")))
-          .over(Window.partitionBy(col("text"))))
+          .over(Window.partitionBy(col("tkey"))))
       .withColumn("reach5", col("reach4") && col("doc_id") === col("text_keeper"))
 
   /** Fold per-doc `reached` levels into the survivor-per-stage report via
@@ -422,16 +438,14 @@ object Funnel {
     * frames broadcast — every hash exchange is keyed by the BATCH's own
     * doc rows, zero corpus-keyed exchanges per batch.
     *
-    * `tkey` is the md5 of the text — the text-keeper window key, so
-    * verdict rows never carry the document body (the q267 fingerprint
-    * posture: a 128-bit collision would silently diverge from the
-    * oracle's text-keyed window; odds ~n²/2^128, accepted as in
-    * q146/q256). */
+    * `tkey` is [[tkeyOf]]'s fingerprint — the text-keeper window key
+    * (one derivation with the batch ladder), so verdict rows never carry
+    * the document body; collision posture documented at [[tkeyOf]]. */
   private[graft] def gateVerdicts(batch: DataFrame, posts: Seq[Seq[Long]],
       wsum: Seq[Long], cb: DataFrame, cw1: DataFrame, cw2: DataFrame,
       tt: DataFrame): DataFrame = {
     val tcol = Text.tokens(col("text"))
-    val flags = batch.select(col("doc_id"), md5(col("text")).as("tkey"),
+    val flags = batch.select(col("doc_id"), tkeyOf(col("text")).as("tkey"),
         size(tcol).as("n_tok"),
         size(filter(tcol, w => w.isin(stop: _*))).as("n_stop"))
       .join(broadcast(decisionsOf(batch)), "doc_id")

@@ -386,8 +386,8 @@ object Perceptron {
     // q265 reports ONE confusion matrix at margin 0 while q252's stage 8
     // gates at FunnelGateMargin — this entry is the measurement that
     // connects them: precision/recall per grid threshold, and the
-    // chosen-row rule (smallest threshold reaching the precision bar)
-    // landing exactly on the stage-8 constant. Same persist-to-return
+    // chosen-row rule (largest threshold whose recall still clears the
+    // floor — SweepRecallFloor) landing exactly on the stage-8 constant. Same persist-to-return
     // contract as q265 (`feats` backs the returned plan; harnesses
     // clearCache() per entry). Scale: margins are the q265 plan (no
     // join, literal weights); the grid multiplies O(docs) margin rows

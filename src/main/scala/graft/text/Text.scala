@@ -1669,6 +1669,17 @@ object Text {
   def shingles(docs: DataFrame, k: Int): DataFrame =
     shinglesOf(docs.select(col("doc_id"), tokens(col("text")).as("ws")), k)
 
+  /** The LSH tier's shared parameters — ONE set of named constants so the
+    * batch tier (q61/q90_lsh/q272 via [[minhashNearDups]]), the ingest
+    * index ([[TokenIndex.minhashSigs]]), the incremental signature
+    * maintenance (q263) and the maintained-artifact serving path (q277)
+    * cannot silently diverge (ADVICE r17: q277 previously hard-coded the
+    * triple and a default change would only surface as an unhelpful
+    * KeeperLshSpec row mismatch). */
+  val LshNumPerm = 64
+  val LshBands = 8
+  val LshMaxBucket = 1000
+
   /** MinHash(64 perms) + banded LSH (8 bands x 8 rows) near-dup candidates,
     * verified with exact Jaccard — the sub-quadratic dedup path.
     *
@@ -1681,9 +1692,10 @@ object Text {
     * aggregation. Band buckets come from ONE pass over the signature row
     * (explode of 8 (band, bucket) structs), not 8 union branches that
     * each re-aggregate. */
-  def minhashNearDups(s: SparkSession, d: String, maxBucket: Int = 1000): DataFrame = {
+  def minhashNearDups(s: SparkSession, d: String, maxBucket: Int = LshMaxBucket): DataFrame = {
     val sh = TokenIndex.shingles3(s, d)
-    val cands = lshCandidatesFromSigs(TokenIndex.minhashSigs(s, d), 64, 8, maxBucket)
+    val cands = lshCandidatesFromSigs(TokenIndex.minhashSigs(s, d),
+      LshNumPerm, LshBands, maxBucket)
     // exact Jaccard on candidates only — intersected on the 64-bit shingle
     // hashes (collision odds ~n^2/2^64: immaterial, and the candidate set
     // is verified, not the contract surface)

@@ -64,7 +64,8 @@ object TokenIndex {
     * One hash-agg pass at ingest; band keys derive from this row at query
     * time (a per-row hash, no shuffle). */
   def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    staged(s, dir, "minhashsig") { Text.minhashSignatures(shingles3(s, dir), 64) }
+    staged(s, dir, "minhashsig") {
+      Text.minhashSignatures(shingles3(s, dir), Text.LshNumPerm) }
 
   /** Build all artifacts eagerly. Bench warm-up calls this untimed (its
     * cost is measured and reported as the bench line's separate "ingest"

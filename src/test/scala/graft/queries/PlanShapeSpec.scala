@@ -194,6 +194,22 @@ class PlanShapeSpec extends GraftSuite {
       s"window string must not ride a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q224_curation_funnel: the text-keeper window exchange carries the md5 key, not text") {
+    // VERDICT r17 #1: the batch funnel's exact-dup keeper window keys on
+    // tkey = md5(text) (Funnel.tkeyOf — shared with q274's ingest gate),
+    // so no exchange in the funnel family carries the document body. The
+    // same reachFlags derivation backs q252 and q276, so one pin covers
+    // the family's window key.
+    for (name <- Seq("q224_curation_funnel", "q276_funnel_yield_by_host")) {
+      val p = planOf(name)
+      val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+      assert(exchanges.exists(_.contains("tkey#")),
+        s"$name: expected a tkey-keyed window exchange:\n${exchanges.mkString("\n")}")
+      assert(!exchanges.exists(_.contains("text#")),
+        s"$name: document text must not ride a shuffle:\n${exchanges.mkString("\n")}")
+    }
+  }
+
   test("q257_split_leakage: the leak join is keyed by fingerprints, not window strings") {
     val p = planOf("q257_split_leakage")
     val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList

@@ -42,8 +42,14 @@ class ShippedCorpusSpec extends GraftSuite {
     val reach = graft.text.Funnel.gateReach(
         spark.read.parquet(Streams.drainedVerdictStore(spark, sf)))
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // every stage-8 survivor must be PRESENT in q268's keeper map — a
+    // default here would let a q268 coverage gap silently count a doc as
+    // shipped and pass the recomposition check vacuously (ADVICE r17)
+    reach.foreach { case (id, lvl) =>
+      if (lvl >= 8) assert(keepers.contains(id),
+        s"stage-8 survivor $id missing from q268's keeper output") }
     val expectShipped = reach.count { case (id, lvl) =>
-      lvl >= 8 && keepers.getOrElse(id, 1L) == 1L }
+      lvl >= 8 && keepers(id) == 1L }
     assert(card.map(_._4).sum == expectShipped,
       s"shipped total ${card.map(_._4).sum} != doc-level recomposition $expectShipped")
     spark.catalog.clearCache()
