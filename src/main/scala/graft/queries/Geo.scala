@@ -271,6 +271,52 @@ object Geo {
         .orderBy(col("c_custkey"))
     },
 
+    // ES geo_distance AGGREGATION (SURVEY Q281; VERDICT r17 #3): the
+    // "stores within 1/5/10 km" facet — distance-range buckets from the
+    // q87 origin over the SAME shared haversine fragment, q27's
+    // CASE-range shape: one map-side-combinable hash agg to O(ranges)
+    // rows, no joins. Bucket keys are ES's "<from>-<to>" labels with
+    // from/to carried as columns (ES returns both); the open tail's `to`
+    // is NULL. Bucket count + exact min/max distance per bucket (min/max
+    // of doubles is order-independent — no cross-engine summation drift;
+    // the ROUND/boundary ulp posture is q87's, documented there).
+    Entry("q281_geo_distance_agg",
+      s"""WITH g AS (SELECT c_custkey, $latSql AS lat, $lonSql AS lon FROM customer),
+        |d AS (SELECT c_custkey, $distSql AS dist FROM g),
+        |b AS (SELECT dist,
+        |  CAST(CASE WHEN dist < 2000 THEN 0.0 WHEN dist < 5000 THEN 2000.0
+        |       WHEN dist < 10000 THEN 5000.0 ELSE 10000.0 END AS DOUBLE) AS from_km,
+        |  CAST(CASE WHEN dist < 2000 THEN 2000.0 WHEN dist < 5000 THEN 5000.0
+        |       WHEN dist < 10000 THEN 10000.0 ELSE NULL END AS DOUBLE) AS to_km
+        |FROM d)
+        |SELECT CASE WHEN from_km = 0.0 THEN '*-2000.0'
+        |            WHEN to_km IS NULL THEN '10000.0-*'
+        |            ELSE CAST(from_km AS VARCHAR) || '-' || CAST(to_km AS VARCHAR) END AS bucket,
+        |       from_km, to_km, COUNT(*) AS n_docs,
+        |       ROUND(MIN(dist), 3) AS min_km, ROUND(MAX(dist), 3) AS max_km
+        |FROM b GROUP BY 1, 2, 3 ORDER BY from_km""".stripMargin) { (s, d) =>
+      val dist = expr(distSql)
+      T(s, d, "customer")
+        .select(col("c_custkey"), expr(latSql).as("lat"), expr(lonSql).as("lon"))
+        .select(dist.as("dist"))
+        .withColumn("from_km",
+          when(col("dist") < 2000, 0.0).when(col("dist") < 5000, 2000.0)
+            .when(col("dist") < 10000, 5000.0).otherwise(10000.0))
+        .withColumn("to_km",
+          when(col("dist") < 2000, 2000.0).when(col("dist") < 5000, 5000.0)
+            .when(col("dist") < 10000, 10000.0).otherwise(lit(null).cast("double")))
+        .groupBy(
+          when(col("from_km") === 0.0, "*-2000.0")
+            .when(col("to_km").isNull, "10000.0-*")
+            .otherwise(concat(col("from_km").cast("string"), lit("-"),
+                              col("to_km").cast("string"))).as("bucket"),
+          col("from_km"), col("to_km"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(min(col("dist")), 3).as("min_km"),
+             round(max(col("dist")), 3).as("max_km"))
+        .orderBy(col("from_km"))
+    },
+
     // ES geo_bounding_box: pure range predicate on both axes — pushes to
     // the scan once lat/lon are real columns.
     Entry("q88_geo_bbox",

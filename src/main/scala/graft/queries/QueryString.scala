@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** ES `query_string` — the full-Lucene search-box language of the delivered
+  * ES 6.3 surface (the default `q=` syntax a user types into every search
+  * box; `simple_query_string` q121 is its deliberately-reduced sibling).
+  *
+  * Supported syntax (ES 6.3 `query_string` docs):
+  *   - `field:term` fielded terms; bare terms hit the default field;
+  *   - `AND` / `OR` / `NOT` (uppercase — lowercase words are terms, the
+  *     Lucene rule) with `NOT` > `AND` > `OR` precedence and `(...)`
+  *     grouping; adjacent clauses with no operator combine under the
+  *     default operator (OR — ES `default_operator`'s default);
+  *   - `"quoted terms"` phrases (consecutive positions, in order — the
+  *     q121 positional-run semantics, one shared kernel);
+  *   - `term*` trailing-wildcard (prefix) terms;
+  *   - `[a TO b]` / `{a TO b}` ranges on numeric fields, inclusive /
+  *     exclusive per bracket (mixed `[a TO b}` allowed), `*` for an open
+  *     end — numeric-only: the fixtures' keyword fields are analyzed
+  *     token arrays where a lexicographic term range has no ES-mapping
+  *     analog, so a range on a token field is a parse-time error, not a
+  *     silent empty result;
+  *   - `^boost` on any term, phrase, range, or group.
+  *
+  * Semantics note (documented choice): Lucene's own `query_string` parser
+  * resolves mixed operators with a left-to-right occur-flag mutation
+  * whose corner cases even the Lucene docs warn against relying on; this
+  * parser implements the precedence reading above — the behavior every
+  * published "mind your query_string operators" guide tells users to
+  * assume, and identical to Lucene wherever the query doesn't mix bare
+  * juxtaposition INTO an explicit chain. `+`/`-` occur prefixes are
+  * q121's (`simple_query_string`) surface and are not part of this
+  * grammar.
+  *
+  * Compilation: [[compile]] produces ONE boolean predicate Column and ONE
+  * score Column over analyzed token-array / numeric field columns — a
+  * pushable scan filter plus per-row arithmetic, no joins, no UDFs (the
+  * q121 posture; every leaf is array_contains / exists / element_at /
+  * range-compare, all codegen'd). Scoring is the constant-score model: a
+  * matched leaf contributes its boost (default 1.0), AND/OR nodes sum
+  * their matched children, `NOT` contributes nothing, group boosts
+  * multiply the subtree — deterministic and engine-independent (the
+  * fixtures carry no corpus statistics for BM25; ES's own
+  * `constant_score`/filter-context scoring works exactly like this).
+  *
+  * Scale posture: scan + filter + projection — the predicate and score
+  * fold into the scan stage like q120-q122; at 100 TB this is a map-only
+  * pass with the filter pushed below the projection.
+  */
+object QueryString {
+
+  // ---- AST ----------------------------------------------------------
+
+  sealed trait Node
+  final case class Or(children: Seq[Node]) extends Node
+  final case class And(children: Seq[Node]) extends Node
+  final case class Not(child: Node) extends Node
+  final case class Boost(child: Node, boost: Double) extends Node
+  /** Analyzed positional run on `field` — 1 token = a term, 2+ = the
+    * phrase expansion of a multi-token source term ("DATA-Stream"). */
+  final case class TermQ(field: Option[String], terms: Seq[String]) extends Node
+  final case class PhraseQ(field: Option[String], terms: Seq[String]) extends Node
+  /** `run` tokens at consecutive positions then a token starting with
+    * `prefix` — empty `run` is a plain prefix query. */
+  final case class PrefixQ(field: Option[String], run: Seq[String], prefix: String)
+      extends Node
+  final case class RangeQ(field: Option[String], lo: Option[Double], hi: Option[Double],
+                          loInc: Boolean, hiInc: Boolean) extends Node
+
+  // ---- fields -------------------------------------------------------
+
+  /** A queryable field: an analyzed token array or a numeric column. */
+  sealed trait FieldRef
+  final case class TokenField(ws: Column) extends FieldRef
+  final case class NumField(c: Column) extends FieldRef
+
+  /** Query-term analyzer — must mirror the corpus analyzer
+    * ([[graft.text.Text.tokensSql]]: lowercase, split non-alphanumerics);
+    * Locale.ROOT pins the casing (the q121 tr/az dotted-I note). */
+  private def analyze(raw: String): Seq[String] =
+    raw.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ")
+      .trim.split(' ').filter(_.nonEmpty).toSeq
+
+  // ---- parser (recursive descent over the raw string) ----------------
+
+  final class ParseError(msg: String, pos: Int)
+      extends IllegalArgumentException(s"query_string parse error at $pos: $msg")
+
+  private final class P(val q: String) {
+    var i = 0
+    def eof: Boolean = i >= q.length
+    def peek: Char = q(i)
+    def ws(): Unit = while (!eof && q(i).isWhitespace) i += 1
+    def fail(msg: String): Nothing = throw new ParseError(msg, i)
+
+    /** Lookahead: does a keyword (AND/OR/NOT) start at the cursor, as a
+      * standalone word? Uppercase only — `and` is a term. */
+    def keyword(k: String): Boolean =
+      q.startsWith(k, i) && {
+        val j = i + k.length
+        j >= q.length || q(j).isWhitespace || q(j) == '(' || q(j) == ')'
+      }
+
+    def expr(): Node = {
+      val first = andExpr()
+      var cs = List(first)
+      var more = true
+      while (more) {
+        ws()
+        if (eof || peek == ')') more = false
+        else {
+          if (keyword("OR")) { i += 2; ws() }
+          // no operator: juxtaposition = the default operator (OR)
+          cs = andExpr() :: cs
+        }
+      }
+      if (cs.lengthCompare(1) == 0) cs.head else Or(cs.reverse)
+    }
+
+    private def andExpr(): Node = {
+      var cs = List(unary())
+      var more = true
+      while (more) {
+        ws()
+        if (!eof && keyword("AND")) { i += 3; cs = unary() :: cs }
+        else more = false
+      }
+      if (cs.lengthCompare(1) == 0) cs.head else And(cs.reverse)
+    }
+
+    private def unary(): Node = {
+      ws()
+      if (eof) fail("expected a clause")
+      if (keyword("NOT")) { i += 3; Not(unary()) }
+      else primary()
+    }
+
+    private def primary(): Node = {
+      ws()
+      if (eof) fail("expected a clause")
+      val node =
+        if (peek == '(') {
+          i += 1
+          val inner = expr()
+          ws()
+          if (eof || peek != ')') fail("unclosed group")
+          i += 1
+          inner
+        } else {
+          val field = fieldPrefix()
+          atom(field)
+        }
+      boostSuffix(node)
+    }
+
+    /** `name:` ahead of an atom — a bare word followed by ':' (quoted
+      * phrases keep their colons; a ':' inside a term is an analyzer
+      * split, so only the FIRST word-colon pair is a field). */
+    private def fieldPrefix(): Option[String] = {
+      val start = i
+      var j = i
+      while (j < q.length && (q(j).isLetterOrDigit || q(j) == '_')) j += 1
+      if (j > start && j < q.length && q(j) == ':') { i = j + 1; Some(q.substring(start, j).toLowerCase(java.util.Locale.ROOT)) }
+      else None
+    }
+
+    private def atom(field: Option[String]): Node = {
+      ws()
+      if (eof) fail("expected a term after field")
+      peek match {
+        case '"' =>
+          i += 1
+          val end = q.indexOf('"', i)
+          if (end < 0) fail("unclosed phrase")
+          val terms = analyze(q.substring(i, end))
+          i = end + 1
+          if (terms.isEmpty) fail("empty phrase")
+          PhraseQ(field, terms)
+        case '[' | '{' =>
+          val loInc = peek == '['
+          val close = q.indexWhere(c => c == ']' || c == '}', i)
+          if (close < 0) fail("unclosed range")
+          val hiInc = q(close) == ']'
+          val body = q.substring(i + 1, close).trim
+          i = close + 1
+          body.split("\\s+TO\\s+") match {
+            case Array(lo, hi) =>
+              def bound(s: String): Option[Double] =
+                if (s == "*") None
+                else Some(scala.util.Try(s.toDouble)
+                  .getOrElse(fail(s"non-numeric range bound '$s'")))
+              RangeQ(field, bound(lo), bound(hi), loInc, hiInc)
+            case _ => fail("range must be '<lo> TO <hi>'")
+          }
+        case _ =>
+          val start = i
+          while (!eof && !peek.isWhitespace && peek != '(' && peek != ')' && peek != '^')
+            i += 1
+          val raw = q.substring(start, i)
+          if (raw.isEmpty) fail("expected a term")
+          if (raw.endsWith("*")) {
+            analyze(raw.dropRight(1)) match {
+              case Seq() => fail("empty wildcard term")
+              case ts    => PrefixQ(field, ts.init, ts.last)
+            }
+          } else analyze(raw) match {
+            case Seq() => fail(s"term '$raw' analyzes to nothing")
+            case ts    => TermQ(field, ts)
+          }
+      }
+    }
+
+    private def boostSuffix(n: Node): Node =
+      if (!eof && peek == '^') {
+        i += 1
+        val start = i
+        while (!eof && (peek.isDigit || peek == '.')) i += 1
+        if (i == start) fail("expected a boost value after ^")
+        Boost(n, q.substring(start, i).toDouble)
+      } else n
+  }
+
+  def parse(q: String): Node = {
+    val p = new P(q)
+    p.ws()
+    if (p.eof) p.fail("empty query")
+    val n = p.expr()
+    p.ws()
+    if (!p.eof) p.fail(s"unexpected '${p.peek}'")
+    n
+  }
+
+  // ---- compiler -------------------------------------------------------
+
+  /** Compile to `(predicate, score)` Columns over `fields`. The predicate
+    * is the filter; the score is meaningful on matching rows (ES computes
+    * scores on hits — on non-matching rows it is whatever the partial
+    * sums yield and must not be read). */
+  def compile(n: Node, fields: Map[String, FieldRef], defaultField: String)
+      : (Column, Column) = {
+    def ref(f: Option[String]): FieldRef = {
+      val name = f.getOrElse(defaultField)
+      fields.getOrElse(name,
+        throw new IllegalArgumentException(s"query_string: unknown field '$name'"))
+    }
+    def tokensOf(f: Option[String], what: String): Column = ref(f) match {
+      case TokenField(ws) => ws
+      case NumField(_) => throw new IllegalArgumentException(
+        s"query_string: $what needs an analyzed field, '${f.getOrElse(defaultField)}' is numeric")
+    }
+    def run(ws: Column, terms: Seq[String]): Column =
+      if (terms.lengthCompare(1) == 0) array_contains(ws, terms.head)
+      else SimpleQueryString.positionalRun(ws, terms.map(t => (c: Column) => c === t))
+
+    def go(n: Node): (Column, Column) = n match {
+      case TermQ(f, ts) => ref(f) match {
+        case TokenField(ws) => leaf(run(ws, ts))
+        case NumField(c) =>
+          val v = scala.util.Try(ts.mkString.toDouble).getOrElse(
+            throw new IllegalArgumentException(
+              s"query_string: non-numeric term '${ts.mkString(" ")}' on numeric field"))
+          leaf(c === v)
+      }
+      case PhraseQ(f, ts) => leaf(run(tokensOf(f, "a phrase"), ts))
+      case PrefixQ(f, r, p) =>
+        val ws = tokensOf(f, "a wildcard")
+        leaf(if (r.isEmpty) exists(ws, _.startsWith(p))
+             else SimpleQueryString.positionalRun(ws,
+               r.map(t => (c: Column) => c === t) :+ ((c: Column) => c.startsWith(p))))
+      case RangeQ(f, lo, hi, loInc, hiInc) => ref(f) match {
+        case NumField(c) =>
+          val bounds =
+            lo.map(v => if (loInc) c >= v else c > v).toSeq ++
+            hi.map(v => if (hiInc) c <= v else c < v).toSeq
+          leaf(bounds.reduceOption(_ && _).getOrElse(lit(true)))
+        case TokenField(_) => throw new IllegalArgumentException(
+          "query_string: ranges are numeric-only (see scaladoc)")
+      }
+      case Not(c)      => val (p, _) = go(c); (!p, lit(0.0))
+      case Boost(c, b) => val (p, s) = go(c); (p, s * b)
+      case And(cs) =>
+        val gs = cs.map(go)
+        (gs.map(_._1).reduce(_ && _), gs.map(_._2).reduce(_ + _))
+      case Or(cs) =>
+        val gs = cs.map(go)
+        (gs.map(_._1).reduce(_ || _), gs.map(_._2).reduce(_ + _))
+    }
+    def leaf(p: Column): (Column, Column) = (p, when(p, 1.0).otherwise(0.0))
+    go(n)
+  }
+}

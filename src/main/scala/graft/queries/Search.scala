@@ -95,7 +95,7 @@ object SimpleQueryString {
     * all j — the positional-run core shared by phrase and phrase-prefix.
     * Guarded so sequence() never runs descending (size < n would flip
     * its direction). */
-  private def positionalRun(ws: Column, checks: Seq[Column => Column]): Column = {
+  private[queries] def positionalRun(ws: Column, checks: Seq[Column => Column]): Column = {
     val n = checks.length
     when(size(ws) >= n,
       exists(sequence(lit(1), size(ws) - (n - 1)),
@@ -205,6 +205,71 @@ object Search {
         .filter(SimpleQueryString.predicate(q, col("ws")))
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
+
+    // ES query_string (SURVEY Q280): the full Lucene search-box syntax —
+    // fielded terms, AND/OR/NOT + parens, ^boosts, a fielded phrase, a
+    // numeric [a TO b] range, a trailing wildcard — parsed by
+    // [[QueryString]] and compiled to ONE pushable predicate + one
+    // constant-score column over the part "document" (name/type/brand
+    // analyzed with the corpus analyzer, size/price numeric). The oracle
+    // replays every clause longhand over the padded normalized field
+    // strings (token-LIKE equivalence: the analyzer is exactly
+    // lower+strip-nonalnum+split, so `' ' || norm || ' ' LIKE '% t %'`
+    // IS array_contains, and '% brand 17 %' IS the positional phrase).
+    // QsParserSpec covers the grammar far beyond this pinned string.
+    Entry("q280_query_string",
+      """WITH f AS (SELECT p_partkey, p_size,
+        |  ' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) || ' ' AS name_s,
+        |  ' ' || trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ', 'g')) || ' ' AS type_s,
+        |  ' ' || trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g')) || ' ' AS brand_s
+        |FROM part)
+        |SELECT p_partkey, ROUND(CAST(
+        |    1.0
+        |  + CASE WHEN type_s LIKE '% economy %' THEN 2.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% promo %' THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% medium %' THEN 0.5 ELSE 0.0 END
+        |  + CASE WHEN p_size BETWEEN 10 AND 40 THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN name_s LIKE '% re%' THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS score
+        |FROM f
+        |WHERE name_s LIKE '% bolt %'
+        |  AND (type_s LIKE '% economy %' OR type_s LIKE '% promo %' OR type_s LIKE '% medium %')
+        |  AND NOT (brand_s LIKE '% brand 17 %')
+        |  AND (p_size BETWEEN 10 AND 40 OR name_s LIKE '% re%')
+        |ORDER BY score DESC, p_partkey""".stripMargin) { (s, d) =>
+      import QueryString._
+      val ast = parse(
+        """name:bolt AND (type:economy^2 OR type:promo OR type:medium^0.5)""" +
+        """ AND NOT brand:"brand 17" AND (size:[10 TO 40] OR re*)""")
+      val fields = Map[String, FieldRef](
+        "name"  -> TokenField(graft.text.Text.tokens(col("p_name"))),
+        "type"  -> TokenField(graft.text.Text.tokens(col("p_type"))),
+        "brand" -> TokenField(graft.text.Text.tokens(col("p_brand"))),
+        "size"  -> NumField(col("p_size")),
+        "price" -> NumField(col("p_retailprice")))
+      val (pred, score) = compile(ast, fields, defaultField = "name")
+      T(s, d, "part")
+        .filter(pred)
+        .select(col("p_partkey"), round(score, 4).as("score"))
+        .orderBy(col("score").desc, col("p_partkey"))
+    }.sqlTwin(
+      """WITH f AS (SELECT p_partkey, p_size,
+        |  ' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ')) || ' ' AS name_s,
+        |  ' ' || trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ')) || ' ' AS type_s,
+        |  ' ' || trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ')) || ' ' AS brand_s
+        |FROM part)
+        |SELECT p_partkey, ROUND(CAST(
+        |    1.0
+        |  + CASE WHEN type_s LIKE '% economy %' THEN 2.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% promo %' THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% medium %' THEN 0.5 ELSE 0.0 END
+        |  + CASE WHEN p_size BETWEEN 10 AND 40 THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN name_s LIKE '% re%' THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS score
+        |FROM f
+        |WHERE name_s LIKE '% bolt %'
+        |  AND (type_s LIKE '% economy %' OR type_s LIKE '% promo %' OR type_s LIKE '% medium %')
+        |  AND NOT (brand_s LIKE '% brand 17 %')
+        |  AND (p_size BETWEEN 10 AND 40 OR name_s LIKE '% re%')
+        |ORDER BY score DESC, p_partkey""".stripMargin),
 
     // ES function_score with a gauss decay on recency: score =
     // o_totalprice x exp(-age² / 2σ²), σ chosen so a 365-day distance

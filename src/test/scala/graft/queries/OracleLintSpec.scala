@@ -35,6 +35,14 @@ class OracleLintSpec extends AnyFunSuite {
     "q46_math_funcs" -> Set("0.05"),
     "q48_array_funcs" -> Set("0.0"),
     "q87_geo_distance" -> Set("10.0", "100.0", "180.0", "20.0", "6371.0088", "90.0"),
+    // q281 splices q87's grandfathered lat/lon/dist fragments verbatim;
+    // its own bucket bounds (0.0/2000.0/...) sit inside CAST(... AS
+    // DOUBLE) CASE arms and the double `dist` comparisons — double-safe
+    "q281_geo_distance_agg" -> Set("0.0", "10.0", "100.0", "10000.0", "180.0",
+      "20.0", "2000.0", "5000.0", "6371.0088", "90.0"),
+    // q280's boosts (0.5/1.0/2.0) sum inside CAST(... AS DOUBLE) — the
+    // whole score expression is pinned to double before ROUND
+    "q280_query_string" -> Set("0.0", "0.5", "1.0", "2.0"),
     "q88_geo_bbox" -> Set("100.0", "180.0", "90.0"),
     "q103_geo_centroid" -> Set("100.0", "180.0", "90.0"),
     "q116_geo_bounds" -> Set("100.0", "180.0", "90.0"),

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.GraftSuite
+import graft.queries.QueryString._
+import org.apache.spark.sql.functions._
+
+/** The query_string parser and compiler beyond q280's pinned string
+  * (the SqsParserSpec posture): grammar across every supported form —
+  * precedence, grouping, juxtaposition-as-default-OR, fielded atoms,
+  * ranges, boosts, wildcards — plus predicate/score evaluation over
+  * hand-built rows where the expected sets are enumerable by eye, and
+  * the error surface (bad syntax must throw, never silently match). */
+class QsParserSpec extends GraftSuite {
+
+  // ---- grammar ---------------------------------------------------------
+
+  test("parse: precedence NOT > AND > OR, parens regroup") {
+    assert(parse("a OR b AND c") ===
+      Or(Seq(TermQ(None, Seq("a")), And(Seq(TermQ(None, Seq("b")), TermQ(None, Seq("c")))))))
+    assert(parse("(a OR b) AND c") ===
+      And(Seq(Or(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")))), TermQ(None, Seq("c")))))
+    assert(parse("NOT a AND b") ===
+      And(Seq(Not(TermQ(None, Seq("a"))), TermQ(None, Seq("b")))))
+    assert(parse("NOT (a AND b)") ===
+      Not(And(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b"))))))
+  }
+
+  test("parse: juxtaposition is the default operator (OR)") {
+    assert(parse("a b") === Or(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")))))
+    // the explicit chain binds first, then the bare clause ORs in
+    assert(parse("a AND b c") ===
+      Or(Seq(And(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")))), TermQ(None, Seq("c")))))
+  }
+
+  test("parse: operators are uppercase-only — lowercase words are terms") {
+    assert(parse("a and b") === Or(Seq(
+      TermQ(None, Seq("a")), TermQ(None, Seq("and")), TermQ(None, Seq("b")))))
+    // ANDx is a term, not the operator dangling into a word
+    assert(parse("ANDx") === TermQ(None, Seq("andx")))
+  }
+
+  test("parse: fielded atoms, analysis, phrases, wildcards") {
+    assert(parse("type:economy") === TermQ(Some("type"), Seq("economy")))
+    // analyzer parity: a multi-token source term becomes a positional run
+    assert(parse("name:DATA-Stream") === TermQ(Some("name"), Seq("data", "stream")))
+    assert(parse("brand:\"brand 17\"") === PhraseQ(Some("brand"), Seq("brand", "17")))
+    assert(parse("re*") === PrefixQ(None, Seq(), "re"))
+    assert(parse("name:data-vec*") === PrefixQ(Some("name"), Seq("data"), "vec"))
+  }
+
+  test("parse: ranges — inclusive, exclusive, mixed, open-ended") {
+    assert(parse("size:[10 TO 40]") === RangeQ(Some("size"), Some(10), Some(40), true, true))
+    assert(parse("size:{10 TO 40}") === RangeQ(Some("size"), Some(10), Some(40), false, false))
+    assert(parse("size:[10 TO 40}") === RangeQ(Some("size"), Some(10), Some(40), true, false))
+    assert(parse("size:[10 TO *]") === RangeQ(Some("size"), Some(10), None, true, true))
+    assert(parse("size:[* TO 40]") === RangeQ(Some("size"), None, Some(40), true, true))
+  }
+
+  test("parse: boosts attach to terms, phrases, ranges, and groups") {
+    assert(parse("a^2") === Boost(TermQ(None, Seq("a")), 2.0))
+    assert(parse("\"a b\"^1.5") === Boost(PhraseQ(None, Seq("a", "b")), 1.5))
+    assert(parse("size:[1 TO 2]^0.5") ===
+      Boost(RangeQ(Some("size"), Some(1), Some(2), true, true), 0.5))
+    assert(parse("(a OR b)^3") ===
+      Boost(Or(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")))), 3.0))
+  }
+
+  test("parse: malformed queries throw, never silently match") {
+    for (bad <- Seq("", "   ", "(a OR b", "\"unclosed", "size:[1 TO 2",
+                    "size:[x TO 2]", "size:[1 2]", "a^", "NOT", "a AND", ")a"))
+      intercept[IllegalArgumentException] { parse(bad) }
+  }
+
+  // ---- compile + evaluate ----------------------------------------------
+
+  private def fields = Map[String, FieldRef](
+    "name" -> TokenField(col("ws")),
+    "size" -> NumField(col("size")))
+
+  private def rows = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq("red", "bolt"), 15),
+      (2L, Seq("red", "widget"), 15),
+      (3L, Seq("blue", "bolt"), 45),
+      (4L, Seq("bolt", "red"), 5),
+      (5L, Seq("redder", "gear"), 20)
+    ).toDF("doc_id", "ws", "size")
+  }
+
+  private def matchIds(q: String): Seq[Long] = {
+    import spark.implicits._
+    val (p, _) = compile(parse(q), fields, "name")
+    rows.filter(p).select("doc_id").as[Long].collect().sorted.toSeq
+  }
+
+  test("compile: booleans, ranges, wildcards, phrases over rows") {
+    assert(matchIds("bolt") === Seq(1L, 3L, 4L))
+    assert(matchIds("bolt AND red") === Seq(1L, 4L))
+    assert(matchIds("bolt AND NOT red") === Seq(3L))
+    assert(matchIds("\"red bolt\"") === Seq(1L))           // positional, not bag
+    assert(matchIds("red*") === Seq(1L, 2L, 4L, 5L))       // prefix: red, redder
+    assert(matchIds("size:[15 TO 45]") === Seq(1L, 2L, 3L, 5L))
+    assert(matchIds("size:{15 TO 45}") === Seq(5L))        // exclusive both ends
+    assert(matchIds("size:[* TO 15]") === Seq(1L, 2L, 4L))
+    assert(matchIds("size:15") === Seq(1L, 2L))            // numeric equality term
+    assert(matchIds("widget gear") === Seq(2L, 5L))        // juxtaposition = OR
+    assert(matchIds("bolt AND (widget OR size:[40 TO *])") === Seq(3L))
+  }
+
+  test("compile: constant-score model — matched leaves sum, boosts multiply, NOT scores 0") {
+    import spark.implicits._
+    val (p, s) = compile(
+      parse("bolt^2 (red^3 OR widget) AND NOT gear"), fields, "name")
+    val got = rows.filter(p)
+      .select(col("doc_id"), round(s, 4).as("score"))
+      .as[(Long, Double)].collect().toMap
+    // doc 1: bolt(2) + red(3) = 5; doc 2: widget(1) + red(3) = 4;
+    // doc 3: bolt(2) = 2; doc 4: bolt(2) + red(3) = 5
+    assert(got === Map(1L -> 5.0, 2L -> 4.0, 3L -> 2.0, 4L -> 5.0))
+  }
+
+  test("compile: field misuse is an error, not an empty result") {
+    intercept[IllegalArgumentException] {
+      compile(parse("nosuch:bolt"), fields, "name")
+    }
+    intercept[IllegalArgumentException] {
+      compile(parse("name:[1 TO 2]"), fields, "name")  // range on a token field
+    }
+    intercept[IllegalArgumentException] {
+      compile(parse("size:bo*"), fields, "name")       // wildcard on a numeric field
+    }
+    intercept[IllegalArgumentException] {
+      compile(parse("name:\"x y\""), Map("name" -> NumField(col("size"))), "name")
+    }
+  }
+}
