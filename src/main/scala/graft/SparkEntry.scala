@@ -55,6 +55,7 @@ object SparkEntry {
       multimodal.Video.entries ++
       multimodal.Spectral.entries ++
       multimodal.Ulaw.entries ++
+      multimodal.Flac.entries ++
       multimodal.PerceptualHash.entries ++
       multimodal.AspectBuckets.entries ++
       multimodal.Vad.entries ++

@@ -19,9 +19,11 @@ import graft.queries.Entry
   * as encoder⁻¹); [[Wav]] (q197), [[Png]] (q198) and [[Jpeg]] (q199 —
   * JDK `javax.imageio`) are real too, so [[FakeCodec]] remains, clearly
   * marked, only for formats whose bindings this container genuinely lacks
-  * (video, compressed audio — SURVEY.md north-star note), deriving
-  * "features" from byte lengths only. The Spark-side plumbing (schema,
-  * encoders, partition batching) is shared and real in both paths.
+  * — with G.711 (q208/q213) and FLAC (q282) real, that is video codecs
+  * and MP3/AAC-class transform audio (MDCT + Huffman + psychoacoustics;
+  * final disposition, SURVEY Q282) — deriving "features" from byte
+  * lengths only. The Spark-side plumbing (schema, encoders, partition
+  * batching) is shared and real in both paths.
   */
 object Multimodal {
 
