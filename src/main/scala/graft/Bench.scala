@@ -37,13 +37,20 @@ object Bench {
     // to per-entry failures for the queries that needed that artifact, never
     // abort the whole run (one prestage crash discarded ~190 healthy query
     // timings in two prior rounds).
+    // Per-artifact attribution (VERDICT r17 #8): each staging step's cost
+    // is recorded by label and published in the bench line, so an ingest
+    // drift is attributable to the artifact that grew in ONE read instead
+    // of a bisection across rounds.
     val ingest0 = System.nanoTime()
-    def staged(label: String)(body: => Unit): Unit =
+    val ingestParts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def staged(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
       try body catch { case scala.util.control.NonFatal(t) =>
         // NonFatal only: a dying JVM (OOM, LinkageError) must abort the
         // run, not degrade into ~190 misleading per-entry failures
         System.err.println(s"[bench] staging '$label' failed (queries needing it will fail individually): $t")
-      }
+      } finally ingestParts(label) = (System.nanoTime() - t0) / 1e9
+    }
     staged("token-index")(graft.text.TokenIndex.ensure(spark, sfDir))
     staged("vector-index")(graft.vector.VectorIndex.ensure(spark, sfDir))
     staged("mm-index")(graft.multimodal.MmEmbed.ensure(spark, sfDir))
@@ -223,8 +230,10 @@ object Bench {
     // final line of output.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ingestPartsJson = ingestParts
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"probe_ms":${f3(probe0 * 1000)},"retried":${jarr(retried)},"refailed":${jarr(refailed)},"slow":${jarr(slowRetried)},"retry_contended":${jarr(retryStillContended)},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"ingest_parts":$ingestPartsJson,"probe_ms":${f3(probe0 * 1000)},"retried":${jarr(retried)},"refailed":${jarr(refailed)},"slow":${jarr(slowRetried)},"retry_contended":${jarr(retryStillContended)},"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -233,7 +242,11 @@ object Bench {
     val compactQs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"retries":${retried.size},"slow":${slowRetried.size},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
+    // top-3 staging costs in the compact line (the tail-window budget
+    // affords ~3 short labels; the full map is in bench_full.json)
+    val ingestTop = ingestParts.toSeq.sortBy(-_._2).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"ingest_top":$ingestTop,"retries":${retried.size},"slow":${slowRetried.size},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
     spark.stop()
   }
 }

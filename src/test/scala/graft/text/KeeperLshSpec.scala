@@ -13,15 +13,20 @@ import graft.GraftSuite
   *    exact cluster — so the doc loses there too. Any LSH drop outside
   *    the exact drop set is a bug, not recall noise.
   *  - RECALL on the DROP set (the dedup-relevant decision — "this copy
-  *    is removed"): >= the pinned bound, headroom below observed
-  *    (q90_lsh recovers >= 0.8 of co-cluster pairs; a split cluster
-  *    keeps one extra argmax per lost merge).
+  *    is removed"): >= the pinned bound. Measured r18: 1.0 at BOTH
+  *    sf0.01 (24/24 drops) and sf0.1 (244/244, zero leaked) — on these
+  *    fixtures the 8-band/8-row signature recovers every exact-tier
+  *    near-dup pair, so no cluster splits where the argmax decision
+  *    differs. Pinned at 0.85 — half the margin between the old 0.7
+  *    floor and observed (the RollupPctlSpec discipline), so a banding
+  *    regression can't hide under the floor while fixture-regeneration
+  *    noise still has room.
   *  - Internal consistency: exactly one keeper per LSH cluster, scores
   *    identical to the exact tier's (same q234 fold).
   */
 class KeeperLshSpec extends GraftSuite {
 
-  test("q272: LSH-tier drops ⊆ exact-tier drops; recall >= 0.7; one keeper per cluster") {
+  test("q272: LSH-tier drops ⊆ exact-tier drops; recall >= 0.85; one keeper per cluster") {
     def rowsOf(name: String): Array[(Long, Long, Long, Long)] =
       graft.SparkEntry.queries(name)(spark, sf01).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -51,7 +56,8 @@ class KeeperLshSpec extends GraftSuite {
       s"${leaked.size} LSH-tier drops absent from the exact tier: " +
         leaked.take(5).mkString(", "))
     val recall = (exDrops & lshDrops).size.toDouble / exDrops.size
-    assert(recall >= 0.7, s"drop recall $recall < 0.7 over ${exDrops.size} drops")
+    assert(recall >= 0.85, s"drop recall $recall < 0.85 over ${exDrops.size} drops " +
+      "(measured 1.0 at sf0.01 and sf0.1 when pinned — see scaladoc)")
     spark.catalog.clearCache()
   }
 
