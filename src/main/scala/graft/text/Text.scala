@@ -565,20 +565,32 @@ object Text {
         |FROM sh s LEFT JOIN near n ON n.da = s.doc_id
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, d) =>
       val sh = simhashOf(s, d)
-      val bands = sh.select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bv", expr("(simhash div cast(pow(2, 4*b) as bigint)) % 16"))
-      // band-duplicate pairs (same pair colliding in 2+ bands) flow through
-      // UN-deduplicated: the final agg's COUNT(DISTINCT db)/MIN(db) absorb
-      // them, saving the corpus-pair-volume DISTINCT exchange the round-13
-      // plan paid before the Hamming filter (the bit_count filter itself is
-      // per-row arithmetic — re-running it on a duplicate is free; a
-      // pair-level shuffle is not)
-      val near = bands.select(col("doc_id").as("da"), col("simhash").as("ha"),
-          col("b"), col("bv"))
-        .join(bands.select(col("doc_id").as("db"), col("simhash").as("hb"),
-          col("b"), col("bv")), Seq("b", "bv"))
-        .filter(col("da") =!= col("db") && expr("bit_count(ha ^ hb) <= 1"))
+      // Hamming-ball PROBE EXPANSION (r18 — replaces the 4-bit band join,
+      // which at 10x data went quadratic: 4 bands x 16 values = 64 buckets
+      // total, candidates ~ n²/16; measured 22x growth for 10x docs at the
+      // sf1 scale point, SCALE.md). The law is hamming(a, b) <= 1 on a
+      // 16-bit fingerprint, so each a-side doc expands into its 17 probe
+      // keys (identity + every single-bit flip — the Manku/Jain/Sarma
+      // table-probing construction) and joins the b-side's EXACT
+      // fingerprint: hamming 0 hits the identity probe, hamming 1 hits
+      // exactly the flip of the differing bit — the candidate set IS the
+      // true pair set, no post-filter, no false positives. Shuffle volume
+      // is 17n probe rows keyed by the full 16-bit value (65536 buckets vs
+      // the bands' 64); within-bucket products are output-bounded (every
+      // joined pair is a result). The oracle keeps the band-join TEXT (the
+      // two are provably equal: hamming <= 1 forces >= 3 of 4 bands to
+      // agree, so the band predicate is implied) — the hash compare pins
+      // the equivalence. Duplicate probe hits (hamming-0 pairs match on
+      // all 17 keys) flow through UN-deduplicated into the final agg's
+      // COUNT(DISTINCT db)/MIN(db), the same absorption argument as the
+      // round-13 band plan.
+      val probeKeys = array(
+        col("simhash") +: (0 until 16).map(j =>
+          col("simhash").bitwiseXOR(lit(1L << j))): _*)
+      val near = sh.select(col("doc_id").as("da"),
+          explode(probeKeys).as("key"))
+        .join(sh.select(col("doc_id").as("db"), col("simhash").as("key")), Seq("key"))
+        .filter(col("da") =!= col("db"))
         .select(col("da"), col("db"))
       sh.select(col("doc_id"))
         .join(near, col("doc_id") === col("da"), "left")
