@@ -8,6 +8,8 @@ object PlanCheck {
     val plan = df.queryExecution.executedPlan.toString
     plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
       .foreach(l => println("EXCH: " + l.trim.take(200)))
+    plan.linesIterator.filter(l => l.contains("Join") || l.contains("BroadcastExchange"))
+      .foreach(l => println("JOIN: " + l.trim.take(160)))
     val reps = args.lift(2).map(_.toInt).getOrElse(1)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
