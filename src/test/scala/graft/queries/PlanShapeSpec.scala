@@ -433,23 +433,29 @@ class PlanShapeSpec extends GraftSuite {
       s"audit must not plan a product join:\n$p")
   }
 
-  test("q231_simhash_neardup: banded blocking joins on the bucket key, never all-pairs") {
-    // the whole point of banding is that candidate generation is a keyed
-    // join on (band, value) — a product join would be the quadratic plan
-    // the operator exists to avoid; the Hamming check must stay a filter
-    // on candidates (bit_count in the plan), not a join condition that
-    // degrades to a nested loop.
+  test("q231_simhash_neardup: probe expansion joins on the exact fingerprint, never all-pairs") {
+    // r18 plan (SCALE.md sf1 adjudication #1): candidate generation is
+    // Hamming-ball probe expansion — a keyed equi-join of 17 probe keys
+    // per a-side doc against the b-side's EXACT fingerprint, whose
+    // candidate set IS the true pair set. A product join would be the
+    // quadratic plan the operator exists to avoid, and a bit_count
+    // verify FILTER reappearing means the join key degraded back to a
+    // partial (band) key that needs post-verification.
     val p = planOf("q231_simhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"banded candidate join degraded to a product:\n$p")
-    assert(p.contains("bit_count"), s"expected bit_count verify filter:\n$p")
-    // the round-14 fold: no pair-level DISTINCT exchange before the Hamming
-    // filter — band-duplicate pairs are absorbed by the final agg's
+      s"probe-expansion join degraded to a product:\n$p")
+    assert("hashpartitioning\\(key#".r.findFirstIn(p).isDefined ||
+           p.contains("BroadcastHashJoin"),
+      s"expected the probe join keyed on the full fingerprint:\n$p")
+    assert(!p.contains("bit_count"),
+      s"bit_count post-filter reappeared — the probe join stopped being exact:\n$p")
+    // no pair-level DISTINCT exchange: duplicate probe hits (hamming-0
+    // pairs match all 17 keys) are absorbed by the final agg's
     // COUNT(DISTINCT)/MIN instead of a corpus-pair shuffle keyed on
     // (da, db). (A single-key hashpartitioning(da) is fine: that is the
     // left-outer join's own requirement, not a pair dedup.)
     assert(!"hashpartitioning\\(da[^)]*\\bdb".r.findFirstIn(p).isDefined,
-      s"pair-keyed exchange reappeared before the verify filter:\n$p")
+      s"pair-keyed exchange reappeared:\n$p")
     // the fingerprint derivation is map-only since round 14 (SimHash16
     // kernel in the scan) — the only exchanges left are the join and agg
     assert(!p.contains("Window"), s"fingerprint window reappeared:\n$p")
