@@ -583,7 +583,12 @@ object Text {
       // the equivalence. Duplicate probe hits (hamming-0 pairs match on
       // all 17 keys) flow through UN-deduplicated into the final agg's
       // COUNT(DISTINCT db)/MIN(db), the same absorption argument as the
-      // round-13 band plan.
+      // round-13 band plan. 100 TB posture: a corpus past ~2^16 docs
+      // widens the fingerprint to 64 bits (hamming <= 3), where
+      // ball-probing stays exact-key via the Manku block split — 4
+      // blocks of 16 bits, hamming <= 3 forces at least one block to
+      // match exactly, so candidates come from per-block exact-key joins
+      // + a bit_count verify on that (now tiny) candidate set.
       val probeKeys = array(
         col("simhash") +: (0 until 16).map(j =>
           col("simhash").bitwiseXOR(lit(1L << j))): _*)
