@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+/** Differential fuzz for the query_string parser + compiler: a seeded
+  * generator emits random query STRINGS together with an INDEPENDENT
+  * evaluation (predicate + score per row, computed directly over Scala
+  * token sequences while generating — no parser, no AST, no Catalyst),
+  * and every query must agree with the compiled Columns row-for-row.
+  * A divergence means the parser, the compiler, or the generator's
+  * reading of the grammar drifted — any of which is a real bug, since
+  * the two sides implement the documented semantics independently. */
+class QsFuzzSpec extends GraftSuite {
+
+  private val vocab = Vector("data", "stream", "fast", "bolt", "red", "gear",
+    "widget", "blue", "spark", "row")
+
+  private case class Doc(id: Long, ws: Vector[String], size: Int)
+
+  private val docs: Vector[Doc] = {
+    val rnd = new scala.util.Random(1234)
+    Vector.tabulate(24) { i =>
+      Doc(i.toLong, Vector.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))),
+        rnd.nextInt(60))
+    }
+  }
+
+  /** A generated node: its rendered query text plus its own evaluation. */
+  private case class G(text: String, pred: Doc => Boolean, score: Doc => Double)
+
+  private def leaf(rnd: scala.util.Random): G = rnd.nextInt(6) match {
+    case 0 => // bare term (default field = ws)
+      val t = vocab(rnd.nextInt(vocab.size))
+      G(t, d => d.ws.contains(t), d => if (d.ws.contains(t)) 1.0 else 0.0)
+    case 1 => // fielded term
+      val t = vocab(rnd.nextInt(vocab.size))
+      G(s"name:$t", d => d.ws.contains(t), d => if (d.ws.contains(t)) 1.0 else 0.0)
+    case 2 => // phrase of 2 (positional)
+      val a = vocab(rnd.nextInt(vocab.size)); val b = vocab(rnd.nextInt(vocab.size))
+      def hit(d: Doc) = d.ws.indices.dropRight(1).exists(i => d.ws(i) == a && d.ws(i + 1) == b)
+      G(s""""$a $b"""", hit, d => if (hit(d)) 1.0 else 0.0)
+    case 3 => // prefix wildcard
+      val p = vocab(rnd.nextInt(vocab.size)).take(1 + rnd.nextInt(3))
+      def hit(d: Doc) = d.ws.exists(_.startsWith(p))
+      G(s"$p*", hit, d => if (hit(d)) 1.0 else 0.0)
+    case 4 => // numeric range, any bracket mix, maybe open
+      val lo = rnd.nextInt(50); val hi = lo + rnd.nextInt(20)
+      val loInc = rnd.nextBoolean(); val hiInc = rnd.nextBoolean()
+      val loS = if (rnd.nextInt(5) == 0) "*" else lo.toString
+      val hiS = if (rnd.nextInt(5) == 0) "*" else hi.toString
+      def hit(d: Doc) = {
+        val okLo = loS == "*" || (if (loInc) d.size >= lo else d.size > lo)
+        val okHi = hiS == "*" || (if (hiInc) d.size <= hi else d.size < hi)
+        okLo && okHi
+      }
+      G(s"size:${if (loInc) "[" else "{"}$loS TO $hiS${if (hiInc) "]" else "}"}",
+        hit, d => if (hit(d)) 1.0 else 0.0)
+    case _ => // numeric equality
+      val v = rnd.nextInt(60)
+      G(s"size:$v", d => d.size == v, d => if (d.size == v) 1.0 else 0.0)
+  }
+
+  /** Random expression of bounded depth; renders with explicit parens
+    * around every composite EXCEPT the top-level chain forms below, so
+    * the precedence test cases stay in [[precedenceChains]]. */
+  private def gen(rnd: scala.util.Random, depth: Int): G = {
+    if (depth == 0 || rnd.nextInt(3) == 0) {
+      val g = leaf(rnd)
+      if (rnd.nextInt(4) == 0) {
+        val b = (1 + rnd.nextInt(8)) / 2.0 // .5 steps — exact doubles
+        G(s"${g.text}^$b", g.pred, d => g.score(d) * b)
+      } else g
+    } else rnd.nextInt(4) match {
+      case 0 =>
+        val a = gen(rnd, depth - 1); val b = gen(rnd, depth - 1)
+        G(s"(${a.text} AND ${b.text})",
+          d => a.pred(d) && b.pred(d), d => a.score(d) + b.score(d))
+      case 1 =>
+        val a = gen(rnd, depth - 1); val b = gen(rnd, depth - 1)
+        G(s"(${a.text} OR ${b.text})",
+          d => a.pred(d) || b.pred(d), d => a.score(d) + b.score(d))
+      case 2 =>
+        val a = gen(rnd, depth - 1); val b = gen(rnd, depth - 1)
+        // juxtaposition = default OR
+        G(s"(${a.text} ${b.text})",
+          d => a.pred(d) || b.pred(d), d => a.score(d) + b.score(d))
+      case _ =>
+        val a = gen(rnd, depth - 1)
+        G(s"(NOT ${a.text})", d => !a.pred(d), _ => 0.0)
+    }
+  }
+
+  /** Unparenthesized operator chains — the precedence surface the
+    * parenthesizing generator above deliberately avoids. */
+  private def precedenceChains(rnd: scala.util.Random): G = {
+    val a = leaf(rnd); val b = leaf(rnd); val c = leaf(rnd)
+    rnd.nextInt(4) match {
+      case 0 => // a OR b AND c = a OR (b AND c)
+        G(s"${a.text} OR ${b.text} AND ${c.text}",
+          d => a.pred(d) || (b.pred(d) && c.pred(d)),
+          d => a.score(d) + b.score(d) + c.score(d))
+      case 1 => // NOT binds tighter than AND
+        G(s"NOT ${a.text} AND ${b.text}",
+          d => !a.pred(d) && b.pred(d), d => b.score(d))
+      case 2 => // juxtaposition = OR at the outer level
+        G(s"${a.text} ${b.text} AND ${c.text}",
+          d => a.pred(d) || (b.pred(d) && c.pred(d)),
+          d => a.score(d) + b.score(d) + c.score(d))
+      case _ => // chain of three ANDs
+        G(s"${a.text} AND ${b.text} AND ${c.text}",
+          d => a.pred(d) && b.pred(d) && c.pred(d),
+          d => a.score(d) + b.score(d) + c.score(d))
+    }
+  }
+
+  test("200 random queries: compiled predicate + score == independent evaluator") {
+    import spark.implicits._
+    val df = docs.map(d => (d.id, d.ws, d.size)).toDF("doc_id", "ws", "size").cache()
+    val fields = Map[String, QueryString.FieldRef](
+      "name" -> QueryString.TokenField(col("ws")),
+      "size" -> QueryString.NumField(col("size")))
+    val rnd = new scala.util.Random(99)
+    (1 to 200).foreach { i =>
+      val g = if (i % 4 == 0) precedenceChains(rnd) else gen(rnd, 3)
+      val (p, s) = QueryString.compile(QueryString.parse(g.text), fields, "name")
+      val got = df.select(col("doc_id"), p.as("p"), round(s, 6).as("s"))
+        .as[(Long, Boolean, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      docs.foreach { d =>
+        val (gp, gs) = got(d.id)
+        assert(gp === g.pred(d), s"query <${g.text}> doc ${d.id} (${d.ws}, ${d.size}): predicate")
+        if (gp) // scores are defined on matching rows (ES computes scores on hits)
+          assert(gs === g.score(d), s"query <${g.text}> doc ${d.id}: score $gs != ${g.score(d)}")
+      }
+    }
+    df.unpersist()
+    ()
+  }
+}
