@@ -88,7 +88,7 @@ object QueryString {
   final class ParseError(msg: String, pos: Int)
       extends IllegalArgumentException(s"query_string parse error at $pos: $msg")
 
-  private final class P(val q: String) {
+  private final class P(val q: String, defaultAnd: Boolean) {
     var i = 0
     def eof: Boolean = i >= q.length
     def peek: Char = q(i)
@@ -110,11 +110,12 @@ object QueryString {
       while (more) {
         ws()
         if (eof || peek == ')') more = false
-        else {
-          if (keyword("OR")) { i += 2; ws() }
-          // no operator: juxtaposition = the default operator (OR)
-          cs = andExpr() :: cs
-        }
+        else if (keyword("OR")) { i += 2; ws(); cs = andExpr() :: cs }
+        // no operator: juxtaposition = the default operator; under
+        // default AND the andExpr loop below already consumed it, so
+        // reaching here with a clause ahead means default OR
+        else if (!defaultAnd) cs = andExpr() :: cs
+        else more = false
       }
       if (cs.lengthCompare(1) == 0) cs.head else Or(cs.reverse)
     }
@@ -125,6 +126,11 @@ object QueryString {
       while (more) {
         ws()
         if (!eof && keyword("AND")) { i += 3; cs = unary() :: cs }
+        // default_operator=AND: juxtaposition binds at THIS level (the
+        // precedence reading: `a b OR c` = (a AND b) OR c), so consume
+        // any clause start that is not an explicit operator or a close
+        else if (defaultAnd && !eof && peek != ')' && !keyword("OR"))
+          cs = unary() :: cs
         else more = false
       }
       if (cs.lengthCompare(1) == 0) cs.head else And(cs.reverse)
@@ -222,8 +228,12 @@ object QueryString {
       } else n
   }
 
-  def parse(q: String): Node = {
-    val p = new P(q)
+  /** Parse under ES `default_operator` semantics: OR (the ES default —
+    * adjacent clauses without an operator combine as SHOULD) or AND
+    * (`defaultAnd = true` — juxtaposition binds at the AND level, the
+    * precedence reading of `default_operator: AND`). */
+  def parse(q: String, defaultAnd: Boolean = false): Node = {
+    val p = new P(q, defaultAnd)
     p.ws()
     if (p.eof) p.fail("empty query")
     val n = p.expr()
@@ -231,6 +241,40 @@ object QueryString {
     if (!p.eof) p.fail(s"unexpected '${p.peek}'")
     n
   }
+
+  /** Rewrite field-less leaves to the ES multi-field expansion: each
+    * bare atom becomes an OR over `defaults`, each arm boosted by its
+    * field weight (the `fields: ["name^2", "type"]` request surface).
+    * Under the constant-score model a bare term's contribution is the
+    * SUM of its matched fields' weights — documented deviation from
+    * ES's dis_max-with-tie-breaker combination, consistent with how
+    * this compiler scores every other OR. Single unweighted default ==
+    * identity (q280's plan is unchanged). */
+  private[queries] def expandDefaults(n: Node, defaults: Seq[(String, Double)]): Node = {
+    def orOf(mk: String => Node): Node = {
+      val arms = defaults.map { case (f, w) =>
+        if (w == 1.0) mk(f) else Boost(mk(f), w) }
+      if (arms.lengthCompare(1) == 0) arms.head else Or(arms)
+    }
+    n match {
+      case Or(cs)        => Or(cs.map(expandDefaults(_, defaults)))
+      case And(cs)       => And(cs.map(expandDefaults(_, defaults)))
+      case Not(c)        => Not(expandDefaults(c, defaults))
+      case Boost(c, b)   => Boost(expandDefaults(c, defaults), b)
+      case l @ TermQ(None, _)      => orOf(f => l.copy(field = Some(f)))
+      case l @ PhraseQ(None, _)    => orOf(f => l.copy(field = Some(f)))
+      case l @ PrefixQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
+      case l @ RangeQ(None, _, _, _, _) => orOf(f => l.copy(field = Some(f)))
+      case leaf => leaf
+    }
+  }
+
+  /** Multi-field compile: bare atoms search every listed default field
+    * with its weight (see [[expandDefaults]]). */
+  def compileFields(n: Node, fields: Map[String, FieldRef],
+                    defaults: Seq[(String, Double)]): (Column, Column) =
+    compile(expandDefaults(n, defaults), fields,
+      defaultField = defaults.head._1)
 
   // ---- compiler -------------------------------------------------------
 

@@ -271,6 +271,67 @@ object Search {
         |  AND (p_size BETWEEN 10 AND 40 OR name_s LIKE '% re%')
         |ORDER BY score DESC, p_partkey""".stripMargin),
 
+    // ES query_string request OPTIONS (SURVEY Q283): the two parameters a
+    // 6.3 user sets alongside the query text — `default_operator: AND`
+    // (juxtaposed clauses become conjunctive: the "every word must
+    // match" search-box mode) and `fields: ["name^2", "type"]`
+    // (field-less atoms expand to an OR over the listed fields, each arm
+    // carrying its field weight; sum-combination documented at
+    // QueryString.expandDefaults). Same parser/compiler as q280 — one
+    // grammar, two request knobs; the oracle replays the expansion
+    // longhand (per-field LIKE arms, weights in the score CASEs). The
+    // mixed-bracket range {5 TO 45] exercises the per-end inclusivity.
+    Entry("q283_query_string_fields",
+      """WITH f AS (SELECT p_partkey, p_size,
+        |  ' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) || ' ' AS name_s,
+        |  ' ' || trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ', 'g')) || ' ' AS type_s,
+        |  ' ' || trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g')) || ' ' AS brand_s
+        |FROM part)
+        |SELECT p_partkey, ROUND(CAST(
+        |    CASE WHEN name_s LIKE '% small %' THEN 2.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% small %' THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN name_s LIKE '% economy %' THEN 2.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% economy %' THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN p_size > 5 AND p_size <= 45 THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS score
+        |FROM f
+        |WHERE (name_s LIKE '% small %' OR type_s LIKE '% small %')
+        |  AND (name_s LIKE '% economy %' OR type_s LIKE '% economy %')
+        |  AND NOT (brand_s LIKE '% brand 3 %')
+        |  AND (p_size > 5 AND p_size <= 45)
+        |ORDER BY score DESC, p_partkey""".stripMargin) { (s, d) =>
+      import QueryString._
+      val ast = parse("""small economy NOT brand:"brand 3" size:{5 TO 45]""",
+        defaultAnd = true)
+      val fields = Map[String, FieldRef](
+        "name"  -> TokenField(graft.text.Text.tokens(col("p_name"))),
+        "type"  -> TokenField(graft.text.Text.tokens(col("p_type"))),
+        "brand" -> TokenField(graft.text.Text.tokens(col("p_brand"))),
+        "size"  -> NumField(col("p_size")))
+      val (pred, score) = compileFields(ast, fields,
+        defaults = Seq("name" -> 2.0, "type" -> 1.0))
+      T(s, d, "part")
+        .filter(pred)
+        .select(col("p_partkey"), round(score, 4).as("score"))
+        .orderBy(col("score").desc, col("p_partkey"))
+    }.sqlTwin(
+      """WITH f AS (SELECT p_partkey, p_size,
+        |  ' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ')) || ' ' AS name_s,
+        |  ' ' || trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ')) || ' ' AS type_s,
+        |  ' ' || trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ')) || ' ' AS brand_s
+        |FROM part)
+        |SELECT p_partkey, ROUND(CAST(
+        |    CASE WHEN name_s LIKE '% small %' THEN 2.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% small %' THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN name_s LIKE '% economy %' THEN 2.0 ELSE 0.0 END
+        |  + CASE WHEN type_s LIKE '% economy %' THEN 1.0 ELSE 0.0 END
+        |  + CASE WHEN p_size > 5 AND p_size <= 45 THEN 1.0 ELSE 0.0 END AS DOUBLE), 4) AS score
+        |FROM f
+        |WHERE (name_s LIKE '% small %' OR type_s LIKE '% small %')
+        |  AND (name_s LIKE '% economy %' OR type_s LIKE '% economy %')
+        |  AND NOT (brand_s LIKE '% brand 3 %')
+        |  AND (p_size > 5 AND p_size <= 45)
+        |ORDER BY score DESC, p_partkey""".stripMargin),
+
     // ES function_score with a gauss decay on recency: score =
     // o_totalprice x exp(-age² / 2σ²), σ chosen so a 365-day distance
     // from the origin halves the score (the ES scale/decay

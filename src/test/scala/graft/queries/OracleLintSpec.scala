@@ -40,9 +40,11 @@ class OracleLintSpec extends AnyFunSuite {
     // DOUBLE) CASE arms and the double `dist` comparisons — double-safe
     "q281_geo_distance_agg" -> Set("0.0", "10.0", "100.0", "10000.0", "180.0",
       "20.0", "2000.0", "5000.0", "6371.0088", "90.0"),
-    // q280's boosts (0.5/1.0/2.0) sum inside CAST(... AS DOUBLE) — the
-    // whole score expression is pinned to double before ROUND
+    // q280/q283's boosts and field weights sum inside CAST(... AS
+    // DOUBLE) — the whole score expression is pinned to double
+    // before ROUND
     "q280_query_string" -> Set("0.0", "0.5", "1.0", "2.0"),
+    "q283_query_string_fields" -> Set("0.0", "1.0", "2.0"),
     "q88_geo_bbox" -> Set("100.0", "180.0", "90.0"),
     "q103_geo_centroid" -> Set("100.0", "180.0", "90.0"),
     "q116_geo_bounds" -> Set("100.0", "180.0", "90.0"),

@@ -65,6 +65,50 @@ class QsParserSpec extends GraftSuite {
       Boost(Or(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")))), 3.0))
   }
 
+  test("parse: default_operator=AND binds juxtaposition at the AND level") {
+    // `a b OR c` = (a AND b) OR c — the precedence reading of default AND
+    assert(parse("a b OR c", defaultAnd = true) ===
+      Or(Seq(And(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")))), TermQ(None, Seq("c")))))
+    assert(parse("a b c", defaultAnd = true) ===
+      And(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")), TermQ(None, Seq("c")))))
+    // explicit operators and NOT are unchanged under default AND
+    assert(parse("a NOT b", defaultAnd = true) ===
+      And(Seq(TermQ(None, Seq("a")), Not(TermQ(None, Seq("b"))))))
+    assert(parse("(a OR b) c", defaultAnd = true) ===
+      And(Seq(Or(Seq(TermQ(None, Seq("a")), TermQ(None, Seq("b")))), TermQ(None, Seq("c")))))
+  }
+
+  test("expandDefaults: bare atoms expand over weighted fields; fielded atoms don't") {
+    val n = parse("""bolt brand:x re* size:[1 TO 2] [3 TO 4]""")
+    val e = expandDefaults(n, Seq("name" -> 2.0, "type" -> 1.0))
+    assert(e === Or(Seq(
+      Or(Seq(Boost(TermQ(Some("name"), Seq("bolt")), 2.0), TermQ(Some("type"), Seq("bolt")))),
+      TermQ(Some("brand"), Seq("x")),
+      Or(Seq(Boost(PrefixQ(Some("name"), Seq(), "re"), 2.0), PrefixQ(Some("type"), Seq(), "re"))),
+      RangeQ(Some("size"), Some(1), Some(2), true, true),   // fielded: untouched
+      Or(Seq(Boost(RangeQ(Some("name"), Some(3), Some(4), true, true), 2.0),
+             RangeQ(Some("type"), Some(3), Some(4), true, true))))))
+    // single unweighted default is the identity modulo field attachment
+    assert(expandDefaults(parse("bolt"), Seq("name" -> 1.0)) ===
+      TermQ(Some("name"), Seq("bolt")))
+  }
+
+  test("compileFields: multi-field predicate matches any field; score sums weighted arms") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq("bolt"), Seq("economy")),   // name hit only
+      (2L, Seq("gear"), Seq("bolt")),      // type hit only
+      (3L, Seq("bolt"), Seq("bolt")),      // both
+      (4L, Seq("gear"), Seq("promo"))      // neither
+    ).toDF("doc_id", "name_ws", "type_ws")
+    val fields = Map[String, FieldRef](
+      "name" -> TokenField(col("name_ws")), "type" -> TokenField(col("type_ws")))
+    val (p, s) = compileFields(parse("bolt"), fields, Seq("name" -> 2.0, "type" -> 1.0))
+    val got = rows.filter(p).select(col("doc_id"), round(s, 4).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 2.0, 2L -> 1.0, 3L -> 3.0))
+  }
+
   test("parse: malformed queries throw, never silently match") {
     for (bad <- Seq("", "   ", "(a OR b", "\"unclosed", "size:[1 TO 2",
                     "size:[x TO 2]", "size:[1 2]", "a^", "NOT", "a AND", ")a"))
