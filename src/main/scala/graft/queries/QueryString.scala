@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *   - `"quoted terms"` phrases (consecutive positions, in order — the
   *     q121 positional-run semantics, one shared kernel);
   *   - `term*` trailing-wildcard (prefix) terms;
+  *   - `term~N` fuzzy terms (Levenshtein distance N in 0..2; bare `~`
+  *     = 2, the classic Lucene default) — single-token terms only, a
+  *     fuzzy phrase is a parse error as in Lucene;
   *   - `[a TO b]` / `{a TO b}` ranges on numeric fields, inclusive /
   *     exclusive per bracket (mixed `[a TO b}` allowed), `*` for an open
   *     end — numeric-only: the fixtures' keyword fields are analyzed
@@ -68,6 +71,11 @@ object QueryString {
       extends Node
   final case class RangeQ(field: Option[String], lo: Option[Double], hi: Option[Double],
                           loInc: Boolean, hiInc: Boolean) extends Node
+  /** `term~N` — matches a token within `dist` Levenshtein edits of the
+    * term (Lucene fuzzy; bare `~` = 2, the classic Lucene default).
+    * Single-analyzed-token terms only — a fuzzy phrase is a parse error,
+    * as in Lucene. */
+  final case class FuzzyQ(field: Option[String], term: String, dist: Int) extends Node
 
   // ---- fields -------------------------------------------------------
 
@@ -206,7 +214,21 @@ object QueryString {
             i += 1
           val raw = q.substring(start, i)
           if (raw.isEmpty) fail("expected a term")
-          if (raw.endsWith("*")) {
+          val tilde = raw.indexOf('~')
+          if (tilde >= 0) {
+            // the analyzer strips '~', so fuzziness must split first
+            if (tilde == 0) fail("expected a term before ~")
+            val dist =
+              if (tilde == raw.length - 1) 2
+              else scala.util.Try(raw.substring(tilde + 1).toInt)
+                .getOrElse(fail(s"non-integer fuzziness '${raw.substring(tilde + 1)}'"))
+            if (dist < 0 || dist > 2) fail(s"fuzziness $dist outside 0..2")
+            analyze(raw.substring(0, tilde)) match {
+              case Seq(t) => FuzzyQ(field, t, dist)
+              case Seq()  => fail("empty fuzzy term")
+              case _      => fail("fuzzy on a multi-token term")
+            }
+          } else if (raw.endsWith("*")) {
             analyze(raw.dropRight(1)) match {
               case Seq() => fail("empty wildcard term")
               case ts    => PrefixQ(field, ts.init, ts.last)
@@ -265,6 +287,7 @@ object QueryString {
       case l @ PhraseQ(None, _)    => orOf(f => l.copy(field = Some(f)))
       case l @ PrefixQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
       case l @ RangeQ(None, _, _, _, _) => orOf(f => l.copy(field = Some(f)))
+      case l @ FuzzyQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
       case leaf => leaf
     }
   }
@@ -308,6 +331,12 @@ object QueryString {
           leaf(c === v)
       }
       case PhraseQ(f, ts) => leaf(run(tokensOf(f, "a phrase"), ts))
+      case FuzzyQ(f, t, dist) =>
+        // dist 0 is exact; otherwise a per-token edit-distance scan —
+        // levenshtein is codegen'd, the exists stays a scan-side filter
+        leaf(if (dist == 0) array_contains(tokensOf(f, "a fuzzy term"), t)
+             else exists(tokensOf(f, "a fuzzy term"),
+               w => levenshtein(w, lit(t)) <= dist))
       case PrefixQ(f, r, p) =>
         val ws = tokensOf(f, "a wildcard")
         leaf(if (r.isEmpty) exists(ws, _.startsWith(p))

@@ -29,7 +29,16 @@ class QsFuzzSpec extends GraftSuite {
   /** A generated node: its rendered query text plus its own evaluation. */
   private case class G(text: String, pred: Doc => Boolean, score: Doc => Double)
 
-  private def leaf(rnd: scala.util.Random): G = rnd.nextInt(6) match {
+  /** Independent Levenshtein (classic DP) — must agree with Spark's. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def leaf(rnd: scala.util.Random): G = rnd.nextInt(7) match {
     case 0 => // bare term (default field = ws)
       val t = vocab(rnd.nextInt(vocab.size))
       G(t, d => d.ws.contains(t), d => if (d.ws.contains(t)) 1.0 else 0.0)
@@ -56,9 +65,14 @@ class QsFuzzSpec extends GraftSuite {
       }
       G(s"size:${if (loInc) "[" else "{"}$loS TO $hiS${if (hiInc) "]" else "}"}",
         hit, d => if (hit(d)) 1.0 else 0.0)
-    case _ => // numeric equality
+    case 5 => // numeric equality
       val v = rnd.nextInt(60)
       G(s"size:$v", d => d.size == v, d => if (d.size == v) 1.0 else 0.0)
+    case _ => // fuzzy term, distance 1 or 2 (independent DP on this side)
+      val t = vocab(rnd.nextInt(vocab.size))
+      val n = 1 + rnd.nextInt(2)
+      def hit(d: Doc) = d.ws.exists(w => lev(w, t) <= n)
+      G(s"$t~$n", hit, d => if (hit(d)) 1.0 else 0.0)
   }
 
   /** Random expression of bounded depth; renders with explicit parens

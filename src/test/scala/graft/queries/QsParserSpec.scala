@@ -48,6 +48,31 @@ class QsParserSpec extends GraftSuite {
     assert(parse("name:data-vec*") === PrefixQ(Some("name"), Seq("data"), "vec"))
   }
 
+  test("parse: fuzzy terms — explicit distance, bare-tilde default, bounds") {
+    assert(parse("bolt~1") === FuzzyQ(None, "bolt", 1))
+    assert(parse("name:bolt~2") === FuzzyQ(Some("name"), "bolt", 2))
+    assert(parse("bolt~") === FuzzyQ(None, "bolt", 2))      // Lucene default
+    assert(parse("bolt~0") === FuzzyQ(None, "bolt", 0))     // exact
+    assert(parse("BOLT~1") === FuzzyQ(None, "bolt", 1))     // analyzed
+    for (bad <- Seq("~1", "bolt~3", "bolt~x", "\"a b\"~1 extra~~", "data-stream~1"))
+      intercept[IllegalArgumentException] { parse(bad) }
+  }
+
+  test("compile: fuzzy matches within edit distance; dist 0 is exact") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq("bolt")), (2L, Seq("bolts")), (3L, Seq("colt")),
+      (4L, Seq("bole")), (5L, Seq("gear")), (6L, Seq("bot"))
+    ).toDF("doc_id", "ws")
+    def ids(q: String): Seq[Long] = {
+      val (p, _) = compile(parse(q), Map("name" -> TokenField(col("ws"))), "name")
+      rows.filter(p).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(ids("bolt~0") === Seq(1L))
+    assert(ids("bolt~1") === Seq(1L, 2L, 3L, 4L, 6L))
+    assert(ids("bolt~2") === Seq(1L, 2L, 3L, 4L, 6L))
+  }
+
   test("parse: ranges — inclusive, exclusive, mixed, open-ended") {
     assert(parse("size:[10 TO 40]") === RangeQ(Some("size"), Some(10), Some(40), true, true))
     assert(parse("size:{10 TO 40}") === RangeQ(Some("size"), Some(10), Some(40), false, false))
