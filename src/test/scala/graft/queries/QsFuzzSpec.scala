@@ -128,6 +128,58 @@ class QsFuzzSpec extends GraftSuite {
     }
   }
 
+  test("default_operator=AND: 100 random queries against the independent evaluator") {
+    import spark.implicits._
+    val df = docs.map(d => (d.id, d.ws, d.size)).toDF("doc_id", "ws", "size").cache()
+    val fields = Map[String, QueryString.FieldRef](
+      "name" -> QueryString.TokenField(col("ws")),
+      "size" -> QueryString.NumField(col("size")))
+    val rnd = new scala.util.Random(4242)
+    // under default AND, juxtaposition inside the parenthesizing
+    // generator's `(a b)` form is conjunctive; the chain cases cover the
+    // unparenthesized precedence (`a b OR c` = (a AND b) OR c)
+    def genAnd(depth: Int): G =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf(rnd)
+      else rnd.nextInt(3) match {
+        case 0 =>
+          val a = genAnd(depth - 1); val b = genAnd(depth - 1)
+          G(s"(${a.text} ${b.text})", d => a.pred(d) && b.pred(d),
+            d => a.score(d) + b.score(d))
+        case 1 =>
+          val a = genAnd(depth - 1); val b = genAnd(depth - 1)
+          G(s"(${a.text} OR ${b.text})", d => a.pred(d) || b.pred(d),
+            d => a.score(d) + b.score(d))
+        case _ =>
+          val a = genAnd(depth - 1)
+          G(s"(NOT ${a.text})", d => !a.pred(d), _ => 0.0)
+      }
+    def chainAnd(): G = {
+      val a = leaf(rnd); val b = leaf(rnd); val c = leaf(rnd)
+      if (rnd.nextBoolean())
+        G(s"${a.text} ${b.text} OR ${c.text}",
+          d => (a.pred(d) && b.pred(d)) || c.pred(d),
+          d => a.score(d) + b.score(d) + c.score(d))
+      else
+        G(s"${a.text} NOT ${b.text} ${c.text}",
+          d => a.pred(d) && !b.pred(d) && c.pred(d),
+          d => a.score(d) + c.score(d))
+    }
+    (1 to 100).foreach { i =>
+      val g = if (i % 4 == 0) chainAnd() else genAnd(3)
+      val (p, s) = QueryString.compile(
+        QueryString.parse(g.text, defaultAnd = true), fields, "name")
+      val got = df.select(col("doc_id"), p.as("p"), round(s, 6).as("s"))
+        .as[(Long, Boolean, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      docs.foreach { d =>
+        val (gp, gs) = got(d.id)
+        assert(gp === g.pred(d), s"AND-mode query <${g.text}> doc ${d.id}: predicate")
+        if (gp) assert(gs === g.score(d), s"AND-mode query <${g.text}> doc ${d.id}: score")
+      }
+    }
+    df.unpersist()
+    ()
+  }
+
   test("200 random queries: compiled predicate + score == independent evaluator") {
     import spark.implicits._
     val df = docs.map(d => (d.id, d.ws, d.size)).toDF("doc_id", "ws", "size").cache()
