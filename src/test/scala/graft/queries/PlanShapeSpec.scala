@@ -194,6 +194,27 @@ class PlanShapeSpec extends GraftSuite {
       s"window string must not ride a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("q280/q281/q282/q283: the new entries' scans prune to exactly the used columns") {
+    // q280's field registry also declares price -> p_retailprice, which
+    // the pinned query never references — pruning must drop it (an
+    // eagerly-built but unused Column leaking into the scan would read a
+    // dead column on every query at 100 TB)
+    val p280 = planOf("q280_query_string")
+    assert(p280.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int>"),
+      s"q280 scan not pruned to the referenced fields:\n$p280")
+    val p283 = planOf("q283_query_string_fields")
+    assert(p283.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int>"),
+      s"q283 scan not pruned to the referenced fields:\n$p283")
+    // q281 derives everything from the key
+    val p281 = planOf("q281_geo_distance_agg")
+    assert(p281.contains("ReadSchema: struct<c_custkey:bigint>"),
+      s"q281 must read only the key:\n$p281")
+    // q282 fabricates payloads from the id; only the id column may load
+    val p282 = planOf("q282_flac_decode")
+    assert(p282.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"q282 must read only doc_id:\n$p282")
+  }
+
   test("q224_curation_funnel: the text-keeper window exchange carries the md5 key, not text") {
     // VERDICT r17 #1: the batch funnel's exact-dup keeper window keys on
     // tkey = md5(text) (Funnel.tkeyOf — shared with q274's ingest gate),
