@@ -272,8 +272,11 @@ object Geo {
     },
 
     // ES geo_distance AGGREGATION (SURVEY Q281; VERDICT r17 #3): the
-    // "stores within 1/5/10 km" facet — distance-range buckets from the
-    // q87 origin over the SAME shared haversine fragment, q27's
+    // "stores within 2000/5000/10000 km" facet (continental radii — the
+    // fixture's synthetic lat/lon spread the customers planet-wide, so
+    // city-scale rings would leave most buckets empty) — distance-range
+    // buckets from the q87 origin over the SAME shared haversine
+    // fragment, q27's
     // CASE-range shape: one map-side-combinable hash agg to O(ranges)
     // rows, no joins. Bucket keys are ES's "<from>-<to>" labels with
     // from/to carried as columns (ES returns both); the open tail's `to`

@@ -33,9 +33,18 @@ import org.apache.spark.sql.functions._
   * parser implements the precedence reading above — the behavior every
   * published "mind your query_string operators" guide tells users to
   * assume, and identical to Lucene wherever the query doesn't mix bare
-  * juxtaposition INTO an explicit chain. `+`/`-` occur prefixes are
-  * q121's (`simple_query_string`) surface and are not part of this
-  * grammar.
+  * juxtaposition INTO an explicit chain. One user-visible consequence
+  * (r18 ADVICE, pinned in QsParserSpec): under `default_operator=OR` a
+  * juxtaposed NOT clause is a DISJUNCT — `a NOT b` = `a OR (NOT b)`,
+  * which also matches documents containing neither term. Lucene instead
+  * hoists NOT to a MUST_NOT on the enclosing boolean (`a AND NOT b`
+  * there); this parser keeps NOT compositional because the grammar is
+  * otherwise purely precedence-driven (the same reading the fuzz
+  * differential evaluates independently), and the Lucene behavior is one
+  * explicit keyword away: write `a AND NOT b` (or run under
+  * `default_operator=AND`, where juxtaposition already conjoins).
+  * `+`/`-` occur prefixes are q121's (`simple_query_string`) surface and
+  * are not part of this grammar.
   *
   * Compilation: [[compile]] produces ONE boolean predicate Column and ONE
   * score Column over analyzed token-array / numeric field columns — a
@@ -64,6 +73,14 @@ object QueryString {
   /** Analyzed positional run on `field` — 1 token = a term, 2+ = the
     * phrase expansion of a multi-token source term ("DATA-Stream"). */
   final case class TermQ(field: Option[String], terms: Seq[String]) extends Node
+  /** A term whose RAW source text is a number (`size:3.5`, `size:-5`) —
+    * the analyzer strips signs and splits on '.', so numeric equality
+    * must carry the pre-analysis value (r18 ADVICE: `3.5` analyzed to
+    * [3,5] and silently concatenated to 35.0). On a numeric field the
+    * match is `col === value`; on a token field it degrades to the
+    * analyzed positional run (`raw`'s tokens), same as TermQ. */
+  final case class NumTermQ(field: Option[String], value: Double, raw: String)
+      extends Node
   final case class PhraseQ(field: Option[String], terms: Seq[String]) extends Node
   /** `run` tokens at consecutive positions then a token starting with
     * `prefix` — empty `run` is a plain prefix query. */
@@ -233,6 +250,8 @@ object QueryString {
               case Seq() => fail("empty wildcard term")
               case ts    => PrefixQ(field, ts.init, ts.last)
             }
+          } else if (raw.matches("-?\\d+(\\.\\d+)?")) {
+            NumTermQ(field, raw.toDouble, raw)
           } else analyze(raw) match {
             case Seq() => fail(s"term '$raw' analyzes to nothing")
             case ts    => TermQ(field, ts)
@@ -246,7 +265,9 @@ object QueryString {
         val start = i
         while (!eof && (peek.isDigit || peek == '.')) i += 1
         if (i == start) fail("expected a boost value after ^")
-        Boost(n, q.substring(start, i).toDouble)
+        val raw = q.substring(start, i)
+        Boost(n, scala.util.Try(raw.toDouble)
+          .getOrElse(fail(s"bad boost '$raw'")))
       } else n
   }
 
@@ -284,6 +305,7 @@ object QueryString {
       case Not(c)        => Not(expandDefaults(c, defaults))
       case Boost(c, b)   => Boost(expandDefaults(c, defaults), b)
       case l @ TermQ(None, _)      => orOf(f => l.copy(field = Some(f)))
+      case l @ NumTermQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
       case l @ PhraseQ(None, _)    => orOf(f => l.copy(field = Some(f)))
       case l @ PrefixQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
       case l @ RangeQ(None, _, _, _, _) => orOf(f => l.copy(field = Some(f)))
@@ -324,11 +346,17 @@ object QueryString {
     def go(n: Node): (Column, Column) = n match {
       case TermQ(f, ts) => ref(f) match {
         case TokenField(ws) => leaf(run(ws, ts))
-        case NumField(c) =>
-          val v = scala.util.Try(ts.mkString.toDouble).getOrElse(
-            throw new IllegalArgumentException(
-              s"query_string: non-numeric term '${ts.mkString(" ")}' on numeric field"))
-          leaf(c === v)
+        case NumField(_) =>
+          // numeric-looking raw terms arrive as NumTermQ with the true
+          // pre-analysis value; a TermQ here means the raw text did NOT
+          // round-trip as a number (`size:abc`, `size:3,5`) — error, never
+          // a silently-concatenated analyzed form (r18 ADVICE)
+          throw new IllegalArgumentException(
+            s"query_string: non-numeric term '${ts.mkString(" ")}' on numeric field")
+      }
+      case NumTermQ(f, v, raw) => ref(f) match {
+        case NumField(c)    => leaf(c === v)
+        case TokenField(ws) => leaf(run(ws, analyze(raw)))
       }
       case PhraseQ(f, ts) => leaf(run(tokensOf(f, "a phrase"), ts))
       case FuzzyQ(f, t, dist) =>

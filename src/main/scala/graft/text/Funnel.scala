@@ -158,10 +158,10 @@ object Funnel {
     // persisted: consumed twice — the training collect, then the scored
     // plan inside the report (the q242 pattern; without the pin the
     // 5-signal tokenize pass runs twice per report)
-    // Persist-to-return contract (here and the q265/q268 entries): `g` and
-    // `pf` back the RETURNED plan, so this function cannot unpersist them —
+    // Persist-to-return contract (here and the q268 entry): `g` backs
+    // the RETURNED plan, so this function cannot unpersist it —
     // the caller owns eviction after materializing. Both harnesses drop
-    // them via clearCache() per entry; a library caller holding the report
+    // it via clearCache() per entry; a library caller holding the report
     // across many calls should clear the cache likewise (blocks are
     // MEMORY_AND_DISK and LRU-evicted under pressure, so worst case is
     // recompute-on-read, never OOM).
@@ -169,10 +169,10 @@ object Funnel {
     val m1 = QualityModel.trainPosteriors(g, "label")
     val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
     val lm = Text.knDocMean(s, d).select(col("doc_id"), col("mean_unat"))
-    // stage 8's linear model: the q264 trainer (driver-artifact weights),
-    // margins map-only off the persisted sparse feature frame
-    val pf = Perceptron.sparseFeatures(s, d).persist()
-    val (_, pWsum) = Perceptron.train(pf)
+    // stage 8's linear model: the q264 STAGED artifact (r18 #2 — one
+    // training per JVM), margins map-only off the sparse feature frame
+    val pf = Perceptron.sparseFeatures(s, d)
+    val (_, pWsum) = Perceptron.stagedModel(s, d)
     val pm = Perceptron.margins(pf, pWsum)
     val perDoc = reachFlags(s, d)
       .select(col("doc_id"), col("allowed"), col("reach3"), col("reach4"), col("reach5"))
@@ -405,9 +405,9 @@ object Funnel {
       m1.zipWithIndex.flatMap { case (row, sig) =>
         row.zipWithIndex.map { case (ppm, b) => (sig, b, ppm) } }
         .toDF("sig", "b", "ppm").coalesce(1).write.parquet(s"$tmp/posteriors")
-      val pf = Perceptron.sparseFeatures(s, d).persist()
-      val (_, wsum) = Perceptron.train(pf)
-      pf.unpersist()
+      // the perceptron is its own staged artifact (r18 #2) — consume it
+      // instead of re-running the 16-step training inside this staging
+      val (_, wsum) = Perceptron.stagedModel(s, d)
       wsum.zipWithIndex.map { case (w, f) => (f, w) }.toDF("f", "wsum")
         .coalesce(1).write.parquet(s"$tmp/wsum")
       val (cb, cw1, cw2, tt) = Text.knModelTables(Text.bigramPairs(s, d))

@@ -352,25 +352,51 @@ object Perceptron {
     (w.toSeq, wsum.toSeq)
   }
 
-  val entries: Seq[Entry] = Seq(
-    // ---- the learner (the q161/q162 learn/apply split, model side) ----
-    Entry("q264_perceptron_train", trainSql(duck = true)) { (s, d) =>
+  /** The trained model as a STAGED WRITE-PATH ARTIFACT (VERDICT r18 #2):
+    * `train()` runs ONCE per fixture fingerprint per JVM and parks its
+    * (f, w, wsum) rows as parquet via [[graft.core.Staging]] — the
+    * repo's own artifact law (`Funnel.gateModels`, q271's frozen
+    * codebook: train offline, ship the artifact). q264/q265/q273/q278
+    * and the funnel gate all consume this one training instead of each
+    * re-running the 16-step driver loop — which, besides the ~4×
+    * redundancy, was the suite's most latency-amplifying shape (16
+    * sequential tiny jobs per caller, r18's contended-sweep amplifier). */
+  private[graft] def stagedModel(s: SparkSession, d: String): (Seq[Long], Seq[Long]) = {
+    val dir = graft.core.Staging.stagedDir(d, "documents", "pcptmodel") { tmp =>
       import s.implicits._
       val feats = sparseFeatures(s, d).persist()
       val (w, wsum) = train(feats)
       feats.unpersist()
       (0 until NumFeatures).map(f => (f, w(f), wsum(f)))
+        .toDF("f", "w", "wsum").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val w = Array.fill(NumFeatures)(0L)
+    val wsum = Array.fill(NumFeatures)(0L)
+    // O(66) rows — the bounded driver-artifact read posture
+    s.read.parquet(dir).collect().foreach { r =>
+      w(r.getInt(0)) = r.getLong(1); wsum(r.getInt(0)) = r.getLong(2)
+    }
+    (w.toSeq, wsum.toSeq)
+  }
+
+  val entries: Seq[Entry] = Seq(
+    // ---- the learner (the q161/q162 learn/apply split, model side) ----
+    Entry("q264_perceptron_train", trainSql(duck = true)) { (s, d) =>
+      import s.implicits._
+      val (w, wsum) = stagedModel(s, d)
+      (0 until NumFeatures).map(f => (f, w(f), wsum(f)))
         .toDF("f", "w", "wsum").orderBy(col("f"))
     }.sqlTwin(trainSql(duck = false)),
 
     // ---- the scorer: corpus confusion under the averaged weights ----
-    // `feats` backs the RETURNED plan (training materializes it, then the
-    // confusion agg reads it again at the caller's materialization), so it
-    // cannot unpersist here — the Funnel.reportV2 persist-to-return
-    // contract; both harnesses clearCache() per entry.
+    // The weights come from the staged artifact (one training per JVM),
+    // so the returned plan reads `feats` exactly once — no persist needed
+    // (r18 #2 retired the persist-to-return contract this entry carried
+    // when training materialized the frame first).
     Entry("q265_perceptron_apply", applySql(duck = true)) { (s, d) =>
-      val feats = sparseFeatures(s, d).persist()
-      val (_, wsum) = train(feats)
+      val feats = sparseFeatures(s, d)
+      val (_, wsum) = stagedModel(s, d)
       val out = feats.groupBy(col("doc_id"), col("y"))
         .agg(marginAgg(wsum).as("margin"))
         .groupBy(when(col("y") === 1L, 1).otherwise(0).as("label"),
@@ -387,16 +413,16 @@ object Perceptron {
     // gates at FunnelGateMargin — this entry is the measurement that
     // connects them: precision/recall per grid threshold, and the
     // chosen-row rule (largest threshold whose recall still clears the
-    // floor — SweepRecallFloor) landing exactly on the stage-8 constant. Same persist-to-return
-    // contract as q265 (`feats` backs the returned plan; harnesses
-    // clearCache() per entry). Scale: margins are the q265 plan (no
-    // join, literal weights); the grid multiplies O(docs) margin rows
+    // floor — SweepRecallFloor) landing exactly on the stage-8 constant.
+    // Weights come from the staged artifact (q264's one training); the
+    // returned plan reads `feats` once. Scale: margins are the q265 plan
+    // (no join, literal weights); the grid multiplies O(docs) margin rows
     // by |grid| inside ONE agg to O(thresholds) rows; the chosen-row
     // window rides those 6 rows.
     Entry("q273_perceptron_sweep", sweepSql(duck = true)) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val feats = sparseFeatures(s, d).persist()
-      val (_, wsum) = train(feats)
+      val feats = sparseFeatures(s, d)
+      val (_, wsum) = stagedModel(s, d)
       val pm = feats.groupBy(col("doc_id"), col("y")).agg(marginAgg(wsum).as("margin"))
       val grid = {
         import s.implicits._
@@ -429,8 +455,8 @@ object Perceptron {
     // the per-lang cells sum to q273's global cells.
     Entry("q278_perceptron_sweep_by_lang", sweepByLangSql(duck = true)) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val feats = sparseFeatures(s, d).persist()
-      val (_, wsum) = train(feats)
+      val feats = sparseFeatures(s, d)
+      val (_, wsum) = stagedModel(s, d)
       val pm = feats.groupBy(col("doc_id"), col("y")).agg(marginAgg(wsum).as("margin"))
       val lng = Tables(s, d, "documents").select(col("doc_id"), col("lang"))
       val grid = {

@@ -580,10 +580,13 @@ object Text {
       // joined pair is a result). The oracle keeps the band-join TEXT (the
       // two are provably equal: hamming <= 1 forces >= 3 of 4 bands to
       // agree, so the band predicate is implied) — the hash compare pins
-      // the equivalence. Duplicate probe hits (hamming-0 pairs match on
-      // all 17 keys) flow through UN-deduplicated into the final agg's
-      // COUNT(DISTINCT db)/MIN(db), the same absorption argument as the
-      // round-13 band plan. 100 TB posture: a corpus past ~2^16 docs
+      // the equivalence. Each true pair yields exactly ONE candidate row
+      // (a hamming-0 b matches only a's identity probe — the 16 flip keys
+      // differ from b's exact fingerprint; a hamming-1 b matches only the
+      // flip of the differing bit), so the final agg's
+      // COUNT(DISTINCT db)/MIN(db) needs no duplicate-absorption argument
+      // for this plan (r18 ADVICE fixed the earlier claim that hamming-0
+      // pairs hit all 17 keys). 100 TB posture: a corpus past ~2^16 docs
       // widens the fingerprint to 64 bits (hamming <= 3), where
       // ball-probing stays exact-key via the Manku block split — 4
       // blocks of 16 bits, hamming <= 3 forces at least one block to

@@ -470,11 +470,12 @@ class PlanShapeSpec extends GraftSuite {
       s"expected the probe join keyed on the full fingerprint:\n$p")
     assert(!p.contains("bit_count"),
       s"bit_count post-filter reappeared — the probe join stopped being exact:\n$p")
-    // no pair-level DISTINCT exchange: duplicate probe hits (hamming-0
-    // pairs match all 17 keys) are absorbed by the final agg's
-    // COUNT(DISTINCT)/MIN instead of a corpus-pair shuffle keyed on
-    // (da, db). (A single-key hashpartitioning(da) is fine: that is the
-    // left-outer join's own requirement, not a pair dedup.)
+    // no pair-level DISTINCT exchange: each true pair hits exactly ONE
+    // probe key (hamming-0 → the identity probe only; hamming-1 → the
+    // single differing-bit flip), so there are no duplicate candidate
+    // rows to dedup and a corpus-pair shuffle keyed on (da, db) would be
+    // pure waste. (A single-key hashpartitioning(da) is fine: that is
+    // the left-outer join's own requirement, not a pair dedup.)
     assert(!"hashpartitioning\\(da[^)]*\\bdb".r.findFirstIn(p).isDefined,
       s"pair-keyed exchange reappeared:\n$p")
     // the fingerprint derivation is map-only since round 14 (SimHash16
@@ -670,20 +671,28 @@ class PlanShapeSpec extends GraftSuite {
     // the corpus must never be weight-joined (no join of ANY kind in the
     // scoring plan), and the only exchanges are the per-doc margin agg
     // and the O(4)-row confusion agg
+    // r18 #2: the weights come from the STAGED model artifact, so the
+    // entry no longer trains (no 16-scan loop) and the serving plan reads
+    // the sparse feature derivation exactly once — a persist would be
+    // pure cache-write overhead now, so the old InMemoryTableScan pin is
+    // retired. The feature derivation legitimately joins token-bucket
+    // counts to labels ONCE (doc_id equi-join); the model itself must
+    // still enter as a folded literal array, never as a join.
     val p = planOf("q265_perceptron_apply")
-    assert(p.contains("InMemoryTableScan"),
-      s"the sparse feature frame must be persisted (training already scanned it 16x):\n$p")
-    // the cached relation echoes its own STAGING plan (which legitimately
-    // joins counts to labels once) — the serving-plan budget is everything
-    // ABOVE the InMemoryRelation marker (the q258 pin's accounting)
-    val serving = p.substring(0, p.indexOf("InMemoryRelation"))
-    assert(!serving.contains("Join"),
-      s"scoring must fold literal weights, never join a model table:\n$p")
-    // two legitimate exchanges: the doc_id-keyed margin agg and the
-    // (label, pred) confusion agg whose input is already O(docs) post-agg
-    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(serving).toList
+    assert(!p.contains("InMemoryTableScan"),
+      s"scoring should read the feature derivation once, not persist it (r18 #2):\n$p")
+    assert(p.contains("element_at"),
+      s"weights must fold as a literal array into the margin agg:\n$p")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).toList
+    assert(joins.lengthCompare(1) == 0,
+      s"exactly one join allowed (the counts-to-labels feature attach), got ${joins.size}:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins:\n$p")
+    // legitimate exchanges: the feature-attach join + margin agg keyed by
+    // doc_id, and the (label, pred) confusion agg on O(docs) post-agg rows
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
     assert(exchanges.forall(e => e.contains("doc_id#") || e.contains("_groupingexpression#")),
-      s"only the margin + confusion aggs may shuffle:\n${exchanges.mkString("\n")}")
+      s"only doc_id-keyed and confusion-agg exchanges may shuffle:\n${exchanges.mkString("\n")}")
   }
 
   test("q250_kn_perlang: lang attach + all model tables broadcast; no sort-merge join") {

@@ -65,9 +65,17 @@ class QsFuzzSpec extends GraftSuite {
       }
       G(s"size:${if (loInc) "[" else "{"}$loS TO $hiS${if (hiInc) "]" else "}"}",
         hit, d => if (hit(d)) 1.0 else 0.0)
-    case 5 => // numeric equality
-      val v = rnd.nextInt(60)
-      G(s"size:$v", d => d.size == v, d => if (d.size == v) 1.0 else 0.0)
+    case 5 => // numeric equality — integer, decimal, and negative raw forms
+      // (r18 ADVICE: the generator only emitted integers, which is what
+      // let the analyzed-concat mangle of `3.5`/`-5` survive the fuzz)
+      val base = rnd.nextInt(60)
+      val (txt, v) = rnd.nextInt(3) match {
+        case 0 => (base.toString, base.toDouble)
+        case 1 => (s"$base.5", base + 0.5)          // never equals an Int size
+        case _ => (s"-${base + 1}", -(base + 1.0))  // base+1 avoids the -0.0 corner
+      }
+      G(s"size:$txt", d => d.size.toDouble == v,
+        d => if (d.size.toDouble == v) 1.0 else 0.0)
     case _ => // fuzzy term, distance 1 or 2 (independent DP on this side)
       val t = vocab(rnd.nextInt(vocab.size))
       val n = 1 + rnd.nextInt(2)

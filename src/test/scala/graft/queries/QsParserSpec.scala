@@ -73,6 +73,54 @@ class QsParserSpec extends GraftSuite {
     assert(ids("bolt~2") === Seq(1L, 2L, 3L, 4L, 6L))
   }
 
+  test("parse: juxtaposed NOT is a DISJUNCT under default OR — pinned deviation") {
+    // Lucene hoists NOT to MUST_NOT on the enclosing boolean (`a NOT b`
+    // = a AND NOT b there); this grammar keeps NOT compositional, so the
+    // juxtaposed form is a true disjunct that also matches documents
+    // containing neither term (scaladoc "Semantics note"; r18 ADVICE).
+    // The Lucene reading is one explicit keyword away.
+    assert(parse("a NOT b") ===
+      Or(Seq(TermQ(None, Seq("a")), Not(TermQ(None, Seq("b"))))))
+    assert(parse("a AND NOT b") ===
+      And(Seq(TermQ(None, Seq("a")), Not(TermQ(None, Seq("b"))))))
+    assert(matchIds("red NOT bolt") === Seq(1L, 2L, 4L, 5L)) // 5 matches neither leaf positively
+    assert(matchIds("red AND NOT bolt") === Seq(2L))
+  }
+
+  test("parse: numeric terms carry the RAW value — decimals and signs survive analysis") {
+    // r18 ADVICE: the analyzer used to split `3.5` into [3, 5] and the
+    // compiler concatenated to 35.0; `-5` lost its sign. The raw text now
+    // rides a dedicated node.
+    assert(parse("size:3.5") === NumTermQ(Some("size"), 3.5, "3.5"))
+    assert(parse("size:-5") === NumTermQ(Some("size"), -5.0, "-5"))
+    assert(parse("size:15") === NumTermQ(Some("size"), 15.0, "15"))
+    assert(parse("17") === NumTermQ(None, 17.0, "17"))
+    assert(parse("size:3.5^2") === Boost(NumTermQ(Some("size"), 3.5, "3.5"), 2.0))
+  }
+
+  test("compile: numeric equality uses the raw value; non-round-tripping terms throw") {
+    assert(matchIds("size:15") === Seq(1L, 2L))
+    assert(matchIds("size:15.0") === Seq(1L, 2L))
+    assert(matchIds("size:3.5") === Seq())   // pre-fix: matched size 35
+    assert(matchIds("size:-5") === Seq())    // pre-fix: matched size 5
+    // a term that does not round-trip as ONE number on a numeric field is
+    // an error, never a silently-concatenated analyzed form
+    intercept[IllegalArgumentException] { matchIds("size:3,5") }
+    intercept[IllegalArgumentException] { matchIds("size:abc") }
+  }
+
+  test("compile: a numeric bare term on a TOKEN field matches its analyzed tokens") {
+    import spark.implicits._
+    val rows = Seq((1L, Seq("brand", "17")), (2L, Seq("brand", "9"))).toDF("doc_id", "ws")
+    def ids(q: String): Seq[Long] = {
+      val (p, _) = compile(parse(q), Map("name" -> TokenField(col("ws"))), "name")
+      rows.filter(p).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(ids("17") === Seq(1L))
+    assert(ids("name:9") === Seq(2L))
+    assert(ids("-9") === Seq(2L))  // analyzer strips the sign on token fields
+  }
+
   test("parse: ranges — inclusive, exclusive, mixed, open-ended") {
     assert(parse("size:[10 TO 40]") === RangeQ(Some("size"), Some(10), Some(40), true, true))
     assert(parse("size:{10 TO 40}") === RangeQ(Some("size"), Some(10), Some(40), false, false))
@@ -136,7 +184,8 @@ class QsParserSpec extends GraftSuite {
 
   test("parse: malformed queries throw, never silently match") {
     for (bad <- Seq("", "   ", "(a OR b", "\"unclosed", "size:[1 TO 2",
-                    "size:[x TO 2]", "size:[1 2]", "a^", "NOT", "a AND", ")a"))
+                    "size:[x TO 2]", "size:[1 2]", "a^", "NOT", "a AND", ")a",
+                    "a^1.2.3", "a^."))  // malformed boosts: ParseError, not NumberFormatException
       intercept[IllegalArgumentException] { parse(bad) }
   }
 
