@@ -49,16 +49,34 @@ object Bench {
         // NonFatal only: a dying JVM (OOM, LinkageError) must abort the
         // run, not degrade into ~190 misleading per-entry failures
         System.err.println(s"[bench] staging '$label' failed (queries needing it will fail individually): $t")
-      } finally ingestParts(label) = (System.nanoTime() - t0) / 1e9
+      } finally ingestParts.synchronized {
+        ingestParts(label) = (System.nanoTime() - t0) / 1e9
+      }
     }
-    staged("token-index")(graft.text.TokenIndex.ensure(spark, sfDir))
-    staged("vector-index")(graft.vector.VectorIndex.ensure(spark, sfDir))
-    staged("mm-index")(graft.multimodal.MmEmbed.ensure(spark, sfDir))
-    staged("stream-prestage")(graft.streaming.Streams.prestage(spark, sfDir))
-    // the q220/q227 versioned merge table: committing it is the write
-    // path's amortized work (the deployment's sink maintains the table
-    // continuously); the timed entries measure the pinned snapshot READS
-    staged("merge-table")(graft.sync.SyncQueries.stagedMergeTable(spark, sfDir))
+    // Independent artifact chains run CONCURRENTLY (r18 #3): each chain
+    // preserves its internal dependency order (the stream drains read the
+    // token index), and each step keeps its own guard + per-label timing.
+    // With overlap, ingest_parts seconds no longer sum to the "ingest"
+    // wall-clock — each label is still that artifact's true build cost.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val chains: Seq[() => Unit] = Seq(
+        () => {
+          staged("token-index")(graft.text.TokenIndex.ensure(spark, sfDir))
+          staged("stream-prestage")(graft.streaming.Streams.prestage(spark, sfDir))
+        },
+        () => staged("vector-index")(graft.vector.VectorIndex.ensure(spark, sfDir)),
+        () => staged("mm-index")(graft.multimodal.MmEmbed.ensure(spark, sfDir)),
+        // the q220/q227 versioned merge table: committing it is the write
+        // path's amortized work (the deployment's sink maintains the table
+        // continuously); the timed entries measure the pinned snapshot READS
+        () => staged("merge-table")(graft.sync.SyncQueries.stagedMergeTable(spark, sfDir)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      chains.map(c => Future(c())).foreach(f => Await.ready(f, Duration.Inf))
+      pool.shutdown()
+    }
     val ingestSec = (System.nanoTime() - ingest0) / 1e9
 
     // q04 writes a json copy of lineitem — IO-bound, excluded from bench
@@ -108,7 +126,56 @@ object Bench {
     val probe0cal = Seq.fill(7)(probe()).sorted.apply(3)   // warmed median (JIT warm-up)
     val contendedFactor = 1.6
 
+    // ---- I/O + shuffle canary (VERDICT r18 #1) -------------------------
+    // The CPU-spin probe is blind to non-CPU contention: the r18 driver
+    // sweep carried TEN entries at 2.6-7.3x baseline with clean probes and
+    // an empty retry_contended — a quiet re-run refuted every one, so the
+    // inflation was I/O / memory-bandwidth / co-tenant-GC pressure the
+    // spin loop cannot see. This canary is a tiny FIXED Spark job through
+    // the same machinery the entries use — parquet scan (I/O + decode),
+    // one hash-agg exchange (shuffle write+read), noop sink, real task
+    // scheduling — so any contention class that inflates an entry inflates
+    // it too. It runs (a) a few calibration reps, (b) every
+    // `canaryEvery` entries during the sweep (a time SERIES for post-hoc
+    // window correlation, ~0.1-0.2 s each — a few seconds per sweep), and
+    // (c) flanking every retry, where an inflated canary lands the entry
+    // in the new `suspect_env` field: "this min-of-two may STILL be
+    // environment-inflated — do not read it as a regression".
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .groupBy("c_mktsegment").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val sweepStart = System.nanoTime()
+    def offNow(): Double = (System.nanoTime() - sweepStart) / 1e9
+    def canarySample(): Double = {
+      val off = offNow(); val c = canary(); canarySamples += ((off, c)); c
+    }
+    val canaryCal = Seq.fill(5)(canarySample()).sorted.apply(2)  // warmed median
+    val canaryFactor = 2.0   // I/O timings are noisier than the CPU spin
+    val canaryEvery = 25
+
+    // Per-entry JVM health: GC time delta across the entry's window (own
+    // JVM's collector — co-tenant GC shows in the canary instead) plus the
+    // sweep-level code-cache occupancy, recorded for post-hoc diagnosis.
+    import scala.jdk.CollectionConverters._
+    def gcMsNow(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def codeCacheUsedMb(): Double = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum / 1e6
+
+    // (start_offset_s, gc_ms) per timed run, keyed by entry name — the
+    // wall-clock timestamps let a reader correlate an inflated block with
+    // the canary series' window (r18's contiguous-window signature).
+    val entryMeta = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
     def timeOnce(e: graft.queries.Entry): Double = {
+      val off = offNow()
+      val gc0 = gcMsNow()
       val t0 = System.nanoTime()
       val ok = try {
         e.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
@@ -116,6 +183,7 @@ object Bench {
         System.err.println(s"[bench] ${e.name} failed: ${t.getMessage}"); false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      entryMeta(e.name) = (off, gcMsNow() - gc0)
       // Per-query isolation (untimed): queries may persist() intermediates
       // that feed multiple consumers (e.g. the near-dup shingle set); drop
       // them so a later query's timing never pays eviction/GC for an
@@ -127,6 +195,7 @@ object Bench {
     val probes = new Array[Double](entries.size + 1)
     val firstPass = entries.zipWithIndex.map { case (e, i) =>
       probes(i) = probe()
+      if (i > 0 && i % canaryEvery == 0) canarySample()
       e.name -> timeOnce(e)
     }
     probes(entries.size) = probe()
@@ -193,15 +262,26 @@ object Bench {
         s"slow-vs-expect: ${slowIdx.toSeq.sorted.map(entries(_).name).mkString(", ")})")
     // The retry window is probed too: a min-of-two where both runs were
     // contended is still inflated, and that must be visible in the
-    // record rather than passing as a clean number.
+    // record rather than passing as a clean number. Beyond the CPU probe
+    // (r18 #1), the retry window is also CANARY-flanked: an inflated
+    // canary means I/O / memory-bandwidth / co-tenant pressure the spin
+    // probe can't see was live during the retry, so the min-of-two lands
+    // in `suspect_env` instead of passing as a clean slow row.
     val retryContended = scala.collection.mutable.TreeSet.empty[Int]
+    val envSuspect = scala.collection.mutable.TreeSet.empty[Int]
+    // the canary floor mirrors probe0: the MIN over every sample in the
+    // run is the uncontended cost by construction
+    def canaryFloor: Double = canarySamples.map(_._2).min
     val results = entries.zipWithIndex.map { case (e, i) =>
       if (!suspect(i)) firstPass(i)
       else {
+        val cb = canarySample()
         val pb = probe()
         val again = timeOnce(e)
         val pa = probe()
+        val ca = canarySample()
         if (math.min(pb, pa) > contendedFactor * probe0) retryContended += i
+        if (math.min(cb, ca) > canaryFactor * canaryFloor) envSuspect += i
         val best =
           if (firstPass(i)._2 < 0) again
           else if (again < 0) firstPass(i)._2
@@ -214,6 +294,7 @@ object Bench {
     val refailed = names(failedIdx)
     val slowRetried = names(slowIdx)
     val retryStillContended = names(retryContended)
+    val envSuspectNames = names(envSuspect)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def f3(v: Double): String = "%.3f".format(v)
 
@@ -232,8 +313,21 @@ object Bench {
     def jarr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ingestPartsJson = ingestParts
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // Environment/diagnosis sidecar fields (r18 #1): the canary time
+    // series as (sweep_offset_s, seconds) pairs, per-entry
+    // [start_offset_s, gc_ms] for the entry's LAST timed run, and
+    // sweep-level JVM health. A reader checking a >2x row should first
+    // check suspect_env, then correlate the row's start offset with the
+    // canary series before calling it a regression.
+    val canaryJson = canarySamples
+      .map { case (off, c) => s"[${f3(off)},${f3(c)}]" }.mkString("[", ",", "]")
+    val entryMetaJson = entryMeta
+      .map { case (k, (off, gc)) => "\"" + k + "\":[" + f3(off) + "," + gc + "]" }
+      .mkString("{", ",", "}")
+    val jvmJson =
+      s"""{"gc_ms_total":${gcMsNow()},"code_cache_mb":${f3(codeCacheUsedMb())}}"""
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"ingest_parts":$ingestPartsJson,"probe_ms":${f3(probe0 * 1000)},"retried":${jarr(retried)},"refailed":${jarr(refailed)},"slow":${jarr(slowRetried)},"retry_contended":${jarr(retryStillContended)},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"ingest_parts":$ingestPartsJson,"probe_ms":${f3(probe0 * 1000)},"canary_ms":${f3(canaryFloor * 1000)},"retried":${jarr(retried)},"refailed":${jarr(refailed)},"slow":${jarr(slowRetried)},"retry_contended":${jarr(retryStillContended)},"suspect_env":${jarr(envSuspectNames)},"canary_series":$canaryJson,"entry_meta":$entryMetaJson,"jvm":$jvmJson,"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -246,7 +340,7 @@ object Bench {
     // affords ~3 short labels; the full map is in bench_full.json)
     val ingestTop = ingestParts.toSeq.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"ingest_top":$ingestTop,"retries":${retried.size},"slow":${slowRetried.size},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","ingest":${f2(ingestSec)},"ingest_top":$ingestTop,"retries":${retried.size},"slow":${slowRetried.size},"env":${envSuspectNames.size},"queries":$compactQs,"sf":"$sfName","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -49,18 +49,44 @@ object GraftSession {
     .config("spark.ui.enabled", "false")
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to `n`,
-    * serializing callers on one monitor: the setting is session-GLOBAL, so
-    * an unsynchronized save/set/restore interleaving between two drains
-    * (or a drain and a batch query) could restore a stale value and leave
-    * the session mis-sized permanently. Harness drains are serial by
-    * design; the lock makes that an invariant instead of an assumption. */
-  private val confLock = new Object
+    * serializing callers PER SESSION: the setting is session-scoped, so an
+    * unsynchronized save/set/restore interleaving between two drains on
+    * the SAME session could restore a stale value and leave the session
+    * mis-sized permanently. Locking on the session (not one global
+    * monitor — r18 #3) lets drains on [[clonedSession]]s run genuinely
+    * concurrently: each clone owns its SQLConf, so there is nothing
+    * cross-session to protect. */
+  private val confLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
-    confLock.synchronized {
+    confLocks.computeIfAbsent(spark, _ => new Object).synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
+
+  /** Session-scoped confs the engine's correctness contract pins (the
+    * `configure` list) — copied explicitly onto every clone instead of
+    * relying on `newSession()` inheritance rules, so a clone can never
+    * silently run with a non-UTC timezone or FIRST_WIN map dedup. */
+  private val pinnedConfs = Seq(
+    "spark.sql.session.timeZone", "spark.sql.mapKeyDedupPolicy",
+    "spark.sql.adaptive.enabled", "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.parquet.outputTimestampType",
+    "spark.sql.streaming.noDataMicroBatches.enabled",
+    "spark.sql.analyzer.maxIterations", "spark.sql.shuffle.partitions")
+
+  /** An isolated session sharing `spark`'s SparkContext (same executors,
+    * same cached blocks) with its OWN SQLConf/temp-view space — the unit
+    * of isolation for concurrent harness drains (r18 #3): per-clone
+    * shuffle-partition overrides proceed in parallel instead of
+    * serializing on a shared conf. */
+  def clonedSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    pinnedConfs.foreach(k => ss.conf.set(k, spark.conf.get(k)))
+    ss
+  }
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 32, extra: Map[String, String] = Map.empty): SparkSession = {

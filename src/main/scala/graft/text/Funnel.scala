@@ -398,21 +398,47 @@ object Funnel {
 
   private[graft] def gateModels(s: SparkSession, d: String): GateModels = {
     val dir = graft.core.Staging.stagedDir(d, "documents", "funnelgate") { tmp =>
-      import s.implicits._
-      val g = QualityModel.bucketFrame(T(s, d, "documents")).persist()
-      val m1 = QualityModel.trainPosteriors(g, "label")
-      g.unpersist()
-      m1.zipWithIndex.flatMap { case (row, sig) =>
-        row.zipWithIndex.map { case (ppm, b) => (sig, b, ppm) } }
-        .toDF("sig", "b", "ppm").coalesce(1).write.parquet(s"$tmp/posteriors")
-      // the perceptron is its own staged artifact (r18 #2) — consume it
-      // instead of re-running the 16-step training inside this staging
-      val (_, wsum) = Perceptron.stagedModel(s, d)
-      wsum.zipWithIndex.map { case (w, f) => (f, w) }.toDF("f", "wsum")
-        .coalesce(1).write.parquet(s"$tmp/wsum")
-      val (cb, cw1, cw2, tt) = Text.knModelTables(Text.bigramPairs(s, d))
-      cb.write.parquet(s"$tmp/cb"); cw1.write.parquet(s"$tmp/cw1")
-      cw2.write.parquet(s"$tmp/cw2"); tt.write.parquet(s"$tmp/tt")
+      // The three model families are independent trainings over the same
+      // corpus — build them CONCURRENTLY on cloned sessions (r18 #3: this
+      // staging sat on the prestage critical path at ~9 s sequential;
+      // each training uses a fraction of the cores).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val parts: Seq[() => Unit] = Seq(
+        () => {
+          val ss = graft.core.GraftSession.clonedSession(s)
+          import ss.implicits._
+          val g = QualityModel.bucketFrame(T(ss, d, "documents")).persist()
+          val m1 = QualityModel.trainPosteriors(g, "label")
+          g.unpersist()
+          m1.zipWithIndex.flatMap { case (row, sig) =>
+            row.zipWithIndex.map { case (ppm, b) => (sig, b, ppm) } }
+            .toDF("sig", "b", "ppm").coalesce(1).write.parquet(s"$tmp/posteriors")
+          ()
+        },
+        () => {
+          // the perceptron is its own staged artifact (r18 #2) — consume
+          // it instead of re-running the 16-step training inside this one
+          val ss = graft.core.GraftSession.clonedSession(s)
+          import ss.implicits._
+          val (_, wsum) = Perceptron.stagedModel(ss, d)
+          wsum.zipWithIndex.map { case (w, f) => (f, w) }.toDF("f", "wsum")
+            .coalesce(1).write.parquet(s"$tmp/wsum")
+          ()
+        },
+        () => {
+          val ss = graft.core.GraftSession.clonedSession(s)
+          val (cb, cw1, cw2, tt) = Text.knModelTables(Text.bigramPairs(ss, d))
+          cb.write.parquet(s"$tmp/cb"); cw1.write.parquet(s"$tmp/cw1")
+          cw2.write.parquet(s"$tmp/cw2"); tt.write.parquet(s"$tmp/tt")
+        })
+      val done = parts.map(p => Future(p()))
+      val failures = done.flatMap(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
+      pool.shutdown()
+      failures.headOption.foreach(throw _)
     }
     val posts = Array.fill(5)(Array.fill(10)(500000L))
     s.read.parquet(s"$dir/posteriors").collect()
