@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => NfcNormalize(args(0))))
     ext.injectFunction(fn("simhash16", classOf[SimHash16], 1,
       args => SimHash16(args(0))))
+    ext.injectFunction(fn("simhash64", classOf[SimHash64], 1,
+      args => SimHash64(args(0))))
     ext.injectFunction(fn("word_shingles", classOf[WordShingles], 2,
       args => args(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>

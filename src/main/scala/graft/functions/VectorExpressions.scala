@@ -202,6 +202,7 @@ object vec {
   def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def tokenHash(t: Column): Column = call_function("token_hash", t)
   def simhash16(toks: Column): Column = call_function("simhash16", toks)
+  def simhash64(toks: Column): Column = call_function("simhash64", toks)
   def wordShingles(toks: Column, k: Int): Column =
     call_function("word_shingles", toks, org.apache.spark.sql.functions.lit(k))
 }

@@ -400,6 +400,29 @@ object Relational {
         .orderBy(col("c_custkey"))
     },
 
+    // ES sort-parents-by-child-field (SURVEY Q288; VERDICT r18 #5): the
+    // has_child request with `sort: [{"child.o_totalprice": {"mode":
+    // "min"}}]` — parent hits ordered by an aggregate of their MATCHING
+    // children's field (min mode; asc; c_custkey tie-break for a total
+    // order). q188_has_child's shape with the sort key lifted: since
+    // only the min is needed, the per-parent window collapses to ONE
+    // partial-aggregated hash agg on the child key, then the parent
+    // join and the output sort — no row_number pass. Parents without
+    // matching children are not hits (the has_child query IS the
+    // filter), matching ES.
+    Entry("q288_sort_by_child",
+      """WITH k AS (SELECT o_custkey, MIN(o_totalprice) AS sort_price
+        |           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT c_custkey, c_name, sort_price
+        |FROM customer JOIN k ON o_custkey = c_custkey
+        |ORDER BY sort_price, c_custkey""".stripMargin) { (s, d) =>
+      val k = T(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey")).agg(min(col("o_totalprice")).as("sort_price"))
+      T(s, d, "customer").join(k, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("sort_price"))
+        .orderBy(col("sort_price"), col("c_custkey"))
+    },
+
     // ES `has_parent` + `inner_hits`: children whose PARENT matches a
     // filter, each child hit carrying its matching parent doc as the
     // inner hit (a child has exactly one parent, so inner_hits here is

@@ -145,6 +145,51 @@ object SimpleQueryString {
   */
 object Search {
 
+  /** q280's compiled (predicate, score) Columns — ONE copy of the pinned
+    * query_string compilation, shared by q280 (hits + scores), q285 (the
+    * `_count` API under the same predicate) and q286 (`min_score` over
+    * the same score column), so the three request surfaces cannot
+    * desynchronize. Columns are pure expression trees over part's
+    * columns — session-independent, so a lazy val is safe. */
+  private lazy val q280Compiled: (Column, Column) = {
+    import QueryString._
+    val ast = parse(
+      """name:bolt AND (type:economy^2 OR type:promo OR type:medium^0.5)""" +
+      """ AND NOT brand:"brand 17" AND (size:[10 TO 40] OR re*)""")
+    val fields = Map[String, FieldRef](
+      "name"  -> TokenField(graft.text.Text.tokens(col("p_name"))),
+      "type"  -> TokenField(graft.text.Text.tokens(col("p_type"))),
+      "brand" -> TokenField(graft.text.Text.tokens(col("p_brand"))),
+      "size"  -> NumField(col("p_size")),
+      "price" -> NumField(col("p_retailprice")))
+    compile(ast, fields, defaultField = "name")
+  }
+
+  /** q280's oracle WHERE body over the padded normalized field strings —
+    * composed into q285/q286's oracles (q280's own oracle keeps the same
+    * text inline as the round-18 pinned string). */
+  private val q280WhereSql: String =
+    """WHERE name_s LIKE '% bolt %'
+      |  AND (type_s LIKE '% economy %' OR type_s LIKE '% promo %' OR type_s LIKE '% medium %')
+      |  AND NOT (brand_s LIKE '% brand 17 %')
+      |  AND (p_size BETWEEN 10 AND 40 OR name_s LIKE '% re%')""".stripMargin
+
+  private val q280NormCteSql: String =
+    """f AS (SELECT p_partkey, p_size,
+      |  ' ' || trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) || ' ' AS name_s,
+      |  ' ' || trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ', 'g')) || ' ' AS type_s,
+      |  ' ' || trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g')) || ' ' AS brand_s
+      |FROM part)""".stripMargin
+
+  private val q280ScoreSql: String =
+    """ROUND(CAST(
+      |    1.0
+      |  + CASE WHEN type_s LIKE '% economy %' THEN 2.0 ELSE 0.0 END
+      |  + CASE WHEN type_s LIKE '% promo %' THEN 1.0 ELSE 0.0 END
+      |  + CASE WHEN type_s LIKE '% medium %' THEN 0.5 ELSE 0.0 END
+      |  + CASE WHEN p_size BETWEEN 10 AND 40 THEN 1.0 ELSE 0.0 END
+      |  + CASE WHEN name_s LIKE '% re%' THEN 1.0 ELSE 0.0 END AS DOUBLE), 4)""".stripMargin
+
   private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
   val entries: Seq[Entry] = Seq(
@@ -236,17 +281,7 @@ object Search {
         |  AND NOT (brand_s LIKE '% brand 17 %')
         |  AND (p_size BETWEEN 10 AND 40 OR name_s LIKE '% re%')
         |ORDER BY score DESC, p_partkey""".stripMargin) { (s, d) =>
-      import QueryString._
-      val ast = parse(
-        """name:bolt AND (type:economy^2 OR type:promo OR type:medium^0.5)""" +
-        """ AND NOT brand:"brand 17" AND (size:[10 TO 40] OR re*)""")
-      val fields = Map[String, FieldRef](
-        "name"  -> TokenField(graft.text.Text.tokens(col("p_name"))),
-        "type"  -> TokenField(graft.text.Text.tokens(col("p_type"))),
-        "brand" -> TokenField(graft.text.Text.tokens(col("p_brand"))),
-        "size"  -> NumField(col("p_size")),
-        "price" -> NumField(col("p_retailprice")))
-      val (pred, score) = compile(ast, fields, defaultField = "name")
+      val (pred, score) = q280Compiled
       T(s, d, "part")
         .filter(pred)
         .select(col("p_partkey"), round(score, 4).as("score"))
@@ -331,6 +366,43 @@ object Search {
         |  AND NOT (brand_s LIKE '% brand 3 %')
         |  AND (p_size > 5 AND p_size <= 45)
         |ORDER BY score DESC, p_partkey""".stripMargin),
+
+    // ES `_count` API (SURVEY Q285; VERDICT r18 #5): the most-hit
+    // missing endpoint — COUNT under a full DSL predicate, here q280's
+    // pinned query_string (the endpoint's own shape: GET /_count?q=...).
+    // The plan is the q06 class with q280's predicate: scan + pushed
+    // filter + ONE count agg — crucially the score column is never
+    // computed (ES `_count` skips scoring), so the projection is empty
+    // before the agg.
+    Entry("q285_count_api",
+      s"""WITH $q280NormCteSql
+        |SELECT COUNT(*) AS n FROM f
+        |$q280WhereSql""".stripMargin) { (s, d) =>
+      val (pred, _) = q280Compiled
+      T(s, d, "part").filter(pred).agg(count(lit(1)).as("n"))
+    },
+
+    // ES `min_score` (SURVEY Q286; VERDICT r18 #5): q280's request with
+    // `min_score: 4.0` — hits whose constant score clears the bar. ONE
+    // residual predicate over the same compiled score column (scoring
+    // happens scan-side exactly once; the bar filters before the sort).
+    // 4.0 is measured non-vacuous at both fixture scales (drops rows,
+    // keeps rows — the q225 discipline; Q286's SURVEY row records the
+    // counts).
+    Entry("q286_min_score",
+      s"""WITH $q280NormCteSql
+        |SELECT p_partkey, $q280ScoreSql AS score
+        |FROM f
+        |$q280WhereSql
+        |  AND $q280ScoreSql >= 4.0
+        |ORDER BY score DESC, p_partkey""".stripMargin) { (s, d) =>
+      val (pred, score) = q280Compiled
+      T(s, d, "part")
+        .filter(pred)
+        .select(col("p_partkey"), round(score, 4).as("score"))
+        .filter(col("score") >= 4.0)
+        .orderBy(col("score").desc, col("p_partkey"))
+    },
 
     // ES function_score with a gauss decay on recency: score =
     // o_totalprice x exp(-age² / 2σ²), σ chosen so a 365-day distance

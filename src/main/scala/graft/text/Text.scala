@@ -373,6 +373,13 @@ object Text {
     TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
       .select(col("doc_id"), graft.functions.vec.simhash16(col("ws")).as("simhash"))
 
+  /** q284's production-width fingerprint (doc_id, sh) — the 64-bit
+    * avalanche-mixed vote ([[graft.functions.SimHash64]]), same map-only
+    * scan-fold posture as [[simhashOf]]. */
+  def simhash64Of(s: SparkSession, d: String): DataFrame =
+    TokenIndex.toks(s, d).filter(size(col("ws")) > 0)
+      .select(col("doc_id"), graft.functions.vec.simhash64(col("ws")).as("sh"))
+
   /** TF-IDF working set for a fixed term list — ONE copy of the
     * tf/df/corpus-count machinery shared by q64_tfidf and q135_rescore
     * (a scoring change lands in both or neither). Returns the persisted
@@ -622,6 +629,46 @@ object Text {
         |  COUNT(DISTINCT n.db) AS n_near
         |FROM sh s LEFT JOIN near n ON n.da = s.doc_id
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    // PRODUCTION-WIDTH SimHash near-dup (SURVEY Q284; VERDICT r18 #4):
+    // q231's documented 100 TB posture EXECUTED — a 64-bit fingerprint
+    // ([[graft.functions.SimHash64]]: the avalanche-mixed token hash;
+    // the raw base hash is modular below 2^30) at hamming <= 3, blocked
+    // by the Manku/Jain/Sarma 4x16-bit split: 3 differing bits across 4
+    // disjoint blocks leave >= 1 block untouched, so candidates come
+    // from four per-block EXACT-KEY equi-joins (union via one explode —
+    // the same shuffle, keyed (blk, key) over 4 x 2^16 buckets) and a
+    // single bit_count verifies the survivors. Unlike q231's
+    // hamming-ball plan, a pair CAN match on several blocks (up to all
+    // 4 when hamming = 0), so here the final agg's COUNT(DISTINCT)/MIN
+    // genuinely absorbs duplicate candidates — the absorption argument
+    // q231 retired. Bench-only: the 64-bit fingerprint is
+    // engine-specific arithmetic (the mixer has no reasonable 30-CTE
+    // DuckDB replay), so Q284Spec is the bound — radius exactness
+    // (verified pairs == brute-force hamming <= 3 pairs), occupancy (no
+    // constant-key block), and the keeper law, all on fabricated
+    // corpora where brute force is enumerable.
+    Entry.benchOnly("q284_simhash64_neardup") { (s, d) =>
+      val sh = simhash64Of(s, d)
+      val blkKeys = array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)
+      def side(n: String) = sh.select(col("doc_id").as(s"d$n"), col("sh").as(s"sh$n"),
+        explode(blkKeys).as("bk"))
+        .select(col(s"d$n"), col(s"sh$n"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      val near = side("a").join(side("b"), Seq("blk", "key"))
+        .filter(col("da") =!= col("db"))
+        .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= 3)
+        .select(col("da"), col("db"))
+      sh.select(col("doc_id"))
+        .join(near, col("doc_id") === col("da"), "left")
+        .groupBy(col("doc_id"))
+        .agg(min(col("db")).as("mn"), countDistinct(col("db")).as("n_near"))
+        .select(col("doc_id"),
+          least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("keeper_id"),
+          col("n_near"))
+        .orderBy(col("doc_id"))
+    },
 
     Entry("q68_langid",
       """WITH scored AS (
@@ -1004,6 +1051,66 @@ object Text {
                   .as("snippet"))
         .orderBy(col("doc_id"))
     },
+
+    // ES multi-fragment `highlight` (SURVEY Q287; VERDICT r18 #5): q77
+    // generalized to `number_of_fragments: 3` — up to three snippets per
+    // doc, one per match OCCURRENCE in position order (deterministic
+    // stand-in for ES's score-ranked fragments; constant-score matches
+    // have no fragment-score signal anyway). Occurrence positions derive
+    // from the split-segment prefix sums — split(lower(text)) segments
+    // between matches; match k starts at sum(len(seg_1..k)) + (k-1)*6 +
+    // 1 — so frag 1 equals q77's strpos snippet by construction. The
+    // DataFrame computes the position LIST in-row (one linear
+    // higher-order aggregate, then posexplode): MAP-ONLY, no per-doc
+    // window exchange — the only shuffle is the output sort. The oracle
+    // and SQL twin replay the same law as a per-doc cumulative window
+    // (an independent formulation, cross-pinning the prefix-sum
+    // arithmetic).
+    Entry("q287_highlight_fragments",
+      """WITH segs AS (
+        |  SELECT doc_id, text, string_split(lower(text), 'stream') AS sg FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, len(sg) AS n_seg,
+        |    unnest(sg) AS seg, unnest(range(1, len(sg) + 1)) AS ord
+        |  FROM segs),
+        |p AS (
+        |  SELECT doc_id, text, n_seg, ord,
+        |    SUM(len(seg)) OVER (PARTITION BY doc_id ORDER BY ord) + (ord - 1) * 6 + 1 AS mpos
+        |  FROM m)
+        |SELECT doc_id, CAST(ord AS BIGINT) AS frag,
+        |  substring(text, CAST(greatest(1, mpos - 10) AS INT), 30) AS snippet
+        |FROM p WHERE ord <= n_seg - 1 AND ord <= 3
+        |ORDER BY doc_id, frag""".stripMargin) { (s, d) =>
+      val posArr = expr(
+        """aggregate(
+          |  slice(sg, 1, size(sg) - 1),
+          |  named_struct('acc', CAST(0 AS BIGINT), 'ps', CAST(array() AS ARRAY<BIGINT>)),
+          |  (s, x) -> named_struct('acc', s.acc + length(x) + 6,
+          |                         'ps', concat(s.ps, array(s.acc + length(x) + 1))),
+          |  s -> s.ps)""".stripMargin)
+      T(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          split(lower(col("text")), "stream", -1).as("sg"))
+        .select(col("doc_id"), col("text"), posexplode(posArr).as(Seq("p", "mpos")))
+        .filter(col("p") < 3)
+        .select(col("doc_id"), (col("p") + 1).cast("bigint").as("frag"),
+          col("text").substr(greatest(lit(1), col("mpos") - 10).cast("int"), lit(30))
+            .as("snippet"))
+        .orderBy(col("doc_id"), col("frag"))
+    }.sqlTwin(
+      """WITH segs AS (
+        |  SELECT doc_id, text, split(lower(text), 'stream', -1) AS sg FROM documents),
+        |m AS (
+        |  SELECT doc_id, text, size(sg) AS n_seg, p + 1 AS ord, seg
+        |  FROM segs LATERAL VIEW posexplode(sg) t AS p, seg),
+        |pp AS (
+        |  SELECT doc_id, text, n_seg, ord,
+        |    SUM(length(seg)) OVER (PARTITION BY doc_id ORDER BY ord) + (ord - 1) * 6 + 1 AS mpos
+        |  FROM m)
+        |SELECT doc_id, CAST(ord AS BIGINT) AS frag,
+        |  substring(text, CAST(greatest(1, mpos - 10) AS INT), 30) AS snippet
+        |FROM pp WHERE ord <= n_seg - 1 AND ord <= 3
+        |ORDER BY doc_id, frag""".stripMargin),
 
     Entry("q71_fingerprint",
       s"""WITH $wordsCtesSql,

@@ -110,6 +110,36 @@ class VectorKernelSpec extends GraftSuite {
     }
   }
 
+  private def refSimHash64(toks: Seq[String]): Long = {
+    // independent replay of the 64-bit kernel: splitmix64-finalized base
+    // hash, tf-weighted +-votes per bit, s > 0 sets the bit
+    def mix(z0: Long): Long = {
+      var z = (z0 ^ (z0 >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val tf = toks.map(t => mix(refTokenHash(t))).groupBy(identity)
+      .view.mapValues(_.size.toLong)
+    (0 until 64).map { i =>
+      val s = tf.map { case (h, f) => if (((h >>> i) & 1L) == 1L) f else -f }.sum
+      if (s > 0) 1L << i else 0L
+    }.sum
+  }
+
+  for (codegen <- Seq(true, false)) {
+    test(s"simhash64 matches the mixed tf-weighted reference (codegen=$codegen)") {
+      import spark.implicits._
+      val r = new scala.util.Random(284)
+      val vocab = Seq("data", "stream", "merge", "batch", "scan", "x", "yz")
+      val cases: Seq[Seq[String]] = Seq.fill(200)(
+        Seq.fill(1 + r.nextInt(30))(vocab(r.nextInt(vocab.length))))
+      val got = withCodegen(codegen) {
+        cases.toDF("toks").select(vec.simhash64(col("toks"))).as[Long].collect().toSeq
+      }
+      assert(got === cases.map(refSimHash64))
+    }
+  }
+
   test("simhash16: vote ties leave the bit clear; fingerprint is 16-bit") {
     import spark.implicits._
     // two tokens with complementary bit votes tie every differing bit to 0

@@ -44,6 +44,9 @@ class OracleLintSpec extends AnyFunSuite {
     // DOUBLE) — the whole score expression is pinned to double
     // before ROUND
     "q280_query_string" -> Set("0.0", "0.5", "1.0", "2.0"),
+    // q286 = q280's score CASEs + the min_score bar (4.0): integer-valued
+    // doubles, exact in both engines — same parity argument as q280
+    "q286_min_score" -> Set("0.0", "0.5", "1.0", "2.0", "4.0"),
     "q283_query_string_fields" -> Set("0.0", "1.0", "2.0"),
     "q88_geo_bbox" -> Set("100.0", "180.0", "90.0"),
     "q103_geo_centroid" -> Set("100.0", "180.0", "90.0"),
