@@ -483,6 +483,47 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Window"), s"fingerprint window reappeared:\n$p")
   }
 
+  test("q284_simhash64_neardup: block probe is an exact-key equi-join; verify is post-join") {
+    // the production-width plan (SURVEY Q284): candidates from ONE
+    // (blk, key) equi-join over the 4x16-bit Manku blocks — never a
+    // product — with the bit_count radius verify a filter on the joined
+    // rows (the verify is the plan's point here, unlike q231 where the
+    // probe set IS exact and bit_count reappearing would be a bug)
+    val p = planOf("q284_simhash64_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"block-probe join degraded to a product:\n$p")
+    assert(p.contains("bit_count"),
+      s"the hamming<=3 verify filter must guard the candidate set:\n$p")
+    assert("hashpartitioning\\((blk|key)#".r.findFirstIn(p).isDefined ||
+           p.contains("BroadcastHashJoin"),
+      s"expected the probe join keyed on (blk, key):\n$p")
+    assert(!p.contains("Window"), s"fingerprint derivation must stay map-only:\n$p")
+  }
+
+  test("q287_highlight_fragments: fragment positions are in-row — no per-doc window") {
+    // the DataFrame plan computes match positions with one linear
+    // higher-order aggregate and posexplodes them: MAP-ONLY, so the only
+    // exchange is the output sort (the SQL twin keeps the window
+    // formulation as an independent cross-pin of the arithmetic)
+    val p = planOf("q287_highlight_fragments")
+    assert(!p.contains("Window"), s"per-doc window reappeared:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fragment derivation must not hash-shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the posexplode of the position list:\n$p")
+  }
+
+  test("q288_sort_by_child: the child sort key partial-aggregates before the join") {
+    // min-mode sort-by-child needs no per-parent window: the child agg
+    // must run partial (map-side combine) on the child key, then one
+    // equi-join to parents — no row_number pass, no product
+    val p = planOf("q288_sort_by_child")
+    assert(!p.contains("Window"), s"window pass reappeared (min needs only an agg):\n$p")
+    assert(p.contains("partial_min") || "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"child agg must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product joins:\n$p")
+  }
+
   test("q232_anchor_text: fabrication+parse map-only; only dedup + target agg shuffle") {
     // anchor extraction must ride the scan (production: the q221 ingest
     // pass); the entry's only exchanges are the (target, src) distinct and
