@@ -188,6 +188,93 @@ class QsFuzzSpec extends GraftSuite {
     ()
   }
 
+  test("compileFields: 100 random queries against a two-field independent evaluator") {
+    import spark.implicits._
+    // two analyzed fields with weights name^2 / type^1 (q283's request
+    // shape): a bare atom matches EITHER field and scores the SUM of its
+    // matched fields' weights (the documented sum-combination); fielded
+    // numeric atoms stay fielded. The independent side evaluates the
+    // expansion law directly — no parser, no AST.
+    case class Doc2(id: Long, name: Vector[String], tpe: Vector[String], size: Int)
+    val rnd0 = new scala.util.Random(283)
+    val docs2 = Vector.tabulate(24) { i =>
+      Doc2(i.toLong,
+        Vector.fill(1 + rnd0.nextInt(4))(vocab(rnd0.nextInt(vocab.size))),
+        Vector.fill(1 + rnd0.nextInt(3))(vocab(rnd0.nextInt(vocab.size))),
+        rnd0.nextInt(60))
+    }
+    val df = docs2.map(d => (d.id, d.name, d.tpe, d.size))
+      .toDF("doc_id", "name_ws", "type_ws", "size").cache()
+    val fields = Map[String, QueryString.FieldRef](
+      "name" -> QueryString.TokenField(col("name_ws")),
+      "type" -> QueryString.TokenField(col("type_ws")),
+      "size" -> QueryString.NumField(col("size")))
+    val weights = Seq("name" -> 2.0, "type" -> 1.0)
+    case class G2(text: String, pred: Doc2 => Boolean, score: Doc2 => Double)
+    val rnd = new scala.util.Random(8317)
+    def bareLeaf(): G2 = rnd.nextInt(4) match {
+      case 0 => // bare term -> OR over both fields, weighted sum score
+        val t = vocab(rnd.nextInt(vocab.size))
+        def s(d: Doc2) = (if (d.name.contains(t)) 2.0 else 0.0) +
+                         (if (d.tpe.contains(t)) 1.0 else 0.0)
+        G2(t, d => s(d) > 0, s)
+      case 1 => // bare phrase of 2 (positional in either field)
+        val a = vocab(rnd.nextInt(vocab.size)); val b = vocab(rnd.nextInt(vocab.size))
+        def run(ws: Vector[String]) =
+          ws.indices.dropRight(1).exists(i => ws(i) == a && ws(i + 1) == b)
+        def s(d: Doc2) = (if (run(d.name)) 2.0 else 0.0) + (if (run(d.tpe)) 1.0 else 0.0)
+        G2(s""""$a $b"""", d => s(d) > 0, s)
+      case 2 => // bare prefix
+        val p = vocab(rnd.nextInt(vocab.size)).take(1 + rnd.nextInt(3))
+        def s(d: Doc2) = (if (d.name.exists(_.startsWith(p))) 2.0 else 0.0) +
+                         (if (d.tpe.exists(_.startsWith(p))) 1.0 else 0.0)
+        G2(s"$p*", d => s(d) > 0, s)
+      case _ => // fielded numeric equality or range — never expanded
+        if (rnd.nextBoolean()) {
+          val v = rnd.nextInt(60)
+          G2(s"size:$v", d => d.size == v, d => if (d.size == v) 1.0 else 0.0)
+        } else {
+          val lo = rnd.nextInt(50); val hi = lo + rnd.nextInt(20)
+          def hit(d: Doc2) = d.size >= lo && d.size <= hi
+          G2(s"size:[$lo TO $hi]", hit, d => if (hit(d)) 1.0 else 0.0)
+        }
+    }
+    def gen2(depth: Int): G2 =
+      if (depth == 0 || rnd.nextInt(3) == 0) {
+        val g = bareLeaf()
+        if (rnd.nextInt(4) == 0) {
+          val b = (1 + rnd.nextInt(8)) / 2.0
+          G2(s"${g.text}^$b", g.pred, d => g.score(d) * b)
+        } else g
+      } else rnd.nextInt(3) match {
+        case 0 =>
+          val a = gen2(depth - 1); val b = gen2(depth - 1)
+          G2(s"(${a.text} AND ${b.text})", d => a.pred(d) && b.pred(d),
+            d => a.score(d) + b.score(d))
+        case 1 =>
+          val a = gen2(depth - 1); val b = gen2(depth - 1)
+          G2(s"(${a.text} OR ${b.text})", d => a.pred(d) || b.pred(d),
+            d => a.score(d) + b.score(d))
+        case _ =>
+          val a = gen2(depth - 1)
+          G2(s"(NOT ${a.text})", d => !a.pred(d), _ => 0.0)
+      }
+    (1 to 100).foreach { _ =>
+      val g = gen2(3)
+      val (p, s) = QueryString.compileFields(
+        QueryString.parse(g.text), fields, weights)
+      val got = df.select(col("doc_id"), p.as("p"), round(s, 6).as("s"))
+        .as[(Long, Boolean, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      docs2.foreach { d =>
+        val (gp, gs) = got(d.id)
+        assert(gp === g.pred(d), s"fields query <${g.text}> doc ${d.id}: predicate")
+        if (gp) assert(gs === g.score(d), s"fields query <${g.text}> doc ${d.id}: score")
+      }
+    }
+    df.unpersist()
+    ()
+  }
+
   test("200 random queries: compiled predicate + score == independent evaluator") {
     import spark.implicits._
     val df = docs.map(d => (d.id, d.ws, d.size)).toDF("doc_id", "ws", "size").cache()
