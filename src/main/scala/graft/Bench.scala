@@ -61,21 +61,39 @@ object Bench {
     locally {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      // Each chain runs on its OWN cloned session (isolated SQLConf): the
+      // merge-table build overrides shuffle partitions for its drain
+      // (DocSync), and on a shared session that override is visible to
+      // every concurrently planning job in the other chains — an index
+      // build planned at partitions=8 distorts ingest_parts (r19 ADVICE).
+      def cloned(): SparkSession = graft.core.GraftSession.clonedSession(spark)
       val chains: Seq[() => Unit] = Seq(
         () => {
-          staged("token-index")(graft.text.TokenIndex.ensure(spark, sfDir))
-          staged("stream-prestage")(graft.streaming.Streams.prestage(spark, sfDir))
+          val ss = cloned()
+          staged("token-index")(graft.text.TokenIndex.ensure(ss, sfDir))
+          staged("stream-prestage")(graft.streaming.Streams.prestage(ss, sfDir))
         },
-        () => staged("vector-index")(graft.vector.VectorIndex.ensure(spark, sfDir)),
-        () => staged("mm-index")(graft.multimodal.MmEmbed.ensure(spark, sfDir)),
+        () => staged("vector-index")(graft.vector.VectorIndex.ensure(cloned(), sfDir)),
+        () => staged("mm-index")(graft.multimodal.MmEmbed.ensure(cloned(), sfDir)),
         // the q220/q227 versioned merge table: committing it is the write
         // path's amortized work (the deployment's sink maintains the table
         // continuously); the timed entries measure the pinned snapshot READS
-        () => staged("merge-table")(graft.sync.SyncQueries.stagedMergeTable(spark, sfDir)))
+        () => staged("merge-table")(graft.sync.SyncQueries.stagedMergeTable(cloned(), sfDir)))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      chains.map(c => Future(c())).foreach(f => Await.ready(f, Duration.Inf))
+      val done = chains.map(c => Future(c()))
+      // Await.ready never rethrows a failed Future, and staged() already
+      // absorbed every NonFatal per step — so anything surfacing here is a
+      // FATAL throwable (OOM, LinkageError) that must abort the run, never
+      // degrade into ~190 misleading per-entry failures (r19 ADVICE).
+      // Additional chain failures ride as suppressed so a multi-chain
+      // crash isn't misread as single-cause.
+      val failures = done.flatMap(f =>
+        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
       pool.shutdown()
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed); throw first
+      }
     }
     val ingestSec = (System.nanoTime() - ingest0) / 1e9
 

@@ -56,14 +56,23 @@ object GraftSession {
     * monitor — r18 #3) lets drains on [[clonedSession]]s run genuinely
     * concurrently: each clone owns its SQLConf, so there is nothing
     * cross-session to protect. */
-  private val confLocks =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
-    confLocks.computeIfAbsent(spark, _ => new Object).synchronized {
+  private val confLocks = new java.util.WeakHashMap[SparkSession, Object]()
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    // WeakHashMap (guarded by its own monitor — Map.computeIfAbsent on a
+    // synchronizedMap wrapper is NOT atomic) so sessions are not retained
+    // for the JVM lifetime: a library caller cloning a session per
+    // operation would otherwise leak one map entry per clone (r19 ADVICE)
+    val lock = confLocks.synchronized {
+      val existing = confLocks.get(spark)
+      if (existing != null) existing
+      else { val o = new Object; confLocks.put(spark, o); o }
+    }
+    lock.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
       try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
+  }
 
   /** Session-scoped confs the engine's correctness contract pins (the
     * `configure` list) — copied explicitly onto every clone instead of

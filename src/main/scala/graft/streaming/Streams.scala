@@ -368,11 +368,15 @@ object Streams {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val done = chains.map(c => Future(c()))
     // await ALL chains (a failure in one must not abandon the others
-    // mid-drain), then surface the first failure to the caller's guard
+    // mid-drain), then surface the first failure to the caller's guard —
+    // with any further chain failures attached as suppressed, so a
+    // multi-chain crash never reads as single-cause (r19 ADVICE)
     val failures = done.flatMap(f =>
       scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
     pool.shutdown()
-    failures.headOption.foreach(throw _)
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed); throw first
+    }
     ()
   }
 

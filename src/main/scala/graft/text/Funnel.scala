@@ -438,7 +438,11 @@ object Funnel {
       val failures = done.flatMap(f =>
         scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
       pool.shutdown()
-      failures.headOption.foreach(throw _)
+      // extra failures ride as suppressed — a multi-training crash must
+      // not read as single-cause (r19 ADVICE)
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed); throw first
+      }
     }
     val posts = Array.fill(5)(Array.fill(10)(500000L))
     s.read.parquet(s"$dir/posteriors").collect()
