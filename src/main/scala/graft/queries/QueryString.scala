@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   *     grouping; adjacent clauses with no operator combine under the
   *     default operator (OR — ES `default_operator`'s default);
   *   - `"quoted terms"` phrases (consecutive positions, in order — the
-  *     q121 positional-run semantics, one shared kernel);
-  *   - `term*` trailing-wildcard (prefix) terms;
+  *     q121 positional-run semantics, one shared kernel) and
+  *     `"a b"~N` phrase PROXIMITY (see [[PhraseQ]]: full two-term ES
+  *     slop law incl. reversal; in-order reduction for 3+ terms);
+  *   - `term*` trailing-wildcard (prefix) terms, plus GENERAL `*`/`?`
+  *     wildcards (`te?t`, `*est`, `t*e` — unanalyzed, per-token LIKE via
+  *     the Q184 kernel, see [[WildcardQ]]) and `/regex/` terms
+  *     (full-token anchored, the Q134 rlike kernel, see [[RegexQ]]);
+  *   - `_exists_:field` / `field:*` exists queries and the bare `*`
+  *     match-all (see [[ExistsQ]]);
   *   - `term~N` fuzzy terms (Levenshtein distance N in 0..2; bare `~`
   *     = 2, the classic Lucene default) — single-token terms only, a
   *     fuzzy phrase is a parse error as in Lucene;
+  *   - numeric terms in every Lucene-accepted raw form (`3.5`, `-5`,
+  *     `.5`, `3.`, `+5` — the [[NumTermQ]] raw-value discipline);
   *   - `[a TO b]` / `{a TO b}` ranges on numeric fields, inclusive /
   *     exclusive per bracket (mixed `[a TO b}` allowed), `*` for an open
   *     end — numeric-only: the fixtures' keyword fields are analyzed
@@ -81,7 +90,36 @@ object QueryString {
     * analyzed positional run (`raw`'s tokens), same as TermQ. */
   final case class NumTermQ(field: Option[String], value: Double, raw: String)
       extends Node
-  final case class PhraseQ(field: Option[String], terms: Seq[String]) extends Node
+  /** `"quoted terms"` — and `"a b"~N` phrase PROXIMITY (Lucene slop).
+    * slop = 0 is the exact consecutive-run phrase. slop > 0 on a TWO-term
+    * phrase implements the full ES/Lucene law (the q97 kernel): in-order
+    * with gap <= slop, or REVERSED when the transposition cost
+    * (pos_a - pos_b + 1) <= slop. For 3+ terms the documented reduction is
+    * the in-order reading only — positions strictly increasing with total
+    * inserted-gap (last - first - (n-1)) <= slop; Lucene's out-of-order
+    * multi-term edit-distance matching is deliberately omitted (its own
+    * docs warn the semantics are subtle; the in-order reading is what
+    * every published proximity-search guide describes). */
+  final case class PhraseQ(field: Option[String], terms: Seq[String],
+                           slop: Int = 0) extends Node
+  /** A general `*`/`?` wildcard term (`te?t`, `*est`, `t*e`) — like
+    * Lucene, wildcard terms are NOT analyzed (only lowercased), so the
+    * pattern must be one analyzer-clean token (letters/digits + wildcard
+    * metachars); compiled per token via [[Search.wildcardToLike]] (the
+    * Q184 kernel). A pure trailing-`*` pattern stays the analyzed
+    * [[PrefixQ]] (positional-run prefix — the q280 shape, unchanged). */
+  final case class WildcardQ(field: Option[String], pattern: String) extends Node
+  /** `/regex/` — matches a token the pattern FULLY matches (Lucene regex
+    * terms are implicitly anchored; like Lucene, never analyzed). */
+  final case class RegexQ(field: Option[String], pattern: String) extends Node
+  /** `_exists_:field` (also spelled `field:*`): the field carries an
+    * indexed value — non-null for a numeric field, >= 1 analyzed token
+    * for a text field (a value whose analysis yields no tokens indexes
+    * nothing, so it does not "exist" — the ES exists-query reading).
+    * `field = None` is the bare `*` term: Lucene rewrites it to
+    * match-all, and so does this compiler (never expanded over default
+    * fields). */
+  final case class ExistsQ(field: Option[String]) extends Node
   /** `run` tokens at consecutive positions then a token starting with
     * `prefix` — empty `run` is a plain prefix query. */
   final case class PrefixQ(field: Option[String], run: Seq[String], prefix: String)
@@ -200,6 +238,14 @@ object QueryString {
     private def atom(field: Option[String]): Node = {
       ws()
       if (eof) fail("expected a term after field")
+      // `_exists_:<name>` — the pseudo-field form of the exists query
+      if (field.contains("_exists_")) {
+        val start = i
+        while (!eof && (peek.isLetterOrDigit || peek == '_')) i += 1
+        if (i == start) fail("expected a field name after _exists_:")
+        return ExistsQ(Some(
+          q.substring(start, i).toLowerCase(java.util.Locale.ROOT)))
+      }
       peek match {
         case '"' =>
           i += 1
@@ -208,7 +254,31 @@ object QueryString {
           val terms = analyze(q.substring(i, end))
           i = end + 1
           if (terms.isEmpty) fail("empty phrase")
-          PhraseQ(field, terms)
+          // `"a b"~N` phrase proximity — digits required (a bare `~` after
+          // a phrase is a parse error here; Lucene's bare-tilde default is
+          // a FUZZY-term convention, not a slop)
+          if (!eof && peek == '~') {
+            i += 1
+            val ds = i
+            while (!eof && peek.isDigit) i += 1
+            if (i == ds) fail("expected a slop value after \"...\"~")
+            PhraseQ(field, terms, q.substring(ds, i).toInt)
+          } else PhraseQ(field, terms)
+        case '/' =>
+          // `/regex/` — read to the closing unescaped '/' (body may hold
+          // any char; `\/` is a literal slash, other escapes pass through
+          // to the regex engine untouched)
+          i += 1
+          val sb = new StringBuilder
+          var closed = false
+          while (!closed && !eof) {
+            if (peek == '\\' && i + 1 < q.length && q(i + 1) == '/') { sb.append('/'); i += 2 }
+            else if (peek == '/') { closed = true; i += 1 }
+            else { sb.append(peek); i += 1 }
+          }
+          if (!closed) fail("unclosed /regex/")
+          if (sb.isEmpty) fail("empty /regex/")
+          RegexQ(field, sb.toString)
         case '[' | '{' =>
           val loInc = peek == '['
           val close = q.indexWhere(c => c == ']' || c == '}', i)
@@ -245,12 +315,28 @@ object QueryString {
               case Seq()  => fail("empty fuzzy term")
               case _      => fail("fuzzy on a multi-token term")
             }
-          } else if (raw.endsWith("*")) {
+          } else if (raw == "*") {
+            // Lucene: a bare `*` is match-all; `field:*` is the exists query
+            ExistsQ(field)
+          } else if (raw.endsWith("*") && raw.count(_ == '*') == 1 && !raw.contains('?')) {
+            // pure trailing-star: the analyzed positional-prefix form
+            // (q280's `re*` shape — kept distinct from the general
+            // wildcard so multi-token sources like `data-vec*` still
+            // compile to the positional run + prefix)
             analyze(raw.dropRight(1)) match {
               case Seq() => fail("empty wildcard term")
               case ts    => PrefixQ(field, ts.init, ts.last)
             }
-          } else if (raw.matches("-?\\d+(\\.\\d+)?")) {
+          } else if (raw.exists(c => c == '*' || c == '?')) {
+            // general wildcard (mid-term `t*e`, leading `*est`, `te?t`):
+            // like Lucene, NOT analyzed — lowercased only, and the
+            // pattern must be one analyzer-clean token (a '-' or '.' in
+            // it would have split the indexed token it's matched against)
+            val low = raw.toLowerCase(java.util.Locale.ROOT)
+            if (!low.forall(c => c.isLetterOrDigit && c < 128 || c == '*' || c == '?'))
+              fail(s"wildcard pattern '$raw' mixes analyzer-split characters")
+            WildcardQ(field, low)
+          } else if (raw.matches("[+-]?(\\d+\\.?\\d*|\\.\\d+)")) {
             NumTermQ(field, raw.toDouble, raw)
           } else analyze(raw) match {
             case Seq() => fail(s"term '$raw' analyzes to nothing")
@@ -306,10 +392,14 @@ object QueryString {
       case Boost(c, b)   => Boost(expandDefaults(c, defaults), b)
       case l @ TermQ(None, _)      => orOf(f => l.copy(field = Some(f)))
       case l @ NumTermQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
-      case l @ PhraseQ(None, _)    => orOf(f => l.copy(field = Some(f)))
+      case l @ PhraseQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
       case l @ PrefixQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
       case l @ RangeQ(None, _, _, _, _) => orOf(f => l.copy(field = Some(f)))
       case l @ FuzzyQ(None, _, _) => orOf(f => l.copy(field = Some(f)))
+      case l @ WildcardQ(None, _) => orOf(f => l.copy(field = Some(f)))
+      case l @ RegexQ(None, _)    => orOf(f => l.copy(field = Some(f)))
+      // ExistsQ(None) is the bare `*` = match-all — never field-expanded
+      // (Lucene's own rewrite); ExistsQ(Some(_)) is already fielded
       case leaf => leaf
     }
   }
@@ -342,6 +432,28 @@ object QueryString {
     def run(ws: Column, terms: Seq[String]): Column =
       if (terms.lengthCompare(1) == 0) array_contains(ws, terms.head)
       else SimpleQueryString.positionalRun(ws, terms.map(t => (c: Column) => c === t))
+    // 0-based positions of `t` in the token array — one in-row pass, the
+    // building block of the sloppy-phrase predicates (all arithmetic stays
+    // inside the row; no posting join, the q280 scan-filter posture)
+    def positionsOf(ws: Column, t: String): Column =
+      filter(transform(ws, (w, i) => when(w === t, i).otherwise(-1)), p => p >= 0)
+    def sloppy(ws: Column, terms: Seq[String], slop: Int): Column =
+      if (terms.lengthCompare(2) == 0) {
+        // full two-term ES law (the q97 kernel): in-order gap <= slop, or
+        // reversed with transposition cost (pos_a - pos_b + 1) <= slop
+        exists(positionsOf(ws, terms(0)), a =>
+          exists(positionsOf(ws, terms(1)), b =>
+            (b > a && b - a - 1 <= slop) || (b < a && a - b + 1 <= slop)))
+      } else {
+        // 3+ terms: the documented in-order reduction — strictly
+        // increasing positions, total inserted gap <= slop
+        val n = terms.length
+        def nest(k: Int, prev: Column, first: Column): Column =
+          exists(positionsOf(ws, terms(k)), p =>
+            p > prev && (if (k == n - 1) p - first - (n - 1) <= slop
+                         else nest(k + 1, p, first)))
+        exists(positionsOf(ws, terms.head), p1 => nest(1, p1, p1))
+      }
 
     def go(n: Node): (Column, Column) = n match {
       case TermQ(f, ts) => ref(f) match {
@@ -358,7 +470,26 @@ object QueryString {
         case NumField(c)    => leaf(c === v)
         case TokenField(ws) => leaf(run(ws, analyze(raw)))
       }
-      case PhraseQ(f, ts) => leaf(run(tokensOf(f, "a phrase"), ts))
+      case PhraseQ(f, ts, slop) =>
+        val ws = tokensOf(f, "a phrase")
+        leaf(if (slop == 0 || ts.lengthCompare(1) == 0) run(ws, ts)
+             else sloppy(ws, ts, slop))
+      case WildcardQ(f, pat) =>
+        leaf(exists(tokensOf(f, "a wildcard"),
+          w => w.like(Search.wildcardToLike(pat))))
+      case RegexQ(f, pat) =>
+        // Lucene regex terms are implicitly anchored — full-token match
+        leaf(exists(tokensOf(f, "a regex"),
+          w => w.rlike("^(?:" + pat + ")$")))
+      case ExistsQ(None) => leaf(lit(true))   // bare `*` = match-all
+      case ExistsQ(Some(f)) => ref(Some(f)) match {
+        case NumField(c)    => leaf(c.isNotNull)
+        case TokenField(ws) =>
+          // a null/analyzes-to-nothing value indexes no tokens => the
+          // field does not exist (coalesce: NOT _exists_ must be TRUE on
+          // a null field, not null-filtered)
+          leaf(coalesce(size(ws) > 0, lit(false)))
+      }
       case FuzzyQ(f, t, dist) =>
         // dist 0 is exact; otherwise a per-token edit-distance scan —
         // levenshtein is codegen'd, the exists stays a scan-side filter

@@ -404,6 +404,55 @@ object Search {
         .orderBy(col("score").desc, col("p_partkey"))
     },
 
+    // The round-19 "finish the query_string grammar" entry (SURVEY Q289):
+    // every production the round added, composed in ONE request over the
+    // documents "index" — phrase proximity `"data stream"~1` (the q97
+    // two-term slop law incl. reversal), a mid-term wildcard `col*mn`, a
+    // `?` wildcard `s?an`, a LEADING wildcard `*ream` (all per analyzed
+    // token via the q184 wildcard→LIKE kernel), a `/regex/` term (q134's
+    // rlike, full-token anchored), `_exists_:text`, and a trailing-dot
+    // numeric (`doc_id:23.`) riding the top-level OR — doc 23 fails the
+    // AND side at both fixture scales, so the arm visibly adds a row
+    // (q225 non-vacuity). The _exists_ clause keeps all rows HERE (the
+    // fixture has no token-less doc); its drop side is pinned over
+    // null/empty fields in QsParserSpec + QsFuzzSpec.
+    // Plan: predicate + score are in-row HOFs over the staged token
+    // arrays — scan + filter + sort, NO posting join (the oracle replays
+    // the slop law as a positions self-join, an independent formulation).
+    Entry("q289_query_string_grammar",
+      s"""WITH ${graft.text.Text.wordsCtesSql},
+        |ph AS (SELECT DISTINCT a.doc_id FROM words a
+        |       JOIN words b ON b.doc_id = a.doc_id
+        |         AND ((b.pos > a.pos AND b.pos - a.pos - 1 <= 1)
+        |           OR (b.pos < a.pos AND a.pos - b.pos + 1 <= 1))
+        |       WHERE a.w = 'data' AND b.w = 'stream'),
+        |m AS (SELECT t.doc_id,
+        |  CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS s_ph,
+        |  CASE WHEN len(list_filter(ws, x -> x LIKE 'col%mn')) > 0 THEN 1.0 ELSE 0.0 END AS s_w1,
+        |  CASE WHEN len(list_filter(ws, x -> x LIKE 's_an')) > 0 THEN 1.0 ELSE 0.0 END AS s_w2,
+        |  CASE WHEN len(list_filter(ws, x -> x LIKE '%ream')) > 0 THEN 1.0 ELSE 0.0 END AS s_w3,
+        |  CASE WHEN len(list_filter(ws, x -> regexp_matches(x, '^(?:so(rt|urce))$$'))) > 0 THEN 1.0 ELSE 0.0 END AS s_rx,
+        |  CASE WHEN len(ws) > 0 THEN 1.0 ELSE 0.0 END AS s_ex,
+        |  CASE WHEN t.doc_id = 23.0 THEN 1.0 ELSE 0.0 END AS s_id
+        |FROM toks t LEFT JOIN ph p ON p.doc_id = t.doc_id)
+        |SELECT doc_id, ROUND(CAST(s_ph + s_w1 + s_w2 + s_w3 + s_rx + s_ex + s_id AS DOUBLE), 4) AS score
+        |FROM m
+        |WHERE ((s_ph > 0 OR s_w1 > 0) AND (s_w2 > 0 OR s_w3 > 0) AND s_rx > 0 AND s_ex > 0) OR s_id > 0
+        |ORDER BY score DESC, doc_id""".stripMargin) { (s, d) =>
+      import QueryString._
+      val ast = parse(
+        """("data stream"~1 OR col*mn) AND (s?an OR *ream) AND /so(rt|urce)/""" +
+        """ AND _exists_:text OR doc_id:23.""")
+      val fields = Map[String, FieldRef](
+        "text"   -> TokenField(col("ws")),
+        "doc_id" -> NumField(col("doc_id")))
+      val (pred, score) = compile(ast, fields, defaultField = "text")
+      graft.text.TokenIndex.toks(s, d)
+        .filter(pred)
+        .select(col("doc_id"), round(score, 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
     // ES function_score with a gauss decay on recency: score =
     // o_totalprice x exp(-age² / 2σ²), σ chosen so a 365-day distance
     // from the origin halves the score (the ES scale/decay

@@ -48,6 +48,10 @@ class OracleLintSpec extends AnyFunSuite {
     // doubles, exact in both engines — same parity argument as q280
     "q286_min_score" -> Set("0.0", "0.5", "1.0", "2.0", "4.0"),
     "q283_query_string_fields" -> Set("0.0", "1.0", "2.0"),
+    // q289's CASE arms (1.0/0.0) sum to exact small integers and CAST to
+    // DOUBLE before ROUND; 23.0 compares against a BIGINT doc_id — all
+    // double-safe, the q280/q286 parity argument
+    "q289_query_string_grammar" -> Set("0.0", "1.0", "23.0"),
     "q88_geo_bbox" -> Set("100.0", "180.0", "90.0"),
     "q103_geo_centroid" -> Set("100.0", "180.0", "90.0"),
     "q116_geo_bounds" -> Set("100.0", "180.0", "90.0"),

@@ -21,9 +21,35 @@ class QsFuzzSpec extends GraftSuite {
   private val docs: Vector[Doc] = {
     val rnd = new scala.util.Random(1234)
     Vector.tabulate(24) { i =>
-      Doc(i.toLong, Vector.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))),
-        rnd.nextInt(60))
+      // every 11th doc analyzes to NOTHING — the _exists_ leaves must see
+      // both verdicts (and NOT _exists_ must not null-filter)
+      val ws = if (i % 11 == 10) Vector.empty[String]
+               else Vector.fill(2 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      Doc(i.toLong, ws, rnd.nextInt(60))
     }
+  }
+
+  /** Independent wildcard evaluation: translate to an anchored regex
+    * (`*` -> `.*`, `?` -> `.`; vocab chars are alnum, no escaping needed)
+    * — must agree with the compiled per-token LIKE. */
+  private def wildcardHit(ws: Vector[String], pat: String): Boolean = {
+    val rx = pat.flatMap { case '*' => ".*"; case '?' => "."; case c => c.toString }
+    ws.exists(_.matches(rx))
+  }
+
+  /** Independent two-term slop evaluation (the q97 ES law). */
+  private def slop2(ws: Vector[String], a: String, b: String, s: Int): Boolean = {
+    val pa = ws.indices.filter(ws(_) == a); val pb = ws.indices.filter(ws(_) == b)
+    pa.exists(x => pb.exists(y =>
+      (y > x && y - x - 1 <= s) || (y < x && x - y + 1 <= s)))
+  }
+
+  /** Independent 3-term in-order slop evaluation (the documented N>=3
+    * reduction: strictly increasing positions, total gap <= slop). */
+  private def slop3(ws: Vector[String], ts: Seq[String], s: Int): Boolean = {
+    val ps = ts.map(t => ws.indices.filter(ws(_) == t))
+    ps(0).exists(p1 => ps(1).exists(p2 => p2 > p1 && ps(2).exists(p3 =>
+      p3 > p2 && p3 - p1 - 2 <= s)))
   }
 
   /** A generated node: its rendered query text plus its own evaluation. */
@@ -38,7 +64,58 @@ class QsFuzzSpec extends GraftSuite {
     d(a.length)(b.length)
   }
 
-  private def leaf(rnd: scala.util.Random): G = rnd.nextInt(7) match {
+  private def leaf(rnd: scala.util.Random): G = rnd.nextInt(12) match {
+    case 7 => // general wildcard: ? substitution / leading or mid *
+      val w = vocab(rnd.nextInt(vocab.size))
+      val pat = rnd.nextInt(3) match {
+        case 0 => val j = rnd.nextInt(w.length); w.updated(j, '?')   // te?t
+        case 1 => "*" + w.drop(1 + rnd.nextInt(w.length - 1))        // *est
+        case _ => val j = 1 + rnd.nextInt(w.length - 1)              // t*t
+          w.take(j) + "*" + w.drop(math.min(w.length, j + 1 + rnd.nextInt(2)))
+      }
+      G(pat, d => wildcardHit(d.ws, pat),
+        d => if (wildcardHit(d.ws, pat)) 1.0 else 0.0)
+    case 8 => // regex: alternation of two vocab words, or dot/star mutants
+      val w = vocab(rnd.nextInt(vocab.size))
+      val pat = rnd.nextInt(3) match {
+        case 0 => s"($w|${vocab(rnd.nextInt(vocab.size))})"
+        case 1 => w.updated(rnd.nextInt(w.length), '.')
+        case _ => w.take(1 + rnd.nextInt(w.length)) + ".*"
+      }
+      def hit(d: Doc) = d.ws.exists(_.matches(pat))
+      G(s"/$pat/", hit, d => if (hit(d)) 1.0 else 0.0)
+    case 9 => // phrase slop: two- or three-term, slop 0..3
+      val s = rnd.nextInt(4)
+      if (rnd.nextBoolean()) {
+        val a = vocab(rnd.nextInt(vocab.size)); val b = vocab(rnd.nextInt(vocab.size))
+        G(s""""$a $b"~$s""", d => slop2(d.ws, a, b, s),
+          d => if (slop2(d.ws, a, b, s)) 1.0 else 0.0)
+      } else {
+        val ts = Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))
+        G(s""""${ts.mkString(" ")}"~$s""", d => slop3(d.ws, ts, s),
+          d => if (slop3(d.ws, ts, s)) 1.0 else 0.0)
+      }
+    case 10 => // exists: pseudo-field, field:*, bare * (match-all)
+      rnd.nextInt(3) match {
+        case 0 => G("_exists_:name", d => d.ws.nonEmpty,
+                    d => if (d.ws.nonEmpty) 1.0 else 0.0)
+        case 1 => G("name:*", d => d.ws.nonEmpty,
+                    d => if (d.ws.nonEmpty) 1.0 else 0.0)
+        case _ => G("*", _ => true, _ => 1.0)
+      }
+    case 11 => // numeric raw forms the r19 grammar accepts: .5 / 3. / +5
+      val base = rnd.nextInt(60)
+      val (txt, v) = rnd.nextInt(3) match {
+        case 0 => (s".${base % 10}", (base % 10) / 10.0)
+        case 1 => (s"$base.", base.toDouble)
+        case _ => (s"+$base", base.toDouble)
+      }
+      G(s"size:$txt", d => d.size.toDouble == v,
+        d => if (d.size.toDouble == v) 1.0 else 0.0)
+    case other => leafCore(rnd, other)
+  }
+
+  private def leafCore(rnd: scala.util.Random, pick: Int): G = pick match {
     case 0 => // bare term (default field = ws)
       val t = vocab(rnd.nextInt(vocab.size))
       G(t, d => d.ws.contains(t), d => if (d.ws.contains(t)) 1.0 else 0.0)

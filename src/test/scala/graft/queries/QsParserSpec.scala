@@ -48,6 +48,100 @@ class QsParserSpec extends GraftSuite {
     assert(parse("name:data-vec*") === PrefixQ(Some("name"), Seq("data"), "vec"))
   }
 
+  test("parse: phrase slop, general wildcards, /regex/, _exists_, field:*, bare *") {
+    assert(parse("\"a b\"~2") === PhraseQ(None, Seq("a", "b"), 2))
+    assert(parse("name:\"a b c\"~1") === PhraseQ(Some("name"), Seq("a", "b", "c"), 1))
+    assert(parse("\"a b\"~0") === PhraseQ(None, Seq("a", "b"), 0))
+    assert(parse("\"a b\"~2^3") === Boost(PhraseQ(None, Seq("a", "b"), 2), 3.0))
+    // general wildcards: mid-term ?, leading *, mid *; trailing-only *
+    // stays the analyzed PrefixQ (q280's plan unchanged)
+    assert(parse("te?t") === WildcardQ(None, "te?t"))
+    assert(parse("*est") === WildcardQ(None, "*est"))
+    assert(parse("t*e") === WildcardQ(None, "t*e"))
+    assert(parse("name:TE?T*") === WildcardQ(Some("name"), "te?t*"))
+    assert(parse("re*") === PrefixQ(None, Seq(), "re"))          // unchanged
+    assert(parse("name:data-vec*") === PrefixQ(Some("name"), Seq("data"), "vec"))
+    // regex terms: raw body, \/ escape, fielded
+    assert(parse("/st(a|b)m/") === RegexQ(None, "st(a|b)m"))
+    assert(parse("name:/a\\/b/") === RegexQ(Some("name"), "a/b"))
+    // exists: pseudo-field, field:*, bare * = match-all
+    assert(parse("_exists_:name") === ExistsQ(Some("name")))
+    assert(parse("_exists_:SIZE") === ExistsQ(Some("size")))
+    assert(parse("name:*") === ExistsQ(Some("name")))
+    assert(parse("*") === ExistsQ(None))
+    for (bad <- Seq("\"a b\"~", "\"a b\"~x", "/ab", "//", "da-t?a", "_exists_:",
+                    "_exists_:\"x\""))
+      intercept[IllegalArgumentException] { parse(bad) }
+  }
+
+  test("parse: numeric terms accept .5 / 3. / +5 raw forms") {
+    assert(parse("size:.5") === NumTermQ(Some("size"), 0.5, ".5"))
+    assert(parse("size:3.") === NumTermQ(Some("size"), 3.0, "3."))
+    assert(parse("size:+5") === NumTermQ(Some("size"), 5.0, "+5"))
+    assert(parse("size:-1.25") === NumTermQ(Some("size"), -1.25, "-1.25"))
+  }
+
+  test("compile: phrase slop — two-term ES law (gap + reversal), 3+ in-order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq("data", "stream")),             // adjacent, in order
+      (2L, Seq("data", "x", "stream")),        // gap 1
+      (3L, Seq("data", "x", "y", "stream")),   // gap 2
+      (4L, Seq("stream", "data")),             // reversed adjacent: cost 2
+      (5L, Seq("stream", "x", "data")),        // reversed with gap: cost 3
+      (6L, Seq("data", "x")),                  // missing term
+      (7L, Seq("a", "b", "c")),                // exact 3-run
+      (8L, Seq("a", "x", "b", "c")),           // 3-term total gap 1
+      (9L, Seq("b", "a", "c"))                 // out of order (3-term: no match)
+    ).toDF("doc_id", "ws")
+    def ids(q: String): Seq[Long] = {
+      val (p, _) = compile(parse(q), Map("name" -> TokenField(col("ws"))), "name")
+      rows.filter(p).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(ids("\"data stream\"~0") === Seq(1L))
+    assert(ids("\"data stream\"~1") === Seq(1L, 2L))
+    assert(ids("\"data stream\"~2") === Seq(1L, 2L, 3L, 4L))    // reversal at cost 2
+    assert(ids("\"data stream\"~3") === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids("\"a b c\"~0") === Seq(7L))
+    assert(ids("\"a b c\"~1") === Seq(7L, 8L))                  // in-order only for 3+
+  }
+
+  test("compile: general wildcards and regex match whole tokens") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq("test")), (2L, Seq("text")), (3L, Seq("tempest")),
+      (4L, Seq("rest")), (5L, Seq("attest")), (6L, Seq("te"))
+    ).toDF("doc_id", "ws")
+    def ids(q: String): Seq[Long] = {
+      val (p, _) = compile(parse(q), Map("name" -> TokenField(col("ws"))), "name")
+      rows.filter(p).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(ids("te?t") === Seq(1L, 2L))          // exactly one char
+    assert(ids("*est") === Seq(1L, 3L, 4L, 5L))  // leading wildcard: any ...est token
+    assert(ids("t*t") === Seq(1L, 2L, 3L))       // mid wildcard
+    assert(ids("/te(st|xt)/") === Seq(1L, 2L))   // regex, anchored
+    assert(ids("/t.*t/") === Seq(1L, 2L, 3L))    // regex is full-token: 'attest' excluded
+  }
+
+  test("compile: _exists_ — token fields need >= 1 analyzed token, numeric non-null") {
+    import spark.implicits._
+    val rows = Seq[(Long, Option[Seq[String]], Option[Int])](
+      (1L, Some(Seq("bolt")), Some(3)),
+      (2L, Some(Seq()), None),          // analyzes to nothing + null numeric
+      (3L, None, Some(0))               // null token field
+    ).toDF("doc_id", "ws", "size")
+    def ids(q: String): Seq[Long] = {
+      val (p, _) = compile(parse(q), fields, "name")
+      rows.filter(p).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(ids("_exists_:name") === Seq(1L))
+    assert(ids("name:*") === Seq(1L))
+    assert(ids("_exists_:size") === Seq(1L, 3L))
+    assert(ids("NOT _exists_:name") === Seq(2L, 3L))   // null must NOT null-filter
+    assert(ids("*") === Seq(1L, 2L, 3L))               // bare * = match-all
+    intercept[IllegalArgumentException] { compile(parse("_exists_:nosuch"), fields, "name") }
+  }
+
   test("parse: fuzzy terms — explicit distance, bare-tilde default, bounds") {
     assert(parse("bolt~1") === FuzzyQ(None, "bolt", 1))
     assert(parse("name:bolt~2") === FuzzyQ(Some("name"), "bolt", 2))
