@@ -13,6 +13,29 @@ import graft.GraftSuite
   */
 class StreamClusterSpec extends GraftSuite {
 
+  test("q142 write path: a FRESH 3-wave drain equals the maintained store (r19 #2)") {
+    // The timed q142 entry reads the maintained pair store (the serving
+    // posture); the drain machinery itself — staged replay, per-batch
+    // probe, prune, idempotent batch partitions — is pinned HERE: a
+    // fresh drain of the same arrival replay must reproduce the
+    // maintained store's merged pair set row-for-row.
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_neardup_fresh").toString
+    try {
+      Streams.neardupDrain(spark, sf, out)
+      def pairs(dir: String): Seq[(Long, Long, Double)] =
+        Streams.neardupMerged(spark, dir)
+          .orderBy(col("doc_a"), col("doc_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val fresh = pairs(out)
+      val maintained = pairs(Streams.drainedNeardupStore(spark, sf))
+      assert(fresh.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+      assert(fresh == maintained,
+        s"fresh drain diverges from the maintained store:\n  fresh $fresh\n  maintained $maintained")
+    } finally graft.core.Fs.deleteRecursively(new java.io.File(out))
+    spark.catalog.clearCache()
+  }
+
   test("q275: clusters off the maintained pair store == q90's at-rest clusters") {
     def rows(name: String): Seq[(Long, Long)] =
       graft.SparkEntry.queries(name)(spark, sf).collect()
