@@ -522,6 +522,37 @@ object Relational {
              sum(coalesce(col("cn"), lit(0L))).cast("bigint").as("n_children"),
              round(sum(col("cs")) / sum(col("cn")), 4).as("avg_child_price"))
         .orderBy(col("seg"))
+    },
+
+    // ES `reverse_nested` AGGREGATION (SURVEY Q290; VERDICT r19 #3 — the
+    // one 6.3 bucket agg neither declared nor dispositioned): inside a
+    // nested bucketing (terms on a CHILD field — here the item-level
+    // l_returnflag), jump back to the PARENT document level and
+    // aggregate parents. The defining rule is the doc-count semantics:
+    // each parent counts ONCE per bucket no matter how many of its
+    // nested items matched the bucket — that is exactly the child-grain
+    // DISTINCT (flag, parent) before the parent join (the q191
+    // reduction, run in the opposite direction: q191 buckets parents
+    // and aggregates children; this buckets children and aggregates
+    // parents). Plan: one hash-agg exchange for the distinct pairs
+    // (partial-agg'd — child-grain rows collapse map-side first), one
+    // co-keyed join to orders on the routing key, and a final
+    // map-side-combinable fold from O(parents) rows to O(buckets) —
+    // at 100 TB nothing after the first exchange sees child grain.
+    Entry("q290_reverse_nested",
+      """WITH b AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey FROM lineitem)
+        |SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_parents,
+        |  ROUND(SUM(o_totalprice) / COUNT(*), 4) AS avg_parent_price
+        |FROM b JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val parentHits = T(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_orderkey")).distinct()
+      T(s, d, "orders")
+        .join(parentHits, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).cast("bigint").as("n_parents"),
+             round(sum(col("o_totalprice")) / count(lit(1)), 4).as("avg_parent_price"))
+        .orderBy(col("flag"))
     }
   )
 }
