@@ -50,9 +50,14 @@ object PerceptualHash {
     * lum(x, y); returned as (hi, lo) 32-bit halves (bit index
     * y*8 + x: y 0-3 -> lo, y 4-7 -> hi) so the SQL oracle can fold the
     * same integers without BIGINT overflow. */
-  def dhash(img: Bmp.Decoded): (Long, Long) = {
+  def dhash(img: Bmp.Decoded): (Long, Long) = dhashOf(img.w, img.h, img.rgb)
+
+  /** The same 64-bit dHash over ANY w x h RGB accessor — one kernel
+    * shared by the image entry and the q291 video-clip composition
+    * (each sampled AVI frame hashes through this exact fold). */
+  def dhashOf(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): (Long, Long) = {
     val l = Array.tabulate(8, 9) { (y, x) =>
-      val (r, g, b) = img.rgb(x * img.w / 9, y * img.h / 8)
+      val (r, g, b) = rgb(x * w / 9, y * h / 8)
       r + g + b
     }
     var hi = 0L; var lo = 0L
