@@ -747,6 +747,48 @@ class PlanShapeSpec extends GraftSuite {
       s"expected the lang attach + model-table joins as broadcasts:\n$p")
   }
 
+  test("q289_query_string_grammar: predicate + score stay in-row — no joins, no window") {
+    // every new grammar production (slop, wildcards, regex, exists)
+    // compiles to in-row HOFs over the token arrays: the plan is scan +
+    // filter + projection + output sort. The ORACLE replays the slop law
+    // as a positions self-join — the entry must never regress to one.
+    val p = planOf("q289_query_string_grammar")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"query_string compilation must stay join-free:\n$p")
+    assert(!p.contains("Window"), s"no window in a scan-filter plan:\n$p")
+    assert(!p.contains("Generate"),
+      s"positions come from in-row lambdas, never an explode:\n$p")
+  }
+
+  test("q290_reverse_nested: child grain collapses in a partial-agg'd distinct before the join") {
+    val p = planOf("q290_reverse_nested")
+    // the distinct (flag, orderkey) must partial-aggregate map-side
+    // (child-grain rows collapse before the exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation for the distinct:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product joins:\n$p")
+    // the parent join keys on the routing key — any join strategy is
+    // acceptable (broadcast at fixture scale, shuffled at 100 TB), but
+    // a window would mean the per-bucket fold regressed
+    assert(!p.contains("Window"), s"no window — plain fold to O(buckets):\n$p")
+  }
+
+  test("q253_perlang_terciles: rank partitions BY LANG — no single-partition stage anywhere") {
+    // q253 is q249's deployed shape: the tercile rank window PARTITIONS
+    // BY lang, so unlike q249 there is NO single-partition exchange in
+    // the whole plan — not even tt's total, which is per-lang keyed in
+    // the q250 chain. The scale-correct contrast pinned explicitly: a
+    // planner or chain change reintroducing a global collapse fails here.
+    val p = planOf("q253_perlang_terciles")
+    assert(p.contains("Window"), s"expected the per-lang rank window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-lang terciles must never collapse to one partition:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"model joins must broadcast (q250's economics):\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected the lang attach + model-table joins as broadcasts:\n$p")
+  }
+
   test("q251_heldout_gap_by_host: model tables broadcast onto the scored stream") {
     val p = planOf("q251_heldout_gap_by_host")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
