@@ -289,7 +289,39 @@ class QsFuzzSpec extends GraftSuite {
     val weights = Seq("name" -> 2.0, "type" -> 1.0)
     case class G2(text: String, pred: Doc2 => Boolean, score: Doc2 => Double)
     val rnd = new scala.util.Random(8317)
-    def bareLeaf(): G2 = rnd.nextInt(4) match {
+    def bareLeaf(): G2 = rnd.nextInt(7) match {
+      case 4 => // bare general wildcard -> OR over both fields, weighted
+        val w = vocab(rnd.nextInt(vocab.size))
+        val pat = if (rnd.nextBoolean()) w.updated(rnd.nextInt(w.length), '?')
+                  else "*" + w.drop(1 + rnd.nextInt(w.length - 1))
+        val rx = pat.flatMap { case '*' => ".*"; case '?' => "."; case c => c.toString }
+        def s(d: Doc2) = (if (d.name.exists(_.matches(rx))) 2.0 else 0.0) +
+                         (if (d.tpe.exists(_.matches(rx))) 1.0 else 0.0)
+        G2(pat, d => s(d) > 0, s)
+      case 5 => // bare regex -> OR over both fields, weighted
+        val a = vocab(rnd.nextInt(vocab.size)); val b = vocab(rnd.nextInt(vocab.size))
+        val pat = s"($a|$b)"
+        def s(d: Doc2) = (if (d.name.exists(_.matches(pat))) 2.0 else 0.0) +
+                         (if (d.tpe.exists(_.matches(pat))) 1.0 else 0.0)
+        G2(s"/$pat/", d => s(d) > 0, s)
+      case 6 => // fielded exists / slop phrase — never expanded / expanded resp.
+        if (rnd.nextBoolean())
+          G2("_exists_:type", d => d.tpe.nonEmpty,
+             d => if (d.tpe.nonEmpty) 1.0 else 0.0)
+        else {
+          val a = vocab(rnd.nextInt(vocab.size)); val b = vocab(rnd.nextInt(vocab.size))
+          val sl = rnd.nextInt(3)
+          def hit(ws: Vector[String]) = {
+            val pa = ws.indices.filter(ws(_) == a); val pb = ws.indices.filter(ws(_) == b)
+            pa.exists(x => pb.exists(y =>
+              (y > x && y - x - 1 <= sl) || (y < x && x - y + 1 <= sl)))
+          }
+          def s(d: Doc2) = (if (hit(d.name)) 2.0 else 0.0) + (if (hit(d.tpe)) 1.0 else 0.0)
+          G2(s""""$a $b"~$sl""", d => s(d) > 0, s)
+        }
+      case pick => bareLeafCore(pick)
+    }
+    def bareLeafCore(pick: Int): G2 = pick match {
       case 0 => // bare term -> OR over both fields, weighted sum score
         val t = vocab(rnd.nextInt(vocab.size))
         def s(d: Doc2) = (if (d.name.contains(t)) 2.0 else 0.0) +
