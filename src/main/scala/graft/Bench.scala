@@ -59,17 +59,21 @@ object Bench {
     // With overlap, ingest_parts seconds no longer sum to the "ingest"
     // wall-clock — each label is still that artifact's true build cost.
     locally {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
       // Each chain runs on its OWN cloned session (isolated SQLConf): the
       // merge-table build overrides shuffle partitions for its drain
       // (DocSync), and on a shared session that override is visible to
       // every concurrently planning job in the other chains — an index
       // build planned at partitions=8 distorts ingest_parts (r19 ADVICE).
+      // Every cloned() call is evaluated INSIDE a staged() body (chain 1
+      // via the lazy val, re-attempted per step), so a NonFatal clone
+      // failure degrades to that artifact's per-entry failures instead of
+      // aborting the run; anything escaping staged() is FATAL and
+      // Concurrent.runAll rethrows it — fatal included — after all
+      // chains finish (a plain Future would hang the Await instead).
       def cloned(): SparkSession = graft.core.GraftSession.clonedSession(spark)
-      val chains: Seq[() => Unit] = Seq(
+      graft.core.Concurrent.runAll(Seq(
         () => {
-          val ss = cloned()
+          lazy val ss = cloned()
           staged("token-index")(graft.text.TokenIndex.ensure(ss, sfDir))
           staged("stream-prestage")(graft.streaming.Streams.prestage(ss, sfDir))
         },
@@ -78,22 +82,7 @@ object Bench {
         // the q220/q227 versioned merge table: committing it is the write
         // path's amortized work (the deployment's sink maintains the table
         // continuously); the timed entries measure the pinned snapshot READS
-        () => staged("merge-table")(graft.sync.SyncQueries.stagedMergeTable(cloned(), sfDir)))
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val done = chains.map(c => Future(c()))
-      // Await.ready never rethrows a failed Future, and staged() already
-      // absorbed every NonFatal per step — so anything surfacing here is a
-      // FATAL throwable (OOM, LinkageError) that must abort the run, never
-      // degrade into ~190 misleading per-entry failures (r19 ADVICE).
-      // Additional chain failures ride as suppressed so a multi-chain
-      // crash isn't misread as single-cause.
-      val failures = done.flatMap(f =>
-        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
-      pool.shutdown()
-      failures.headOption.foreach { first =>
-        failures.drop(1).foreach(first.addSuppressed); throw first
-      }
+        () => staged("merge-table")(graft.sync.SyncQueries.stagedMergeTable(cloned(), sfDir))))
     }
     val ingestSec = (System.nanoTime() - ingest0) / 1e9
 

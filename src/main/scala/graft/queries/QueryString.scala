@@ -254,15 +254,18 @@ object QueryString {
           val terms = analyze(q.substring(i, end))
           i = end + 1
           if (terms.isEmpty) fail("empty phrase")
-          // `"a b"~N` phrase proximity — digits required (a bare `~` after
-          // a phrase is a parse error here; Lucene's bare-tilde default is
-          // a FUZZY-term convention, not a slop)
+          // `"a b"~N` phrase proximity — ASCII digits required (a bare `~`
+          // after a phrase is a parse error here; Lucene's bare-tilde
+          // default is a FUZZY-term convention, not a slop), overflow is a
+          // ParseError like every other malformed number in this grammar
           if (!eof && peek == '~') {
             i += 1
             val ds = i
-            while (!eof && peek.isDigit) i += 1
+            while (!eof && peek >= '0' && peek <= '9') i += 1
             if (i == ds) fail("expected a slop value after \"...\"~")
-            PhraseQ(field, terms, q.substring(ds, i).toInt)
+            val raw = q.substring(ds, i)
+            PhraseQ(field, terms, scala.util.Try(raw.toInt)
+              .getOrElse(fail(s"bad slop '$raw'")))
           } else PhraseQ(field, terms)
         case '/' =>
           // `/regex/` — read to the closing unescaped '/' (body may hold
@@ -486,9 +489,9 @@ object QueryString {
         case NumField(c)    => leaf(c.isNotNull)
         case TokenField(ws) =>
           // a null/analyzes-to-nothing value indexes no tokens => the
-          // field does not exist (coalesce: NOT _exists_ must be TRUE on
-          // a null field, not null-filtered)
-          leaf(coalesce(size(ws) > 0, lit(false)))
+          // field does not exist (leaf() null-safety makes NOT _exists_
+          // TRUE on a null field instead of null-filtering it)
+          leaf(size(ws) > 0)
       }
       case FuzzyQ(f, t, dist) =>
         // dist 0 is exact; otherwise a per-token edit-distance scan —
@@ -519,7 +522,17 @@ object QueryString {
         val gs = cs.map(go)
         (gs.map(_._1).reduce(_ || _), gs.map(_._2).reduce(_ + _))
     }
-    def leaf(p: Column): (Column, Column) = (p, when(p, 1.0).otherwise(0.0))
+    // Every leaf is null-safe: a null field (or a predicate over it)
+    // yields FALSE, not null — so `NOT <leaf>` matches rows whose field
+    // is missing (the ES must_not-over-missing-field semantics) instead
+    // of null-filtering them. One wrapper here covers all leaf types
+    // uniformly (the r20 review found ExistsQ null-safe but the new
+    // wildcard/regex/slop leaves — and the older term/prefix/fuzzy ones —
+    // null-hostile under NOT).
+    def leaf(p: Column): (Column, Column) = {
+      val safe = coalesce(p, lit(false))
+      (safe, when(safe, 1.0).otherwise(0.0))
+    }
     go(n)
   }
 }

@@ -342,8 +342,6 @@ object Streams {
     // idle cores). Dependency order inside each chain is preserved:
     // gate-models feeds the verdict drain; the shingle/minhash drains
     // share the q158 source (staged above) but write distinct stores.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     val chains: Seq[() => Unit] = Seq(
       () => {
         val ss = graft.core.GraftSession.clonedSession(s)
@@ -364,19 +362,10 @@ object Streams {
         step("drain-shingles")(drainedShingleStore(ss, dir))
         step("drain-minhash")(drainedMinhashStore(ss, dir))
       })
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val done = chains.map(c => Future(c()))
     // await ALL chains (a failure in one must not abandon the others
-    // mid-drain), then surface the first failure to the caller's guard —
-    // with any further chain failures attached as suppressed, so a
-    // multi-chain crash never reads as single-cause (r19 ADVICE)
-    val failures = done.flatMap(f =>
-      scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
-    pool.shutdown()
-    failures.headOption.foreach { first =>
-      failures.drop(1).foreach(first.addSuppressed); throw first
-    }
+    // mid-drain), then surface the first failure — fatal included, extras
+    // suppressed (graft.core.Concurrent, the one copy of the pattern)
+    graft.core.Concurrent.runAll(chains)
     ()
   }
 

@@ -402,10 +402,6 @@ object Funnel {
       // corpus — build them CONCURRENTLY on cloned sessions (r18 #3: this
       // staging sat on the prestage critical path at ~9 s sequential;
       // each training uses a fraction of the cores).
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val parts: Seq[() => Unit] = Seq(
         () => {
           val ss = graft.core.GraftSession.clonedSession(s)
@@ -434,15 +430,9 @@ object Funnel {
           cb.write.parquet(s"$tmp/cb"); cw1.write.parquet(s"$tmp/cw1")
           cw2.write.parquet(s"$tmp/cw2"); tt.write.parquet(s"$tmp/tt")
         })
-      val done = parts.map(p => Future(p()))
-      val failures = done.flatMap(f =>
-        scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
-      pool.shutdown()
-      // extra failures ride as suppressed — a multi-training crash must
-      // not read as single-cause (r19 ADVICE)
-      failures.headOption.foreach { first =>
-        failures.drop(1).foreach(first.addSuppressed); throw first
-      }
+      // all three trainings run to completion; first failure rethrown
+      // (fatal included), extras suppressed (graft.core.Concurrent)
+      graft.core.Concurrent.runAll(parts)
     }
     val posts = Array.fill(5)(Array.fill(10)(500000L))
     s.read.parquet(s"$dir/posteriors").collect()

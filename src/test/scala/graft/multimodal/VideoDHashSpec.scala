@@ -39,7 +39,6 @@ class VideoDHashSpec extends GraftSuite {
     assert(rows.nonEmpty, "no video docs in the fixture — vacuous")
 
     val videoIds = rows.map(_._1)
-    val groupSize = videoIds.groupBy(Video.clipKey).map { case (k, ids) => k -> ids.length }
 
     // Bucket law: sizes follow the INDEPENDENTLY-recomputed fingerprint
     // groups (not the planted key groups — see the separation arm below:

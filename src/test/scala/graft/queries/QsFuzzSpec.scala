@@ -294,9 +294,8 @@ class QsFuzzSpec extends GraftSuite {
         val w = vocab(rnd.nextInt(vocab.size))
         val pat = if (rnd.nextBoolean()) w.updated(rnd.nextInt(w.length), '?')
                   else "*" + w.drop(1 + rnd.nextInt(w.length - 1))
-        val rx = pat.flatMap { case '*' => ".*"; case '?' => "."; case c => c.toString }
-        def s(d: Doc2) = (if (d.name.exists(_.matches(rx))) 2.0 else 0.0) +
-                         (if (d.tpe.exists(_.matches(rx))) 1.0 else 0.0)
+        def s(d: Doc2) = (if (wildcardHit(d.name, pat)) 2.0 else 0.0) +
+                         (if (wildcardHit(d.tpe, pat)) 1.0 else 0.0)
         G2(pat, d => s(d) > 0, s)
       case 5 => // bare regex -> OR over both fields, weighted
         val a = vocab(rnd.nextInt(vocab.size)); val b = vocab(rnd.nextInt(vocab.size))
@@ -311,12 +310,8 @@ class QsFuzzSpec extends GraftSuite {
         else {
           val a = vocab(rnd.nextInt(vocab.size)); val b = vocab(rnd.nextInt(vocab.size))
           val sl = rnd.nextInt(3)
-          def hit(ws: Vector[String]) = {
-            val pa = ws.indices.filter(ws(_) == a); val pb = ws.indices.filter(ws(_) == b)
-            pa.exists(x => pb.exists(y =>
-              (y > x && y - x - 1 <= sl) || (y < x && x - y + 1 <= sl)))
-          }
-          def s(d: Doc2) = (if (hit(d.name)) 2.0 else 0.0) + (if (hit(d.tpe)) 1.0 else 0.0)
+          def s(d: Doc2) = (if (slop2(d.name, a, b, sl)) 2.0 else 0.0) +
+                           (if (slop2(d.tpe, a, b, sl)) 1.0 else 0.0)
           G2(s""""$a $b"~$sl""", d => s(d) > 0, s)
         }
       case pick => bareLeafCore(pick)

@@ -126,7 +126,7 @@ class QsParserSpec extends GraftSuite {
   test("compile: _exists_ — token fields need >= 1 analyzed token, numeric non-null") {
     import spark.implicits._
     val rows = Seq[(Long, Option[Seq[String]], Option[Int])](
-      (1L, Some(Seq("bolt")), Some(3)),
+      (1L, Some(Seq("red", "bolt")), Some(3)),
       (2L, Some(Seq()), None),          // analyzes to nothing + null numeric
       (3L, None, Some(0))               // null token field
     ).toDF("doc_id", "ws", "size")
@@ -139,7 +139,17 @@ class QsParserSpec extends GraftSuite {
     assert(ids("_exists_:size") === Seq(1L, 3L))
     assert(ids("NOT _exists_:name") === Seq(2L, 3L))   // null must NOT null-filter
     assert(ids("*") === Seq(1L, 2L, 3L))               // bare * = match-all
+    // EVERY leaf is null-safe (the compile-level coalesce): NOT over a
+    // null token/numeric field matches the row, never null-filters it
+    assert(ids("NOT bo?t") === Seq(2L, 3L))
+    assert(ids("NOT /bolt/") === Seq(2L, 3L))
+    assert(ids("NOT \"red bolt\"~1") === Seq(2L, 3L))
+    assert(ids("NOT name:*xyz") === Seq(1L, 2L, 3L))
+    assert(ids("NOT size:[1 TO 2]") === Seq(1L, 2L, 3L))  // null size: not in range
     intercept[IllegalArgumentException] { compile(parse("_exists_:nosuch"), fields, "name") }
+    // malformed slop values raise ParseError, never NumberFormatException
+    for (bad <- Seq("\"a b\"~99999999999", "\"a b\"~٣"))
+      intercept[IllegalArgumentException] { parse(bad) }
   }
 
   test("parse: fuzzy terms — explicit distance, bare-tilde default, bounds") {

@@ -33,6 +33,27 @@ names = set(sweeps[0]["queries"])
 for s in sweeps[1:]:
     assert set(s["queries"]) == names, "sweeps cover different entry sets"
 
+# Contention hygiene gate (r20 review): a recording taken from flagged
+# sweeps would bake contention into the medians AND ratchet the canary
+# floor up — silently re-opening the whole-run blind spot the floor
+# exists to close. Any contention flag on any sweep refuses the
+# recording unless --force (the round-18 procedure then applies: record
+# a second batch and show the two agree).
+flagged = [(i + 1, k, s.get(k)) for i, s in enumerate(sweeps)
+           for k in ("retried", "refailed", "slow", "retry_contended",
+                     "suspect_env")
+           if s.get(k)] + \
+          [(i + 1, "sweep_suspect_env", True) for i, s in enumerate(sweeps)
+           if s.get("sweep_suspect_env")]
+if flagged:
+    print("contention flags present in sweeps:")
+    for i, k, v in flagged:
+        print(f"  sweep {i}: {k} = {v}")
+    if not force:
+        print("\nREFUSING to record from flagged sweeps (pass --force only "
+              "after a second batch agrees — see BASELINE.md discipline).")
+        sys.exit(1)
+
 med = {k: round(statistics.median(s["queries"][k] for s in sweeps), 2)
        for k in sorted(names)}
 
@@ -48,6 +69,12 @@ assert len(sfs) == 1, f"sweeps ran at different scale factors: {sfs}"
 canary_key = f"__canary_ms__{sfs.pop()}"
 canary_med = (round(statistics.median(s["canary_ms"] for s in sweeps), 2)
               if all("canary_ms" in s for s in sweeps) else None)
+# The floor only LOWERS automatically (a faster observation is a better
+# estimate of the uncontended cost); raising it — e.g. after a genuine
+# hardware change — requires --force, so ambient or sub-threshold
+# contention can never ratchet the sweep-flag bar upward (r20 review).
+if canary_med is not None and canary_key in prev and not force:
+    canary_med = min(canary_med, prev[canary_key])
 if canary_med is not None and canary_key in prev:
     print(f"canary floor: {prev[canary_key]} -> {canary_med} ms")
 
