@@ -773,6 +773,20 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("Window"), s"no window — plain fold to O(buckets):\n$p")
   }
 
+  test("q291_video_dhash_dedup: decode+hash map-only; ONE fingerprint-keyed exchange") {
+    // the clip pipeline (encode-fabricate -> decode -> sample -> dHash)
+    // must stay inside the partition (no join, no pre-window shuffle);
+    // the dedup group is exactly one hash exchange on the compact
+    // fingerprint key feeding the bucket-count window, plus the output
+    // range sort — the q209 economics at the clip level
+    val p = planOf("q291_video_dhash_dedup")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"clip hashing must not join:\n$p")
+    assert(p.contains("Window"), s"expected the bucket-count window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the fingerprint-keyed window exchange:\n$p")
+  }
+
   test("q253_perlang_terciles: rank partitions BY LANG — no single-partition stage anywhere") {
     // q253 is q249's deployed shape: the tercile rank window PARTITIONS
     // BY lang, so unlike q249 there is NO single-partition exchange in
