@@ -168,10 +168,13 @@ object Redirects {
     // the corpus (an off-corpus Location has no record to fetch — the
     // chain cannot advance); join on CANONICAL URL strings, so q218's
     // kernel is load-bearing for every hop
+    // persisted: the map is re-joined by EVERY hop round — without the pin
+    // each round re-runs this URL-keyed join of the two recs projections
     val redirects = recs.filter(col("is3xx"))
       .join(recs.select(col("url").as("tgt_url"), col("doc_id").as("tgt")),
         col("loc_canon") === col("tgt_url"))
       .select(col("doc_id").as("src"), col("tgt"))
+      .persist()
     var state = recs.select(col("doc_id"), col("doc_id").as("cur"),
       lit(0).as("hops")).localCheckpoint()
     for (_ <- 1 to MaxHops) {

@@ -348,6 +348,12 @@ object Video {
     // independent-formulation discipline) and pins the duplicate
     // grouping against the clipKey structure plus distinct-clip
     // separation.
+    // The DECLARED fp column is the comma-joined decimal encoding of the
+    // ordered frame-hash vector — an INJECTIVE scalar (equal strings <=>
+    // equal vectors), so grouping semantics are unchanged while the
+    // driver's flat-column harness can read the row (r20: the array
+    // column crashed pandas sort_values; every other entry dumps flat
+    // scalars).
     // Scale posture: decode + sample + hash are map-only per row; the
     // dedup group is ONE shuffle on the compact fingerprint key (8-64
     // bytes per clip regardless of clip size) — at 100 TB the bytes
@@ -363,6 +369,8 @@ object Video {
         rows.grouped(64).flatMap(codec.clipHashBatch)
       }.toDF()
       hashed
+        .withColumn("fp",
+          array_join(transform(col("fp"), _.cast("string")), ","))
         .withColumn("bucket_n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
         .select(col("doc_id"), col("fp"), col("n_frames"), col("bucket_n"))

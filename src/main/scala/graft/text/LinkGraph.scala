@@ -87,20 +87,34 @@ object LinkGraph {
   /** The shared integer power-iteration: rk+1(v) = b(v) + 85·Σ//100.
     * PageRank and TrustRank differ ONLY in the per-node base/init mass
     * (`base` must carry (v, b); `init` carries (v, r)). */
-  def rankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame,
+  def rankFixpoint(edges0: DataFrame, base: DataFrame, init: DataFrame,
                    ckpt: CkptMode = Local): DataFrame = {
-    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // The edge list (and the derived out-degree table) is referenced by
+    // EVERY iteration; without a pin each round's action re-runs the whole
+    // edge derivation — for the extracted link graph that is 8 full
+    // corpus scans + HTML parses per entry (measured: the dominant cost of
+    // q225/q238 before this pin). Both frames are O(edges), orders of
+    // magnitude smaller than the corpus. Safe to release at return: every
+    // round is lineage-truncated, so the returned frame never references
+    // them.
+    // the out-degree join is round-invariant, so it is paid ONCE here
+    // (edge rows gain their src's od) instead of once per iteration —
+    // each round is then a single equi-join + one map-side-combinable agg
+    val edges = edges0.persist()
+    val eo = edges.join(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src").persist()
+    val b = base.persist()   // also read once per round (dangling left join)
     var r = init
     for (_ <- 1 to Iterations) {
-      val contrib = edges.join(r, col("src") === col("v"))
-        .join(out, "src")
+      val contrib = eo.join(r, col("src") === col("v"))
         .select(col("dst"), expr("r div od").as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = truncate(base.join(sums, col("v") === col("dst"), "left")
+      r = truncate(b.join(sums, col("v") === col("dst"), "left")
         .select(col("v"),
           (col("b") + expr("85 * coalesce(s, 0L) div 100")).as("r")),
         ckpt)   // truncate lineage: 8 unrolled join+agg rounds
     }
+    edges.unpersist(); eo.unpersist(); b.unpersist()
     r
   }
 
@@ -127,22 +141,26 @@ object LinkGraph {
     * carries (v, bp, bt); init carries (v, pr, tr); result likewise.
     * The per-vector arithmetic is unchanged, so the separate-chain
     * oracle replays it exactly. */
-  def dualRankFixpoint(edges: DataFrame, base: DataFrame, init: DataFrame,
+  def dualRankFixpoint(edges0: DataFrame, base: DataFrame, init: DataFrame,
                        ckpt: CkptMode = Local): DataFrame = {
-    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    // same per-iteration reuse + hoisted out-degree join as [[rankFixpoint]]
+    val edges = edges0.persist()
+    val eo = edges.join(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("od")), "src").persist()
+    val b = base.persist()   // also read once per round (dangling left join)
     var r = init
     for (_ <- 1 to Iterations) {
-      val contrib = edges.join(r, col("src") === col("v"))
-        .join(out, "src")
+      val contrib = eo.join(r, col("src") === col("v"))
         .select(col("dst"), expr("pr div od").as("cp"), expr("tr div od").as("ct"))
       val sums = contrib.groupBy(col("dst"))
         .agg(sum(col("cp")).as("sp"), sum(col("ct")).as("st"))
-      r = truncate(base.join(sums, col("v") === col("dst"), "left")
+      r = truncate(b.join(sums, col("v") === col("dst"), "left")
         .select(col("v"),
           (col("bp") + expr("85 * coalesce(sp, 0L) div 100")).as("pr"),
           (col("bt") + expr("85 * coalesce(st, 0L) div 100")).as("tr")),
         ckpt)   // truncate lineage: 8 unrolled join+agg rounds
     }
+    edges.unpersist(); eo.unpersist(); b.unpersist()
     r
   }
 
@@ -162,7 +180,11 @@ object LinkGraph {
     * each normalized vector sums to <= 1e6, so a raw re-expansion is
     * bounded by 1e6 x max-degree.
     */
-  def hits(nodes: DataFrame, edges: DataFrame, ckpt: CkptMode = Local): DataFrame = {
+  def hits(nodes0: DataFrame, edges0: DataFrame, ckpt: CkptMode = Local): DataFrame = {
+    // node + edge frames are referenced by every half-step (8 of them) —
+    // the same per-iteration reuse pin as [[rankFixpoint]]
+    val nodes = nodes0.persist()
+    val edges = edges0.persist()
     // one half-step: re-expand `vec` across edges (joinKey side consumes,
     // groupKey side accumulates), then L1-normalize to 1e6
     def half(vec: DataFrame, joinKey: String, groupKey: String): DataFrame = {
@@ -186,6 +208,10 @@ object LinkGraph {
       a = half(h, "src", "dst")   // authority: hub mass over in-links
       h = half(a, "dst", "src")   // hub: authority mass over out-links
     }
+    // every half-step is lineage-truncated, so edges can be released here;
+    // nodes backs the RETURNED plan (persist-to-return contract — the
+    // harness clearCache()s per entry, a library caller owns eviction)
+    edges.unpersist()
     nodes.select(col("v"))
       .join(h.select(col("v").as("hv"), col("x").as("hub")), col("v") === col("hv"))
       .join(a.select(col("v").as("av"), col("x").as("auth")), col("v") === col("av"))
@@ -315,8 +341,11 @@ object LinkGraph {
 
   /** BFS layers from a seed set: (node, depth<=maxDepth); unreached nodes
     * are absent — the "crawl within k hops of the seed list" frontier. */
-  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+  def bfsDepths(edges0: DataFrame, seeds: DataFrame, maxDepth: Int,
                 ckpt: CkptMode = Local): DataFrame = {
+    // the edge list is re-joined by every layer — same reuse pin as
+    // [[rankFixpoint]]; released at return (every layer is truncated)
+    val edges = edges0.persist()
     var labeled = truncate(seeds.select(col("v"), lit(0).as("depth")), ckpt)
     var frontier = labeled.select(col("v"))
     for (k <- 1 to maxDepth) {
@@ -329,6 +358,7 @@ object LinkGraph {
       labeled = truncate(labeled.unionByName(next), ckpt)
       frontier = next.select(col("v"))
     }
+    edges.unpersist()
     labeled
   }
 

@@ -117,17 +117,20 @@ object Pipeline {
         val nb = edges.join(labels.select(col("id").as("nid"), col("lbl").as("nlbl")),
             col("t") === col("nid"))
           .groupBy(col("s")).agg(min(col("nlbl")).as("nbl"))
+        // the PREVIOUS label rides along as `old`, so convergence detection
+        // is a shuffle-free filter+count over the checkpointed blocks —
+        // the former formulation re-joined `next` against `labels` (one
+        // extra join + exchange per round just to count changes)
         val next = labels.join(nb, col("id") === col("s"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+          .select(col("id"), col("lbl").as("old"),
+                  least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
           .localCheckpoint()
-        changed = next.join(labels.select(col("id").as("pid"), col("lbl").as("old")),
-            col("id") === col("pid"))
-          .filter(col("lbl") =!= col("old")).count()
+        changed = next.filter(col("lbl") =!= col("old")).count()
         // the superseded snapshot is dead once the change count is known —
         // release its blocks now (not at ContextCleaner GC time) so storage
         // holds at most two label snapshots regardless of round count
         labels.unpersist()
-        labels = next
+        labels = next.select(col("id"), col("lbl"))
       }
     }
     edges.unpersist()
@@ -1503,9 +1506,14 @@ object Pipeline {
         |SELECT cc.doc_id, cc.lang, cc.n_tok, CAST(cc.cum AS BIGINT) AS cum_tok
         |FROM cc JOIN al ON al.lang = cc.lang
         |WHERE cc.cum <= al.alloc_tok ORDER BY cc.doc_id""".stripMargin) { (s, d) =>
+      // persisted: `nt` feeds the language totals (allocation) AND the
+      // per-lang cumulative draw — without the pin the whole DSIR
+      // selection chain above it runs twice (it is the draw's input).
+      // O(selected docs) rows of (id, lang, count).
       val nt = TokenIndex.toks(s, d)
         .join(dsirSelected(s, d).select(col("doc_id")), "doc_id")
         .select(col("doc_id"), col("lang"), size(col("ws")).cast("bigint").as("n_tok"))
+        .persist()
       val al = hamiltonAlloc(
         nt.groupBy(col("lang")).agg(sum(col("n_tok")).cast("bigint").as("n_tok")),
         "t div 2").select(col("lang"), col("alloc_tok"))
@@ -1803,11 +1811,19 @@ object Pipeline {
     * attached — shared by q262 (the published selection) and q266 (the
     * draw that consumes it). */
   private def dsirSelected(s: SparkSession, d: String): DataFrame = {
+    // persisted: `feat` is consumed THREE times (raw bucket rollup qd,
+    // target rollup pd, per-doc score) — without the pin each consumer
+    // re-runs the corpus-wide bigram explode + hash + (doc_id, b) agg,
+    // the most expensive stage of the whole DSIR chain. O(docs x 64)
+    // rows, hashed-bucket profile only — never the bigrams themselves.
+    // Persist-to-return contract (Funnel.reportV2's discipline): the
+    // returned plan reads these pins; harnesses clearCache() per entry.
     val feat = Text.bigramPairs(s, d)
       .select(col("doc_id"),
         (graft.functions.vec.tokenHash(
           concat(col("w1"), lit(" "), col("w2"))) % 64).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .persist()
     val tgt = TokenIndex.toks(s, d)
       .filter(col("lang") === "en" && size(col("ws")) >= 25 &&
         size(filter(col("ws"), w => w.isin(dsirStop: _*))) * 100 >= size(col("ws")) * 3)
@@ -1824,10 +1840,13 @@ object Pipeline {
       .select(col("b"),
         expr("CAST(FLOOR(1000000 * ln(((COALESCE(pc, 0) + 1.0e0) * (qt + 64.0e0)) / " +
              "((qc + 1.0e0) * (pt + 64.0e0)))) AS BIGINT)").as("lam"))
+    // persisted: consumed by the rank window AND the k-threshold count
+    // (without the pin the lam subtree plans and runs twice)
     val score = feat.join(broadcast(lam), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("bigint").as("n_bigrams"),
            sum(col("c") * col("lam")).cast("bigint").as("logw_unat"))
+      .persist()
     val kk = score.agg(expr("COUNT(*) div 4").as("k"))
     score
       .withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)

@@ -31,6 +31,37 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("no declared output column is array/map/struct-typed (harness-shape lint)") {
+    // The driver's correctness harness reads every entry's dump with
+    // pandas and sorts all columns; an array/map/struct column crashes it
+    // (r20: q291's Seq[Long] fp — `TypeError: unhashable type`), losing
+    // the entry's hard signal entirely. Every declared output must be
+    // flat scalars. Streaming entries are excluded here only because
+    // obtaining their schema requires a real multi-second drain; their
+    // outputs are windowed aggregates of scalar columns, exercised by
+    // Verify and their own specs.
+    val spark = SparkTestBase.spark
+    val streaming = graft.streaming.Streams.entries.map(_.name).toSet
+    val offenders = SparkEntry.allEntries
+      .filterNot(e => streaming.contains(e.name))
+      .flatMap { e =>
+        try {
+          import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+          val complex = SparkEntry.queries(e.name)(spark, SparkTestBase.sf)
+            .schema.fields.collect {
+              case f if f.dataType.isInstanceOf[ArrayType] ||
+                        f.dataType.isInstanceOf[MapType] ||
+                        f.dataType.isInstanceOf[StructType] =>
+                s"${f.name}: ${f.dataType.simpleString}"
+            }
+          if (complex.isEmpty) None else Some(s"${e.name}: ${complex.mkString(", ")}")
+        } finally spark.catalog.clearCache()
+      }
+    assert(offenders.isEmpty,
+      "declared output carries non-scalar column(s) the driver harness cannot read:\n  " +
+        offenders.mkString("\n  "))
+  }
+
   test("every batch entry executes on the degenerate sf0.001 corpus") {
     // The correctness gate runs at sf0.01; this sweep pins the SMALLER
     // scale, where degenerate populations live (sub-k percentile groups,

@@ -33,9 +33,14 @@ class VideoDHashSpec extends GraftSuite {
   }
 
   test("q291: fingerprints match the formula recompute; buckets match the planted groups") {
+    // the declared fp is the injective comma-joined decimal encoding of
+    // the ordered frame-hash vector (driver-readable scalar); parse it
+    // back so every vector-level assertion below still runs on Seq[Long]
+    def parseFp(s: String): Seq[Long] =
+      if (s.isEmpty) Seq.empty else s.split(',').toSeq.map(_.toLong)
     val rows = graft.SparkEntry.queries("q291_video_dhash_dedup")(spark, sf)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2), r.getLong(3)))
+      .map(r => (r.getLong(0), parseFp(r.getString(1)), r.getInt(2), r.getLong(3)))
     assert(rows.nonEmpty, "no video docs in the fixture — vacuous")
 
     val videoIds = rows.map(_._1)
