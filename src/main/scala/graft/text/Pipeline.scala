@@ -262,6 +262,42 @@ object Pipeline {
                 .cast("bigint").as("alloc_tok"))
   }
 
+  // ---- scale-safe per-language running sum (q119/q259/q266) ----
+  /** Two-phase prefix sum for the per-language cumulative token draws —
+    * the guide §2.5 skew fix for the dominant-language straggler (a real
+    * corpus is ~60% one language, so a single
+    * `SUM OVER (PARTITION BY lang ORDER BY ord)` window serializes that
+    * language's whole scan into ONE task at 100 TB; r20 VERDICT watch
+    * item). Phase 1 computes partial running sums inside (lang, bucket)
+    * where bucket is a deterministic RANGE split of the draw key `ord`
+    * (bucket boundaries respect the draw order, so buckets concatenate in
+    * order); phase 2 cumulates the O(langs x buckets) bucket totals into
+    * per-bucket offsets and broadcasts them back. cum = partial + offset
+    * is the textbook parallel-scan identity over exact integer sums —
+    * bit-identical to the single-window form for ANY bucket count, which
+    * is why the oracle can keep replaying the one-window spelling.
+    * Bucket count follows the session's shuffle parallelism (results do
+    * not depend on it). Input must carry (lang, ord, doc_id, `value`);
+    * output adds `cum`. */
+  private[text] def perLangCumsum(df: DataFrame, value: String = "n_tok"): DataFrame = {
+    val nb = math.max(32,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val step = 1000000007L / nb + 1   // ord ranges over [0, 1000000007)
+    val in = df.withColumn("bkt", expr(s"CAST(ord DIV ${step}L AS INT)"))
+    val partial = sum(col(value)).over(
+      Window.partitionBy(col("lang"), col("bkt")).orderBy(col("ord"), col("doc_id")))
+    val offsets = in.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col(value)).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bkt"), col("boff"))
+    in.withColumn("partial", partial)
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum", col("partial") + col("boff"))
+      .drop("bkt", "partial", "boff")
+  }
+
   // ---- 16-token sliding-window fragments (q146/q256/q257) ----
   // ONE copy of the window derivation over [[Text.wordsCtesSql]]'s `toks`
   // — the dedup/leakage unit of Lee et al. (2022)'s duplicated-substring
@@ -620,12 +656,13 @@ object Pipeline {
     // budget: docs are taken in a DETERMINISTIC pseudo-random order (the
     // q91 Knuth hash — replayable, shard-stable, no RNG state) until the
     // language's running token total exceeds the budget (3000 here). The
-    // running total is a window cumsum PARTITIONED BY lang ordered by
-    // (hash, doc_id) — ties broken by doc_id make the frame equivalent to
-    // ROWS, so both engines bucket identically. The window sorts only
-    // within a language; at 100 TB the same plan holds per-lang (a
-    // language's doc list shuffles to its partition group — the operator
-    // is a per-key prefix scan, inherently order-dependent).
+    // running total is a per-lang cumsum ordered by (hash, doc_id) — ties
+    // broken by doc_id make the frame equivalent to ROWS, so both engines
+    // bucket identically. Executed as [[perLangCumsum]]'s two-phase
+    // prefix sum (partials inside (lang, ord-range bucket), broadcast
+    // offsets) so the dominant language of a real corpus never serializes
+    // into one window task; the oracle replays the equivalent one-window
+    // spelling — integer sums make the two forms bit-identical.
     Entry("q119_token_budget_mix",
       s"""WITH ${Text.wordsCtesSql},
         |n AS (SELECT doc_id, COUNT(*) AS n_tok FROM words GROUP BY 1),
@@ -641,11 +678,10 @@ object Pipeline {
       val n = TokenIndex.toks(s, d)
         .select(col("doc_id"), size(col("ws")).as("n_tok"))
         .filter(col("n_tok") > 0)   // words CTE inner-join drops 0-token docs
-      val w = Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
-      T(s, d, "documents").select(col("doc_id"), col("lang"))
-        .join(n, "doc_id")
-        .withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      perLangCumsum(
+        T(s, d, "documents").select(col("doc_id"), col("lang"))
+          .join(n, "doc_id")
+          .withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L))
         .filter(col("cum") <= 3000)
         .select(col("doc_id"), col("lang"), col("n_tok").cast("bigint").as("n_tok"),
                 col("cum").cast("bigint").as("cum_tok"))
@@ -1343,9 +1379,8 @@ object Pipeline {
       val al = hamiltonAlloc(
         nt.groupBy(col("lang")).agg(sum(col("n_tok")).cast("bigint").as("n_tok")),
         "t div 4").select(col("lang"), col("alloc_tok"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
-      nt.withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      perLangCumsum(
+        nt.withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L))
         .join(broadcast(al), "lang")
         .filter(col("cum") <= col("alloc_tok"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
@@ -1517,9 +1552,8 @@ object Pipeline {
       val al = hamiltonAlloc(
         nt.groupBy(col("lang")).agg(sum(col("n_tok")).cast("bigint").as("n_tok")),
         "t div 2").select(col("lang"), col("alloc_tok"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
-      nt.withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L)
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      perLangCumsum(
+        nt.withColumn("ord", col("doc_id") % 1000003L * 2654435761L % 1000000007L))
         .join(broadcast(al), "lang")
         .filter(col("cum") <= col("alloc_tok"))
         .select(col("doc_id"), col("lang"), col("n_tok"),
