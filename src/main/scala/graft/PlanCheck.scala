@@ -10,7 +10,8 @@ package graft
   */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
-    val spark = graft.core.GraftSession.local(16)
+    val spark = graft.core.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
     val e = SparkEntry.allEntries.find(_.name == args(0)).get
     val df = e.fn(spark, args(1))
     val plan = df.queryExecution.executedPlan.toString
