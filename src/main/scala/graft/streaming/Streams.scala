@@ -1343,8 +1343,8 @@ object Streams {
   }
 
   /** q263's job body: drain `src`, computing each arriving batch's
-    * 64-perm MinHash signatures (shared [[graft.text.Text.arrivingShingles]]
-    * → [[graft.text.Text.minhashSignatures]] chain — the exact batch-build
+    * 64-perm MinHash signatures ([[graft.text.Text.minhashSignaturesInRow]]
+    * — the map-only in-row fold, value-identical to the batch-build
     * derivation) into the batch's own partition. Fresh checkpoint per
     * call like [[rollupDrain]]; idempotence pinned by
     * MinhashMaintenanceSpec. */
@@ -1357,8 +1357,11 @@ object Streams {
       val q = stream.writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.text.Text.minhashSignatures(
-            graft.text.Text.arrivingShingles(batch), graft.text.Text.LshNumPerm)
+          // in-row signature fold (round 21): a doc's shingles are complete
+          // inside its row, so the 64 per-perm mins compute map-only —
+          // the per-batch explode+groupBy exchange is gone; values are
+          // row-for-row the batch-built artifact (MinhashMaintenanceSpec)
+          graft.text.Text.minhashSignaturesInRow(batch, graft.text.Text.LshNumPerm)
             .write.mode("overwrite").parquet(s"$out/batch=$batchId")
           ()
         }.start()

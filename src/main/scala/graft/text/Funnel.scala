@@ -429,6 +429,9 @@ object Funnel {
           val (cb, cw1, cw2, tt) = Text.knModelTables(Text.bigramPairs(ss, d))
           cb.write.parquet(s"$tmp/cb"); cw1.write.parquet(s"$tmp/cw1")
           cw2.write.parquet(s"$tmp/cw2"); tt.write.parquet(s"$tmp/tt")
+          // knModelTables persists cb for its derived tables; this staging
+          // path is done with it once the four artifacts are written
+          cb.unpersist()
         })
       // all three trainings run to completion; first failure rethrown
       // (fatal included), extras suppressed (graft.core.Concurrent)

@@ -198,12 +198,15 @@ object Text {
   def knHeldoutScored(s: SparkSession, d: String): DataFrame = {
     val bg = bigramPairs(s, d)
     val bge = bg.filter(col("doc_id") % 2 === 0).select(col("w1"), col("w2"))
-    val cw1 = bge.groupBy(col("w1"))
-      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
-    val cw2 = bge.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
-    val cb = bge.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    // model tables derive from the persisted cb (exact identities — see
+    // knModelTables): the even-half stream is aggregated ONCE
+    val cb = bge.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab")).persist()
+    val cw1 = cb.groupBy(col("w1"))
+      .agg(sum(col("cab")).as("c1"), count(lit(1)).as("n1p"))
+    val cw2 = cb.groupBy(col("w2")).agg(count(lit(1)).as("np2"))
     val tot = cb.agg(count(lit(1)).as("t"))
-    val vv = bge.agg((countDistinct(col("w2")) + 1).as("v"))
+    // distinct w2 over bge == distinct w2 over cb (cb keys on (w1,w2))
+    val vv = cb.agg((countDistinct(col("w2")) + 1).as("v"))
     val pc = (coalesce(col("np2"), lit(0L)) + lit(1.0)) / (col("t") + col("v"))
     val p = when(col("c1").isNull, pc)
       .otherwise(
@@ -270,12 +273,15 @@ object Text {
   def knLangScored(s: SparkSession, d: String): DataFrame = {
     val dl = graft.core.Tables(s, d, "documents").select(col("doc_id"), col("lang"))
     val bgl = bigramPairs(s, d).join(broadcast(dl), "doc_id")
-    val cw1 = bgl.groupBy(col("lang"), col("w1"))
-      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
-    val cw2 = bgl.groupBy(col("lang"), col("w2"))
-      .agg(countDistinct(col("w1")).as("np2"))
+    // model tables derive from the persisted cb (exact identities — see
+    // knModelTables), with lang riding every key: the (langs x vocab²)
+    // stream is aggregated ONCE instead of three times
     val cb = bgl.groupBy(col("lang"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cab"))
+      .agg(count(lit(1)).as("cab")).persist()
+    val cw1 = cb.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("cab")).as("c1"), count(lit(1)).as("n1p"))
+    val cw2 = cb.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("np2"))
     val tt = cb.groupBy(col("lang")).agg(count(lit(1)).as("t"))
     val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
       ((lit(0.75) * col("n1p")) / col("c1")) *
@@ -291,12 +297,22 @@ object Text {
     * frame — the count-table derivation in ONE copy, shared by the
     * self-scoring corpus path ([[knScored]]) and the staged-model ingest
     * gate (Funnel.gateModels materializes these four tables as the
-    * deployed LM artifact the stream scores against). */
+    * deployed LM artifact the stream scores against).
+    *
+    * cw1/cw2/tt DERIVE from cb instead of re-aggregating the corpus-sized
+    * bigram stream (round 21, guide §2.3/§2.4): per w1, c1 = SUM(cab) and
+    * n1p = COUNT(*) over cb rows (one cb row per distinct (w1,w2) ⇔ one
+    * distinct continuation); per w2, np2 = COUNT(*); t = COUNT(*) — all
+    * exact integer identities, so every count is bit-identical to the
+    * direct spelling the oracles keep. cb is persisted (vocab²-bounded)
+    * because all three derivations and the scoring broadcast consume it,
+    * and its recompute contains the corpus-wide (w1,w2) exchange —
+    * the round's measured persist-pays rule. */
   def knModelTables(bg: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cw1 = bg.groupBy(col("w1"))
-      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
-    val cw2 = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab")).persist()
+    val cw1 = cb.groupBy(col("w1"))
+      .agg(sum(col("cab")).as("c1"), count(lit(1)).as("n1p"))
+    val cw2 = cb.groupBy(col("w2")).agg(count(lit(1)).as("np2"))
     val tt = cb.agg(count(lit(1)).as("t"))
     (cb, cw1, cw2, tt)
   }
@@ -1860,6 +1876,29 @@ object Text {
   def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
     val sigCols = (0 until numPerm).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** [[minhashSignatures]] computed ENTIRELY IN-ROW from raw documents
+    * (round 21, guide §2.4 "remove shuffles outright"): a document's
+    * distinct shingle hashes are complete inside its own row BEFORE
+    * [[arrivingShingles]] would explode them, so each permutation's min
+    * is an `array_min(transform(...))` — the same min over the same
+    * xxhash64(i, h) values the explode+groupBy spelling aggregates, with
+    * ZERO exchange. Docs with no shingles are filtered exactly as the
+    * explode drops them (empty array ⇒ no rows ⇒ no group), so the
+    * output is row-for-row the batch-built artifact — the
+    * MinhashMaintenanceSpec contract. Used by the q263 per-batch
+    * maintenance drain, whose micro-batches become map-only stateless
+    * writes. */
+  def minhashSignaturesInRow(docs: DataFrame, numPerm: Int): DataFrame = {
+    val hs = array_distinct(transform(
+      graft.functions.vec.wordShingles(tokens(col("text")), 3),
+      sh => xxhash64(sh)))
+    val sigCols = (0 until numPerm).map(i =>
+      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i"))
+    docs.select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** One (doc_id, band, bucket) row per band from a signature table —

@@ -52,4 +52,28 @@ class KnLmSpec extends GraftSuite {
     assert(nDocs == run("q244_kn_bigram_nll").count(),
       "host doc accounting does not partition the scored docs")
   }
+
+  // Round-21 optimization pin: knModelTables derives cw1/cw2/tt from the
+  // persisted (w1,w2) count table instead of re-aggregating the bigram
+  // stream three times. The derivation identities (c1 = SUM(cab),
+  // n1p/np2/t = COUNT(*) over cb rows) must be EXACT — the oracles keep
+  // the direct COUNT(DISTINCT ...) spelling, so any drift here is a
+  // silent wrong answer in every KN entry.
+  test("kn model tables: cb-derived cw1/cw2/tt equal the direct aggregation spellings") {
+    import org.apache.spark.sql.functions._
+    val bg = Text.bigramPairs(spark, sf)
+    val (cb, cw1, cw2, tt) = Text.knModelTables(bg)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.mkString(",")).toSet
+    val dw1 = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1p"))
+    val dw2 = bg.groupBy(col("w2")).agg(countDistinct(col("w1")).as("np2"))
+    assert(rows(cw1) == rows(dw1), "cw1 derivation drifted from COUNT/COUNT-DISTINCT")
+    assert(rows(cw2) == rows(dw2), "cw2 derivation drifted from COUNT DISTINCT")
+    assert(tt.collect().head.getLong(0) ==
+      bg.select(col("w1"), col("w2")).distinct().count(),
+      "tt derivation drifted from the distinct-pair count")
+    cb.unpersist()
+    ()
+  }
 }
