@@ -1343,11 +1343,16 @@ object Streams {
   }
 
   /** q263's job body: drain `src`, computing each arriving batch's
-    * 64-perm MinHash signatures ([[graft.text.Text.minhashSignaturesInRow]]
-    * — the map-only in-row fold, value-identical to the batch-build
+    * 64-perm MinHash signatures (shared [[graft.text.Text.arrivingShingles]]
+    * → [[graft.text.Text.minhashSignatures]] chain — the exact batch-build
     * derivation) into the batch's own partition. Fresh checkpoint per
     * call like [[rollupDrain]]; idempotence pinned by
-    * MinhashMaintenanceSpec. */
+    * MinhashMaintenanceSpec. An in-row `array_min(transform(...))` fold
+    * (no per-batch exchange) was tried in round 21 and REVERTED: the HOF
+    * fold runs outside whole-stage codegen and measured slower at 8
+    * cores (3.17 → 3.89 s min-of-3) and neutral at 32 — the codegen'd
+    * min-aggregate beats the exchange it pays for (the exchange runs at
+    * drain-narrowed parallelism over 8-byte rows). */
   private[streaming] def minhashDrain(s: SparkSession, src: String, out: String): Unit = {
     val ckpt = newStageDir("graft_mhidx_ckpt")
     val schema = s.read.parquet(src).schema
@@ -1357,11 +1362,8 @@ object Streams {
       val q = stream.writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // in-row signature fold (round 21): a doc's shingles are complete
-          // inside its row, so the 64 per-perm mins compute map-only —
-          // the per-batch explode+groupBy exchange is gone; values are
-          // row-for-row the batch-built artifact (MinhashMaintenanceSpec)
-          graft.text.Text.minhashSignaturesInRow(batch, graft.text.Text.LshNumPerm)
+          graft.text.Text.minhashSignatures(
+            graft.text.Text.arrivingShingles(batch), graft.text.Text.LshNumPerm)
             .write.mode("overwrite").parquet(s"$out/batch=$batchId")
           ()
         }.start()

@@ -1878,29 +1878,6 @@ object Text {
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** [[minhashSignatures]] computed ENTIRELY IN-ROW from raw documents
-    * (round 21, guide §2.4 "remove shuffles outright"): a document's
-    * distinct shingle hashes are complete inside its own row BEFORE
-    * [[arrivingShingles]] would explode them, so each permutation's min
-    * is an `array_min(transform(...))` — the same min over the same
-    * xxhash64(i, h) values the explode+groupBy spelling aggregates, with
-    * ZERO exchange. Docs with no shingles are filtered exactly as the
-    * explode drops them (empty array ⇒ no rows ⇒ no group), so the
-    * output is row-for-row the batch-built artifact — the
-    * MinhashMaintenanceSpec contract. Used by the q263 per-batch
-    * maintenance drain, whose micro-batches become map-only stateless
-    * writes. */
-  def minhashSignaturesInRow(docs: DataFrame, numPerm: Int): DataFrame = {
-    val hs = array_distinct(transform(
-      graft.functions.vec.wordShingles(tokens(col("text")), 3),
-      sh => xxhash64(sh)))
-    val sigCols = (0 until numPerm).map(i =>
-      array_min(transform(col("hs"), h => xxhash64(lit(i), h))).as(s"h$i"))
-    docs.select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-  }
-
   /** One (doc_id, band, bucket) row per band from a signature table —
     * band key = hash of the band's signature rows. ONE copy of the band
     * derivation, shared by the LSH candidate join below and q263's

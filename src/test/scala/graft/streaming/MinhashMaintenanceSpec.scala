@@ -48,20 +48,4 @@ class MinhashMaintenanceSpec extends GraftSuite {
     Streams.minhashDrain(spark, src, out) // fresh checkpoint, same out dir
     assert(sigRows(out) == maintained, "replay must overwrite, never duplicate")
   }
-
-  // Round-21 optimization pin: the drain computes signatures with the
-  // in-row array fold (array_min over per-perm transforms) instead of
-  // the explode+groupBy aggregation — the values must be identical and
-  // the per-batch plan must be genuinely map-only (zero exchanges).
-  test("in-row signature fold equals the explode+groupBy fold and is exchange-free") {
-    import graft.text.Text
-    val docs = graft.core.Tables(spark, sf, "documents")
-    val inRow = Text.minhashSignaturesInRow(docs, Text.LshNumPerm)
-    val agg = Text.minhashSignatures(Text.arrivingShingles(docs), Text.LshNumPerm)
-    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.collect().map(_.toSeq.mkString(",")).toSeq.sorted
-    assert(rows(inRow) == rows(agg), "in-row fold drifted from the groupBy fold")
-    assert(!inRow.queryExecution.executedPlan.toString.contains("Exchange"),
-      "in-row signature plan must be map-only (no Exchange)")
-  }
 }
