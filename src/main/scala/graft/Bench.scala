@@ -9,6 +9,29 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the projection away), and prints one JSON line.
   */
 object Bench {
+
+  /** Indices inside maximal runs of >= `k` CONSECUTIVE hot entries — the
+    * consecutive-window inflation gate (VERDICT r21 #6). r21's driver
+    * sweep carried two multi-entry contention windows (q21-q26 and a
+    * q120-q283 region) inflated ~3x vs their recorded medians with clean
+    * flanking probes; adjacency is the signature that separates a machine
+    * transient from independent regressions (r18/r21: every refuted
+    * window was contiguous in execution order). Pure so BenchWindowSpec
+    * can pin it on synthetic inflation patterns. */
+  private[graft] def contentionWindows(hot: Seq[Boolean], k: Int): Set[Int] = {
+    val runs = scala.collection.mutable.Set.empty[Int]
+    var i = 0
+    while (i < hot.size) {
+      if (hot(i)) {
+        var j = i
+        while (j < hot.size && hot(j)) j += 1
+        if (j - i >= k) runs ++= (i until j)
+        i = j
+      } else i += 1
+    }
+    runs.toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -261,7 +284,17 @@ object Bench {
       math.min(probes(i), probes(i + 1)) > contendedFactor * probe0
     }.toSet
     val failedIdx = entries.indices.filter(i => firstPass(i)._2 < 0).toSet
-    val suspect = contendedIdx ++ failedIdx ++ slowIdx
+    // Consecutive-window inflation gate (VERDICT r21 #6): >= 3 adjacent
+    // entries each above 2x their recorded medians mark a contention
+    // WINDOW — every member joins the retry set, including members under
+    // the per-entry slow thresholds (r21's windows carried sub-threshold
+    // riders that distorted PERF without ever qualifying individually).
+    val windowIdx: Set[Int] = contentionWindows(
+      entries.indices.map { i =>
+        val t = firstPass(i)._2
+        t >= 0 && expect.get(entries(i).name).exists(e => t > 2.0 * e)
+      }, 3)
+    val suspect = contendedIdx ++ failedIdx ++ slowIdx ++ windowIdx
     if (suspect.nonEmpty)
       System.err.println(s"[bench] retrying ${suspect.size} entries " +
         s"(contended: ${contendedIdx.toSeq.sorted.map(entries(_).name).mkString(", ")}; " +
@@ -306,6 +339,21 @@ object Bench {
     }
     def sweepSuspectEnv: Boolean =
       recordedCanarySec.exists(rec => runCanaryMedian > canaryFactor * rec)
+    // Bounded canary backoff before the retry pass (VERDICT r21 #6 part
+    // b): r21's per-entry retries fired but landed INSIDE the same
+    // contention window, so the min-of-two stayed inflated. Wait until
+    // the I/O+shuffle canary returns under canaryFactor x floor before
+    // re-running — bounded at ~45 s so a permanently-busy box still
+    // completes (the suspect_env flag then records the residual risk).
+    var retryBackoffS = 0.0
+    if (suspect.nonEmpty) {
+      val t0 = System.nanoTime()
+      var tries = 0
+      while (tries < 15 && canarySample() > canaryFactor * canaryFloor) {
+        Thread.sleep(3000); tries += 1
+      }
+      retryBackoffS = (System.nanoTime() - t0) / 1e9
+    }
     val results = entries.zipWithIndex.map { case (e, i) =>
       if (!suspect(i)) firstPass(i)
       else {
@@ -327,6 +375,7 @@ object Bench {
     val retried = names(contendedIdx)
     val refailed = names(failedIdx)
     val slowRetried = names(slowIdx)
+    val windowRetried = names(windowIdx)
     val retryStillContended = names(retryContended)
     val envSuspectNames = names(envSuspect)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -361,7 +410,7 @@ object Bench {
     val jvmJson =
       s"""{"gc_ms_total":${gcMsNow()},"code_cache_mb":${f3(codeCacheUsedMb())}}"""
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"ingest_parts":$ingestPartsJson,"probe_ms":${f3(probe0 * 1000)},"canary_ms":${f3(runCanaryFloor * 1000)},"sweep_suspect_env":$sweepSuspectEnv,"retried":${jarr(retried)},"refailed":${jarr(refailed)},"slow":${jarr(slowRetried)},"retry_contended":${jarr(retryStillContended)},"suspect_env":${jarr(envSuspectNames)},"canary_series":$canaryJson,"entry_meta":$entryMetaJson,"jvm":$jvmJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ingest":${f3(ingestSec)},"ingest_parts":$ingestPartsJson,"probe_ms":${f3(probe0 * 1000)},"canary_ms":${f3(runCanaryFloor * 1000)},"sweep_suspect_env":$sweepSuspectEnv,"retried":${jarr(retried)},"refailed":${jarr(refailed)},"slow":${jarr(slowRetried)},"window_retry":${jarr(windowRetried)},"retry_backoff_s":${f3(retryBackoffS)},"retry_contended":${jarr(retryStillContended)},"suspect_env":${jarr(envSuspectNames)},"canary_series":$canaryJson,"entry_meta":$entryMetaJson,"jvm":$jvmJson,"queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -168,17 +168,18 @@ object Funnel {
     val g = QualityModel.bucketFrame(docs).persist()
     val m1 = QualityModel.trainPosteriors(g, "label")
     val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
-    val lm = Text.knDocMean(s, d).select(col("doc_id"), col("mean_unat"))
-    // stage 8's linear model: the q264 STAGED artifact (r18 #2 — one
-    // training per JVM), margins map-only off the sparse feature frame
-    val pf = Perceptron.sparseFeatures(s, d)
+    // stages 7+8's signals in ONE pass over the staged token index: the
+    // KN per-doc mean and the q264 staged-artifact margin ride the same
+    // exploded stream and join back ONCE ([[lmGateSignals]]; before, the
+    // LM and margin chains each paid their own explode + doc-keyed join)
+    val (cb, cw1, cw2, tt) = Text.knModelTables(Text.bigramPairs(s, d))
     val (_, pWsum) = Perceptron.stagedModel(s, d)
-    val pm = Perceptron.margins(pf, pWsum)
+    val sig = lmGateSignals(TokenIndex.toks(s, d).select(col("doc_id"), col("ws")),
+      cb, cw1, cw2, tt, pWsum)
     val perDoc = reachFlags(s, d)
       .select(col("doc_id"), col("allowed"), col("reach3"), col("reach4"), col("reach5"))
       .join(scored, Seq("doc_id"), "left")
-      .join(lm, Seq("doc_id"), "left")
-      .join(pm, Seq("doc_id"), "left")
+      .join(sig, Seq("doc_id"), "left")
       .withColumn("reach6",
         col("reach5") && coalesce(col("score") >= lit(QualityModel.PseudoPos), lit(false)))
       .withColumn("reach7",
@@ -468,26 +469,84 @@ object Funnel {
       wsum: Seq[Long], cb: DataFrame, cw1: DataFrame, cw2: DataFrame,
       tt: DataFrame): DataFrame = {
     val tcol = Text.tokens(col("text"))
-    val flags = batch.select(col("doc_id"), tkeyOf(col("text")).as("tkey"),
-        size(tcol).as("n_tok"),
-        size(filter(tcol, w => w.isin(stop: _*))).as("n_stop"))
+    // ONE flags pass: tkey, the rule counts AND the NB score off the same
+    // batch scan (the score was a separate bucketFrame scan + broadcast
+    // join — the r21 per-batch plan re-scanned and re-tokenized the batch
+    // EIGHT times; this fusion plus [[lmGateSignals]] cuts it to three:
+    // flags, the kernel-decision projection, the signal explode).
+    val flags = batch.select(col("doc_id") +: tkeyOf(col("text")).as("tkey") +:
+        QualityModel.statCols: _*)
+      .select(col("doc_id"), col("tkey"), col("n_tok"), col("n_stop"),
+        QualityModel.scoreColFromStats(posts).as("score"))
       .join(broadcast(decisionsOf(batch)), "doc_id")
     val toks = batch.select(col("doc_id"), tcol.as("ws"))
-    val scored = QualityModel.bucketFrame(batch)
-      .select(col("doc_id"), QualityModel.scoreCol(posts).as("score"))
-    val lm = Text.knDocMeanOf(
-        Text.knScoredAgainst(Text.bigramPairsOf(toks), cb, cw1, cw2, tt))
-      .select(col("doc_id"), col("mean_unat"))
-    val pm = Perceptron.margins(Perceptron.sparseFeaturesOf(toks), wsum)
+    val sig = lmGateSignals(toks, cb, cw1, cw2, tt, wsum)
     flags
-      .join(broadcast(scored), Seq("doc_id"), "left")
-      .join(broadcast(lm), Seq("doc_id"), "left")
-      .join(broadcast(pm), Seq("doc_id"), "left")
+      .join(broadcast(sig), Seq("doc_id"), "left")
       .select(col("doc_id"), col("tkey"), col("allowed"), col("canon_url"),
         col("n_tok"), col("n_stop"),
         coalesce(col("score") >= lit(QualityModel.PseudoPos), lit(false)).as("g6"),
         coalesce(col("mean_unat") <= lit(Text.LmGateUnat), lit(false)).as("g7"),
         coalesce(col("margin") > lit(Perceptron.FunnelGateMargin), lit(false)).as("g8"))
+  }
+
+  /** The two LM-tier per-doc gate signals — the KN mean micro-nat NLL and
+    * the averaged-perceptron margin — in ONE pass over the doc token
+    * arrays (guide §2.3/§2.4; VERDICT r21 #3): a single Generate emits
+    * every token WITH its successor, so the unigram feature counts
+    * (perceptron) and the scored bigram pairs (KN) ride the same exploded
+    * stream instead of two independent explode→aggregate chains, and the
+    * two per-doc left joins the consumers paid collapse into one.
+    *
+    * Exact-equivalence argument (the consumers are hash-pinned):
+    *   - margin: every token appears exactly once as `w1`, so the
+    *     per-(doc, f) counts equal sparseFeaturesOf's bucket rows;
+    *     margin = Σ_f ((1000·c_f) div n_tok)·w[f] + n_tok·w[64] + w[65]
+    *     is margins()'s aggregate over the bucket∪len∪bias union in
+    *     closed form — integer arithmetic throughout, bit-identical.
+    *   - mean_unat: `w2` is null exactly at each doc's terminal token;
+    *     the LEFT model joins leave nulls there and [[Text.knRowUnatCol]]
+    *     propagates them, so count(u)/sum(u) recover knDocMeanOf's
+    *     n_bigrams/nll_unat exactly (resubstitution guarantees every real
+    *     pair matches all four tables, so u is non-null on precisely the
+    *     bigram rows). Docs with tokens but no bigram carry a null
+    *     mean_unat — the same miss the lm left join produced.
+    * Zero-token docs are absent (both gates fail closed at the consumer's
+    * coalesce, as before). Model tables broadcast; the only exchanges are
+    * the doc-keyed aggregations — the q274 per-batch pin holds. */
+  private[text] def lmGateSignals(toks: DataFrame, cb: DataFrame,
+      cw1: DataFrame, cw2: DataFrame, tt: DataFrame,
+      wsum: Seq[Long]): DataFrame = {
+    val exploded = toks
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i + 1).as("w1"),
+                      get(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("n_tok"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val scored = exploded
+      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      .join(broadcast(cw1), Seq("w1"), "left")
+      .join(broadcast(cw2), Seq("w2"), "left")
+      .crossJoin(broadcast(tt))
+      .withColumn("u", Text.knRowUnatCol)
+    val perF = scored
+      .groupBy(col("doc_id"),
+        (Text.tokenHash(col("w1")) % Perceptron.NumBuckets).as("f"))
+      .agg(count(lit(1)).as("c"), first(col("n_tok")).as("n_tok"),
+           sum(col("u")).as("us"), count(col("u")).as("npair"))
+    perF.groupBy(col("doc_id"))
+      .agg(
+        (sum(expr("(1000 * c) div n_tok") *
+            element_at(typedLit(wsum), col("f").cast("int") + 1)) +
+          first(col("n_tok")) * lit(wsum(Perceptron.NumBuckets)) +
+          lit(wsum(Perceptron.NumBuckets + 1))).as("margin"),
+        sum(col("us")).as("nll_unat"), sum(col("npair")).as("n_bigrams"))
+      .select(col("doc_id"),
+        when(col("n_bigrams") > 0, expr("nll_unat div n_bigrams"))
+          .as("mean_unat"),
+        col("margin"))
   }
 
   /** q274's read side: the two keeper windows (the only cross-doc

@@ -106,29 +106,42 @@ object QualityModel {
       |  CAST(MAX(score) AS BIGINT) AS max_score
       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The five raw per-doc stats off a `text` column — ONE copy shared by
+    * [[bucketFrame]] and the per-batch ingest gate's FUSED projection
+    * (Funnel.gateVerdicts computes the NB score in the same pass that
+    * derives the flag columns instead of re-scanning + re-tokenizing the
+    * batch for a separate scored frame — guide §2.3, VERDICT r21 #3). */
+  private[text] def statCols: Seq[org.apache.spark.sql.Column] = {
+    val toks = Text.tokens(col("text"))
+    Seq(
+      size(toks).cast("long").as("n_tok"),
+      size(filter(toks, w => w.isin("the", "a", "of", "and", "to", "is", "in")))
+        .cast("long").as("n_stop"),
+      length(col("text")).cast("long").as("n_char"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long")
+        .as("n_punct"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"))
+  }
+
+  /** The bucket law over the stat columns (unaliased, so the exprs can sit
+    * inline under a guard) — the other half of the shared base. */
+  private[text] def bucketExprs: Seq[org.apache.spark.sql.Column] = Seq(
+    expr("LEAST(n_tok div 16, 9)"),
+    expr("LEAST(((1000 * n_stop) div n_tok) div 20, 9)"),
+    expr("LEAST(((1000 * n_punct) div n_char) div 10, 9)"),
+    expr("LEAST(((1000 * n_uniq) div n_tok) div 100, 9)"),
+    expr("LEAST((((n_char - n_punct) * 10) div n_tok) div 5, 9)"))
+
   /** The map-only per-doc (label, bucket vector) frame — the shared base
     * of training, scoring, and the q242 self-training round. */
-  def bucketFrame(docs: DataFrame): DataFrame = {
-    val toks = Text.tokens(col("text"))
+  def bucketFrame(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        size(toks).cast("long").as("n_tok"),
-        size(filter(toks, w => w.isin("the", "a", "of", "and", "to", "is", "in")))
-          .cast("long").as("n_stop"),
-        length(col("text")).cast("long").as("n_char"),
-        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long")
-          .as("n_punct"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .select(col("doc_id") +: statCols: _*)
       .filter(col("n_tok") > 0)
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
         when(col("n_tok") >= 25 && lit(1000) * col("n_stop") >= lit(30) * col("n_tok"), 1)
-          .otherwise(0).as("label"),
-        expr("LEAST(n_tok div 16, 9)").as("b0"),
-        expr("LEAST(((1000 * n_stop) div n_tok) div 20, 9)").as("b1"),
-        expr("LEAST(((1000 * n_punct) div n_char) div 10, 9)").as("b2"),
-        expr("LEAST(((1000 * n_uniq) div n_tok) div 100, 9)").as("b3"),
-        expr("LEAST((((n_char - n_punct) * 10) div n_tok) div 5, 9)").as("b4"))
-  }
+          .otherwise(0).as("label") +:
+        bucketExprs.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
 
   /** Confusion matrix of the bucket-posterior model over `docs` (must
     * have doc_id + text). Exposed for QualityModelSpec's synthetic
@@ -184,6 +197,16 @@ object QualityModel {
     * folds the STAGED gate-model posteriors back as literals. */
   private[graft] def scoreColOf(m: Seq[Seq[Long]]): org.apache.spark.sql.Column =
     scoreCol(m)
+
+  /** [[scoreCol]] evaluated straight off the five [[statCols]] columns
+    * (buckets inline). Guarded on n_tok > 0 — CaseWhen evaluates the value
+    * branch only when the guard holds, so the b2 division by n_char is
+    * never reached on an empty doc, and zero-token rows yield the same
+    * null the separate scored frame's left-join miss produced. */
+  private[text] def scoreColFromStats(m: Seq[Seq[Long]]): org.apache.spark.sql.Column =
+    when(col("n_tok") > 0,
+      (0 to 4).map(i =>
+        element_at(typedLit(m(i)), bucketExprs(i).cast("int") + 1)).reduce(_ + _))
 
   /** Confidence gates for the q242 pseudo-label round: only documents the
     * round-1 model is SURE about join the round-2 training set (the

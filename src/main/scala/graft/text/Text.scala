@@ -347,15 +347,23 @@ object Text {
     * and for arriving docs whose text the staged model was trained
     * over). ONE copy of the probability law. */
   def knScoredAgainst(bg: DataFrame, cb: DataFrame, cw1: DataFrame,
-                      cw2: DataFrame, tt: DataFrame): DataFrame = {
-    val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
-      ((lit(0.75) * col("n1p")) / col("c1")) *
-        (col("np2").cast("double") / col("t"))
+                      cw2: DataFrame, tt: DataFrame): DataFrame =
     bg.join(broadcast(cb), Seq("w1", "w2"))
       .join(broadcast(cw1), "w1")
       .join(broadcast(cw2), "w2")
       .crossJoin(broadcast(tt))
-      .withColumn("row_unat", floor(lit(1000000) * -log(p)))
+      .withColumn("row_unat", knRowUnatCol)
+
+  /** The per-row KN probability → micro-nat law off joined model columns
+    * (cab, c1, n1p, np2, t) — ONE copy shared by [[knScoredAgainst]]
+    * (inner-join corpus scoring) and the fused gate-signal pass
+    * (Funnel.lmGateSignals: LEFT-join scoring where a doc's terminal
+    * token carries a null pair and the law propagates the null). */
+  private[text] def knRowUnatCol: Column = {
+    val p = greatest(col("cab").cast("double") - 0.75, lit(0.0)) / col("c1") +
+      ((lit(0.75) * col("n1p")) / col("c1")) *
+        (col("np2").cast("double") / col("t"))
+    floor(lit(1000000) * -log(p))
   }
 
   /** DataFrame twin of the KN scoring pass: every bigram row with its
