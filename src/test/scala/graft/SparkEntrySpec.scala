@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * drop queries in the `toMap`, and an entry without a `queries` function
   * can't exist by construction — but name collisions across the eight
   * contributing modules can, so pin uniqueness. */
+@graft.tags.Slow
 class SparkEntrySpec extends AnyFunSuite {
 
   test("declared query names are unique across all modules") {

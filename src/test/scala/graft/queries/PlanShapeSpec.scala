@@ -8,6 +8,7 @@ import graft.SparkEntry
   * design assumes — pushed filters, pruned scans, broadcast joins, top-k
   * without a global sort, partial aggregation. A correctness-green query
   * with the wrong plan shape is a scale bug, not a pass. */
+@graft.tags.Slow
 class PlanShapeSpec extends GraftSuite {
 
   private def planOf(name: String): String =

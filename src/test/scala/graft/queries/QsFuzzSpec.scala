@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * A divergence means the parser, the compiler, or the generator's
   * reading of the grammar drifted — any of which is a real bug, since
   * the two sides implement the documented semantics independently. */
+@graft.tags.Slow
 class QsFuzzSpec extends GraftSuite {
 
   private val vocab = Vector("data", "stream", "fast", "bolt", "red", "gear",

@@ -20,6 +20,7 @@ import graft.core.Tables
   * query over the same rows). Bench-only sketch entries have no twin by
   * design and are the only exclusions.
   */
+@graft.tags.Slow
 class SqlParitySpec extends GraftSuite {
 
   private lazy val viewsReady: Unit = {

@@ -14,6 +14,7 @@ import graft.GraftSuite
   *  - every shipped count is consistent with q268's keeper verdicts:
   *    the number of funnel survivors that are also exact-tier keepers.
   */
+@graft.tags.Slow
 class ShippedCorpusSpec extends GraftSuite {
 
   test("q279: funnel tier == q252 stage 8; keeper tier non-vacuous and == q268's verdicts") {

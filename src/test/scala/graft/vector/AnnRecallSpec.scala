@@ -13,6 +13,7 @@ import graft.core.Tables
   *  - sign-LSH: near-duplicate retrieval (cosine >~ 0.85), tested on
   *    planted duplicates because the raw fixture has no pair above 0.61.
   *  - MinHash-LSH: near-dup pairs vs the exact-Jaccard twin. */
+@graft.tags.Slow
 class AnnRecallSpec extends GraftSuite {
 
   test("IVF top-k recall >= 0.75 at nprobe=6/16, and higher nprobe never hurts") {
