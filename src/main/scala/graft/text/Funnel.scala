@@ -168,18 +168,25 @@ object Funnel {
     val g = QualityModel.bucketFrame(docs).persist()
     val m1 = QualityModel.trainPosteriors(g, "label")
     val scored = g.select(col("doc_id"), QualityModel.scoreCol(m1).as("score"))
-    // stages 7+8's signals in ONE pass over the staged token index: the
-    // KN per-doc mean and the q264 staged-artifact margin ride the same
-    // exploded stream and join back ONCE ([[lmGateSignals]]; before, the
-    // LM and margin chains each paid their own explode + doc-keyed join)
-    val (cb, cw1, cw2, tt) = Text.knModelTables(Text.bigramPairs(s, d))
+    // stages 7+8's signals: separate KN and margin chains. The fused
+    // single-Generate form (lmGateSignals — q274's per-batch shape) was
+    // TRIED HERE and measured consistently slower at 32 cores on the
+    // batch path (min-of-5 A/B in tools/r22_metrics_q252_ab5.txt;
+    // OPTIMIZATION_r22.md "Tried and reverted") — on the at-rest corpus
+    // the two map-only explode passes over the staged token index are
+    // cheaper than pushing the model probes and the wider aggregation
+    // buffers onto every token row, the q263 lesson's shape. The ingest
+    // gate keeps the fusion: per arriving batch the saved scans and
+    // broadcast-build jobs are the multiplying cost.
+    val lm = Text.knDocMean(s, d).select(col("doc_id"), col("mean_unat"))
+    val pf = Perceptron.sparseFeatures(s, d)
     val (_, pWsum) = Perceptron.stagedModel(s, d)
-    val sig = lmGateSignals(TokenIndex.toks(s, d).select(col("doc_id"), col("ws")),
-      cb, cw1, cw2, tt, pWsum)
+    val pm = Perceptron.margins(pf, pWsum)
     val perDoc = reachFlags(s, d)
       .select(col("doc_id"), col("allowed"), col("reach3"), col("reach4"), col("reach5"))
       .join(scored, Seq("doc_id"), "left")
-      .join(sig, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(pm, Seq("doc_id"), "left")
       .withColumn("reach6",
         col("reach5") && coalesce(col("score") >= lit(QualityModel.PseudoPos), lit(false)))
       .withColumn("reach7",
@@ -480,6 +487,12 @@ object Funnel {
         QualityModel.scoreColFromStats(posts).as("score"))
       .join(broadcast(decisionsOf(batch)), "doc_id")
     val toks = batch.select(col("doc_id"), tcol.as("ws"))
+    // The fused signal frame stays on THIS path (vs q252's at-rest path,
+    // which reverted it — see reportV2): per arriving batch the fusion's
+    // deterministic wins (scans 6→3 incl. the flags fold, broadcast-build
+    // jobs −9 per drain) are the multiplying deployment cost, and the
+    // 5-rep A/B walls are statistically indistinguishable (min 4.31 vs
+    // 4.11, medians 4.62 vs 4.57 — tools/r22_metrics_q274_ab5.txt).
     val sig = lmGateSignals(toks, cb, cw1, cw2, tt, wsum)
     flags
       .join(broadcast(sig), Seq("doc_id"), "left")
